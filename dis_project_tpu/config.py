@@ -1,0 +1,103 @@
+"""Config / flag system.
+
+The reference has no configuration surface at all — every knob is a
+hard-coded constructor literal and runs are varied by editing source
+(SURVEY.md §5, reference ``src/main.py:32-54``, ``Instructions.md``). Here a
+single dataclass covers the whole run matrix (replicate mode, gene-subset
+ablations, clamp toggle, optimiser, precision, mesh shape) with a real
+argparse CLI, and maps 1:1 onto the five BASELINE.json configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # data
+    replicate: Optional[int] = 0  # None = all three replicates
+    selected_genes: Optional[Sequence[str]] = None
+    data_dir: str = "data"
+    data_source: str = "auto"  # auto | csv | synthetic
+    seed: int = 0
+    # model
+    jitter: float = 1e-4
+    legacy_block_mean: bool = False
+    # training (reference canonical run: adam lr=0.01, 150 iters, f64)
+    num_iters: int = 150
+    learning_rate: float = 0.01
+    optimizer: str = "adam"
+    fix_params: bool = True
+    num_steps_per_epoch: int = 1000
+    track_parameters: bool = False
+    # precision
+    x64: bool = True
+    # backend: None = auto (x64 parity runs go to CPU — TPUs emulate f64
+    # painfully slowly; f32 runs use the default accelerator)
+    platform: Optional[str] = None
+    # parallel
+    mesh_shape: Optional[Sequence[int]] = None  # e.g. (4, 2)
+    mesh_axes: Sequence[str] = ("data", "model")
+    # reporting
+    out_dir: str = "plots"
+    save_name: Optional[str] = None
+    checkpoint_dir: Optional[str] = None
+    metrics_path: Optional[str] = None  # JSONL per-step metrics
+
+
+def add_cli_args(parser: argparse.ArgumentParser) -> None:
+    d = RunConfig()
+    parser.add_argument("--replicate", type=str, default="0",
+                        help="replicate index 0-2, or 'all'")
+    parser.add_argument("--genes", type=str, default=None,
+                        help="comma-separated gene subset, e.g. p21,DDB2")
+    parser.add_argument("--data-dir", default=d.data_dir)
+    parser.add_argument("--data-source", default=d.data_source,
+                        choices=["auto", "csv", "synthetic"])
+    parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--jitter", type=float, default=d.jitter)
+    parser.add_argument("--num-iters", type=int, default=d.num_iters)
+    parser.add_argument("--learning-rate", type=float, default=d.learning_rate)
+    parser.add_argument("--optimizer", default=d.optimizer,
+                        choices=["adam", "lbfgs"])
+    parser.add_argument("--no-fix-params", action="store_true",
+                        help="disable the p21 identifiability clamp")
+    parser.add_argument("--steps-per-epoch", type=int, default=d.num_steps_per_epoch)
+    parser.add_argument("--track-parameters", action="store_true")
+    parser.add_argument("--no-x64", action="store_true",
+                        help="run in f32 (TPU-native precision)")
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                        help="force a JAX backend (default: auto — x64 runs "
+                        "prefer CPU since TPUs emulate f64)")
+    parser.add_argument("--out-dir", default=d.out_dir)
+    parser.add_argument("--save-name", default=None)
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--metrics-path", default=None)
+
+
+def config_from_args(args: argparse.Namespace) -> RunConfig:
+    replicate = None if args.replicate == "all" else int(args.replicate)
+    genes = args.genes.split(",") if args.genes else None
+    return RunConfig(
+        replicate=replicate,
+        selected_genes=genes,
+        data_dir=args.data_dir,
+        data_source=args.data_source,
+        seed=args.seed,
+        jitter=args.jitter,
+        num_iters=args.num_iters,
+        learning_rate=args.learning_rate,
+        optimizer=args.optimizer,
+        fix_params=not args.no_fix_params,
+        num_steps_per_epoch=args.steps_per_epoch,
+        track_parameters=args.track_parameters,
+        x64=not args.no_x64,
+        platform=args.platform,
+        out_dir=args.out_dir,
+        save_name=args.save_name,
+        checkpoint_dir=args.checkpoint_dir,
+        metrics_path=args.metrics_path,
+    )

@@ -1,0 +1,233 @@
+"""Exact SIMM latent force model — the flagship model family.
+
+Functionally equivalent to the reference's ``ExactLFM``
+(``src/model.py:30-514``) but organised the JAX way: parameters are a plain
+pytree (:class:`SIMMParams`), the model object holds only *static*
+configuration (gene count, jitter, behavioral switches), and every method is
+a pure function of ``(params, arrays)`` so the whole pipeline jits, vmaps and
+shards without framework machinery.
+
+Behavioral parity notes (each deliberate, see SURVEY.md §2/§7):
+
+- The conjugate MLL adds ``jitter`` and ``obs_stddev**2`` to the Gram but NOT
+  the fixed per-point measurement variances, while both predict paths DO add
+  them — the reference's asymmetry (``src/objectives.py:70-73`` vs
+  ``src/model.py:446-449,489-499``).
+- ``latent_predict`` diagonalises its posterior covariance and adds jitter
+  twice (once to Kff, once after diagonalisation), and does NOT add learned
+  observation noise (``src/model.py:420-463``).
+- ``multi_gene_predict`` forces the flag column of the test rows to 1 and
+  keeps the full covariance (``src/model.py:465-514``).
+- ``mean_function`` defaults to *index-based* B_g/D_g (correct for every
+  replicate layout); ``legacy_block_mean=True`` reproduces the reference's
+  block-repeat indexing (``src/model.py:143-149``), which silently misaligns
+  for multi-replicate inputs — kept only as a parity oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from dis_project_tpu.models.base import Gaussian
+from dis_project_tpu.ops import bijectors as bij
+from dis_project_tpu.ops import gram as gram_ops
+from dis_project_tpu.ops import mll as mll_ops
+from dis_project_tpu.ops.precision import default_float
+
+
+class SIMMParams(NamedTuple):
+    """Trainable kinetic and GP hyperparameters (constrained space).
+
+    basal (G,), sensitivity (G,), decay (G,) — per-gene kinetics B/S/D;
+    lengthscale () — RBF prior lengthscale, bounded to [0.5, 3.5];
+    obs_stddev () — learned observation noise std-dev.
+    Initial values match reference ``src/model.py:99-108,114,66``.
+    """
+
+    basal: jnp.ndarray
+    sensitivity: jnp.ndarray
+    decay: jnp.ndarray
+    lengthscale: jnp.ndarray
+    obs_stddev: jnp.ndarray
+
+
+SIMM_BIJECTORS = SIMMParams(
+    basal=bij.Softplus(),
+    sensitivity=bij.Softplus(),
+    decay=bij.Softplus(),
+    lengthscale=bij.SigmoidBounded(0.5, 3.5),
+    obs_stddev=bij.Softplus(),
+)
+
+
+def init_params(num_genes: int, dtype=None) -> SIMMParams:
+    """Reference inits: B=0.05, S=1.0, D=0.4, l=2.5, obs_stddev=1.0."""
+    dtype = dtype or default_float()
+    return SIMMParams(
+        basal=jnp.full((num_genes,), 0.05, dtype),
+        sensitivity=jnp.full((num_genes,), 1.0, dtype),
+        decay=jnp.full((num_genes,), 0.4, dtype),
+        lengthscale=jnp.asarray(2.5, dtype),
+        obs_stddev=jnp.asarray(1.0, dtype),
+    )
+
+
+def constrain(raw: SIMMParams) -> SIMMParams:
+    return bij.constrain(raw, SIMM_BIJECTORS)
+
+
+def unconstrain(params: SIMMParams) -> SIMMParams:
+    return bij.unconstrain(params, SIMM_BIJECTORS)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExactSIMM:
+    """Static configuration + pure methods for the exact SIMM LFM."""
+
+    num_genes: int = 5
+    jitter: float = 1e-6
+    legacy_block_mean: bool = False
+
+    # -- model pieces -----------------------------------------------------
+
+    def mean_function(self, params: SIMMParams, x: jnp.ndarray) -> jnp.ndarray:
+        """SIMM mean: B_j / D_j on expression rows, 0 on force rows."""
+        ratio = params.basal / params.decay  # (G,)
+        flags = x[:, 2]
+        if self.legacy_block_mean:
+            # Reference block-repeat (src/model.py:143-149): repeats each
+            # B_g/D_g over N//G contiguous rows regardless of the gene column.
+            block = x.shape[0] // self.num_genes
+            mean = jnp.repeat(ratio, block)
+            mean = jnp.concatenate(
+                [mean, jnp.zeros(x.shape[0] - mean.shape[0], mean.dtype)]
+            )
+        else:
+            g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
+            mean = ratio[g]
+        return mean * flags
+
+    def gram(self, params: SIMMParams, x: jnp.ndarray) -> jnp.ndarray:
+        return gram_ops.gram(x, params.decay, params.sensitivity, params.lengthscale)
+
+    def cross_covariance(
+        self, params: SIMMParams, x1: jnp.ndarray, x2: jnp.ndarray
+    ) -> jnp.ndarray:
+        return gram_ops.cross_covariance(
+            x1, x2, params.decay, params.sensitivity, params.lengthscale
+        )
+
+    # -- objective ---------------------------------------------------------
+
+    def mll(self, params: SIMMParams, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Exact conjugate marginal log-likelihood.
+
+        Sigma = Kxx + jitter*I + obs_stddev^2*I — per-point measurement
+        variances deliberately excluded (reference ``src/objectives.py:70-73``).
+        The O(N^3) log-density runs through the custom-VJP
+        :func:`dis_project_tpu.ops.mll.mvn_logpdf`.
+        """
+        y = y.reshape(-1)
+        mx = self.mean_function(params, x)
+        K = self.gram(params, x)
+        sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
+        return mll_ops.mvn_logpdf(y, mx, sigma)
+
+    # -- posteriors ---------------------------------------------------------
+
+    def latent_predict(
+        self,
+        params: SIMMParams,
+        test_rows: jnp.ndarray,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        variances: jnp.ndarray,
+    ) -> Gaussian:
+        """Posterior over the latent force f at ``test_rows`` (flag 0).
+
+        Math of reference ``src/model.py:420-463``: train covariance uses the
+        fixed per-point variances + jitter (no learned noise); posterior
+        variance is diagonalised and re-jittered. Solves use the Cholesky
+        factor instead of the reference's explicit ``cola.inv`` — same
+        linear map, better conditioning and an O(N^3) -> O(N^2 M) saving.
+        """
+        y = y.reshape(-1)
+        variances = variances.reshape(-1)
+
+        mean_x = self.mean_function(params, x)
+        mean_t = self.mean_function(params, test_rows)
+
+        Kxx = self.gram(params, x)
+        Kxx = mll_ops.add_diagonal(Kxx, variances + self.jitter)
+        L = mll_ops.cholesky(Kxx)
+
+        Kxf = self.cross_covariance(params, x, test_rows)  # (N, M)
+        # Kfx Kxx^{-1} == solve(Kxx, Kxf)^T by symmetry of Kxx.
+        solved = mll_ops.chol_solve(L, Kxf)  # (N, M)
+        mean = mean_t + solved.T @ (y - mean_x)
+
+        Kff = self.gram(params, test_rows)
+        Kff = mll_ops.add_diagonal(Kff, self.jitter)
+        var = Kff - solved.T @ Kxf
+        var = jnp.diag(jnp.diagonal(var))
+        var = mll_ops.add_diagonal(var, self.jitter)
+        return Gaussian(mean=mean, cov=var)
+
+    def multi_gene_predict(
+        self,
+        params: SIMMParams,
+        test_rows: jnp.ndarray,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        variances: jnp.ndarray,
+    ) -> Gaussian:
+        """Posterior over gene expression at ``test_rows`` (flag forced 1).
+
+        Math of reference ``src/model.py:465-514``: Sigma adds per-point
+        variances AND learned obs noise; full predictive covariance kept.
+        """
+        y = y.reshape(-1)
+        variances = variances.reshape(-1)
+        t2 = test_rows.at[:, 2].set(1)
+
+        mean_x = self.mean_function(params, x)
+        mean_t = self.mean_function(params, t2)
+
+        Kxx = self.gram(params, x)
+        sigma = mll_ops.add_diagonal(Kxx, variances + params.obs_stddev**2)
+        L = mll_ops.cholesky(sigma)
+
+        Ktt = self.gram(params, t2)
+        Kxt = self.cross_covariance(params, x, t2)
+        solved = mll_ops.chol_solve(L, Kxt)
+
+        mean = mean_t + solved.T @ (y - mean_x)
+        cov = Ktt - Kxt.T @ solved
+        cov = mll_ops.add_diagonal(cov, self.jitter)
+        return Gaussian(mean=mean, cov=cov)
+
+
+def clamp_params(
+    params: SIMMParams,
+    gene_index: int = 3,
+    sensitivity: float = 1.0,
+    decay: float = 0.8,
+) -> SIMMParams:
+    """Identifiability clamp: fix one gene's S and D (reference p21 clamp,
+    ``src/trainer.py:151-158``; index 3 = p21 in the canonical gene order).
+
+    Applied to whatever space ``params`` is in — the reference applies it to
+    *raw* values during the training scan and to *constrained* values after
+    (``src/trainer.py:205-222``), a quirk this framework reproduces in
+    ``training.trainer``.
+    """
+    dtype = params.sensitivity.dtype
+    return params._replace(
+        sensitivity=params.sensitivity.at[gene_index].set(
+            jnp.asarray(sensitivity, dtype)
+        ),
+        decay=params.decay.at[gene_index].set(jnp.asarray(decay, dtype)),
+    )

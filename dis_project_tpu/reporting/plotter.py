@@ -1,0 +1,161 @@
+"""Reporting: latent-force / gene-expression / kinetics-comparison plots.
+
+Mirrors the reference artifact matrix (``src/plotter.py``, ``src/utils.py``,
+SURVEY.md §2 #17-#18, #35): latent-force plot with a +/- k-sigma band against
+the published Barenco profile, per-gene expression prediction panels, and the
+3-panel learned-vs-measured kinetics bar chart. Plots are saved under
+``plots/`` relative to the configured output directory.
+
+matplotlib is imported lazily so the numerics core never pays for it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from dis_project_tpu.models.base import Gaussian
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def save_plot(fig, plot_name: str, out_dir: str = "plots") -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, plot_name)
+    fig.savefig(path, format="png", facecolor="white", bbox_inches="tight")
+    return path
+
+
+def plot_lf(
+    testing_times,
+    predictive_dist: Gaussian,
+    stddev: int = 2,
+    y_scatter=None,
+    title: Optional[str] = None,
+    save: bool = True,
+    save_name: Optional[str] = None,
+    out_dir: str = "plots",
+):
+    """Latent-force posterior with +/- stddev band (reference
+    ``src/plotter.py:33-115``; fig. 1a of Lawrence et al.)."""
+    plt = _plt()
+    mean = np.asarray(predictive_dist.mean)
+    std = np.asarray(predictive_dist.stddev())
+    t = np.asarray(testing_times)[:, 0]
+
+    fig, ax = plt.subplots(figsize=(7.5, 2.5), dpi=150)
+    ax.fill_between(
+        t, mean - stddev * std, mean + stddev * std, alpha=0.2, label=f"{stddev} sigma"
+    )
+    ax.plot(t, mean - stddev * std, linestyle="--", linewidth=1)
+    ax.plot(t, mean + stddev * std, linestyle="--", linewidth=1)
+    ax.plot(t, mean, label="Predictive mean")
+    if y_scatter is not None:
+        y_scatter = np.asarray(y_scatter).ravel()
+        ax.plot(np.linspace(0, 12, len(y_scatter)), y_scatter, "x", label="True values")
+    ax.set_xlabel("Time")
+    ax.set_ylabel("mRNA Expression")
+    ax.set_title(f"Latent Force Model{' - ' + title if title else ''}")
+    _dedupe_legend(ax)
+    if save:
+        name = f"lf_{save_name}.png" if save_name else "lf.png"
+        path = save_plot(fig, name, out_dir)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_gene_predictions(
+    grid,
+    dist: Gaussian,
+    data,
+    stddev: int = 2,
+    save: bool = True,
+    save_name: Optional[str] = None,
+    out_dir: str = "plots",
+    points_per_gene: Optional[int] = None,
+):
+    """Per-gene expression posterior panels (reference
+    ``src/utils.py:144-234``). ``grid`` must be gene-major blocks."""
+    plt = _plt()
+    G = data.num_genes
+    n = points_per_gene or (np.asarray(grid).shape[0] // G)
+    t = np.asarray(grid)[:n, 0]
+    mean = np.asarray(dist.mean)
+    std = np.asarray(dist.stddev())
+
+    fig = plt.figure(figsize=(7.5, 2.2 * G), dpi=150)
+    for i in range(G):
+        ax = fig.add_subplot(G, 1, i + 1)
+        m = mean[i * n : (i + 1) * n]
+        s = std[i * n : (i + 1) * n]
+        ax.fill_between(t, m - stddev * s, m + stddev * s, alpha=0.2,
+                        label=f"{stddev} sigma")
+        ax.plot(t, m, label="Predictive mean")
+        for r in range(data.num_replicates):
+            ax.scatter(
+                np.asarray(data.timepoints),
+                np.asarray(data.gene_expressions[r, i]).ravel(),
+                s=12,
+                label="True values" if r == 0 else None,
+            )
+        ax.set_title(f"{data.gene_names[i]} Expression Over Time")
+        ax.set_xlabel("Time")
+        ax.set_ylabel("Expression Level")
+        _dedupe_legend(ax)
+    fig.tight_layout()
+    if save:
+        name = f"gxpr_{save_name}.png" if save_name else "gxpr.png"
+        path = save_plot(fig, name, out_dir)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_comparison(
+    params, data, save: bool = True, save_name: Optional[str] = None,
+    out_dir: str = "plots"
+):
+    """3-panel learned-vs-measured B/S/D bar chart (reference
+    ``src/plotter.py:118-193``)."""
+    plt = _plt()
+    basal_true, sens_true, decay_true = data.params_ground_truth()
+    learned = [
+        np.asarray(params.basal),
+        np.asarray(params.sensitivity),
+        np.asarray(params.decay),
+    ]
+    true = [basal_true, sens_true, decay_true]
+    titles = ["Basal rates", "Sensitivities", "Decay rates"]
+
+    fig, axes = plt.subplots(1, 3, figsize=(7.5, 2.5), dpi=150)
+    x = np.arange(len(basal_true))
+    for ax, lv, tv, title in zip(axes, learned, true, titles):
+        ax.bar(x + 0.2, lv, width=0.4, label="Learned")
+        ax.bar(x - 0.2, tv, width=0.4, label="Measured")
+        ax.set_title(title)
+        ax.set_xticks(x)
+        ax.set_xticklabels(data.gene_names, rotation=45, ha="right")
+    axes[0].legend(fontsize="small")
+    fig.tight_layout()
+    if save:
+        name = f"comparison_{save_name}.png" if save_name else "comparison.png"
+        path = save_plot(fig, name, out_dir)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def _dedupe_legend(ax):
+    handles, labels = ax.get_legend_handles_labels()
+    by_label = dict(zip(labels, handles))
+    ax.legend(by_label.values(), by_label.keys(), fontsize="small")

@@ -1,0 +1,120 @@
+"""Trainer semantics: convergence, clamp behavior, bijector lifecycle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dis_project_tpu.data.dataset import P53Data, dataset_3d
+from dis_project_tpu.models import simm
+from dis_project_tpu.training import trainer as tr
+from dis_project_tpu.ops import bijectors as bij
+
+
+@pytest.fixture(scope="module")
+def p53():
+    data = P53Data(replicate=0, source="synthetic")
+    X, y, var = dataset_3d(data)
+    return data, X, y, var
+
+
+def test_loss_decreases(p53):
+    _, X, y, _ = p53
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    res = tr.fit(model, simm.init_params(5), X, y, tr.TrainConfig(num_iters=50))
+    assert float(res.history[-1]) < float(res.history[0])
+    assert np.all(np.isfinite(np.asarray(res.history)))
+
+
+def test_clamp_applied_exactly(p53):
+    _, X, y, _ = p53
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    res = tr.fit(
+        model, simm.init_params(5), X, y, tr.TrainConfig(num_iters=30, fix_params=True)
+    )
+    assert float(res.params.sensitivity[3]) == 1.0
+    assert float(res.params.decay[3]) == 0.8
+
+
+def test_no_clamp_when_disabled(p53):
+    _, X, y, _ = p53
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    res = tr.fit(
+        model,
+        simm.init_params(5),
+        X,
+        y,
+        tr.TrainConfig(num_iters=30, fix_params=False),
+    )
+    assert float(res.params.sensitivity[3]) != 1.0
+    assert float(res.params.decay[3]) != 0.8
+
+
+def test_constraints_respected(p53):
+    """All positivity/bound constraints hold after training."""
+    _, X, y, _ = p53
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    res = tr.fit(model, simm.init_params(5), X, y, tr.TrainConfig(num_iters=40))
+    p = res.params
+    assert np.all(np.asarray(p.basal) > 0)
+    assert np.all(np.asarray(p.sensitivity) > 0)
+    assert np.all(np.asarray(p.decay) > 0)
+    assert 0.5 < float(p.lengthscale) < 3.5
+    assert float(p.obs_stddev) > 0
+
+
+def test_param_tracking(p53):
+    _, X, y, _ = p53
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    res = tr.fit(
+        model,
+        simm.init_params(5),
+        X,
+        y,
+        tr.TrainConfig(num_iters=10, track_parameters=True),
+    )
+    assert res.param_trace is not None
+    assert res.param_trace.sensitivity.shape == (10, 5)
+    assert res.grad_norms.shape == (10,)
+
+
+def test_lbfgs_path(p53):
+    _, X, y, _ = p53
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    res = tr.fit(
+        model,
+        simm.init_params(5),
+        X,
+        y,
+        tr.TrainConfig(num_iters=20, optimizer="lbfgs", fix_params=False),
+    )
+    assert float(res.history[-1]) < float(res.history[0])
+
+
+def test_bijector_roundtrip():
+    p = simm.init_params(5)
+    rt = simm.constrain(simm.unconstrain(p))
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(rt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_softplus_matches_tfp_numerics():
+    sp = bij.Softplus()
+    x = jnp.asarray([-20.0, -1.0, 0.0, 1.0, 30.0])
+    np.testing.assert_allclose(
+        np.asarray(sp.forward(x)), np.log1p(np.exp(np.asarray(x))), rtol=1e-12
+    )
+    y = jnp.asarray([1e-8, 0.05, 0.4, 1.0, 25.0])
+    np.testing.assert_allclose(
+        np.asarray(sp.forward(sp.inverse(y))), np.asarray(y), rtol=1e-9
+    )
+
+
+def test_sigmoid_bounded():
+    sb = bij.SigmoidBounded(0.5, 3.5)
+    y = jnp.asarray([0.6, 2.5, 3.4])
+    np.testing.assert_allclose(
+        np.asarray(sb.forward(sb.inverse(y))), np.asarray(y), rtol=1e-12
+    )
+    assert float(sb.forward(jnp.asarray(-50.0))) >= 0.5
+    assert float(sb.forward(jnp.asarray(50.0))) <= 3.5
