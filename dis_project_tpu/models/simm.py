@@ -83,13 +83,59 @@ def unconstrain(params: SIMMParams) -> SIMMParams:
     return bij.unconstrain(params, SIMM_BIJECTORS)
 
 
+def _on_tpu() -> bool:
+    # The axon tunnel reports platform 'axon'/'TPU v5 lite'; anything that is
+    # not cpu/gpu gets the TPU-tuned defaults.
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 @dataclasses.dataclass(frozen=True)
 class ExactSIMM:
-    """Static configuration + pure methods for the exact SIMM LFM."""
+    """Static configuration + pure methods for the exact SIMM LFM.
+
+    Backend dispatch (all resolved at **trace time** from static shape,
+    dtype and the default JAX backend — nothing dynamic enters the jit):
+
+    - ``gram_impl``: ``'auto' | 'xla' | 'pallas'``. ``'auto'`` picks the
+      fused Pallas tile kernel (``ops.pallas_gram``) for f32 row counts
+      >= ``PALLAS_GRAM_MIN_N`` on TPU, else the XLA-fused block formulas.
+    - ``chol_impl``: ``'auto' | 'xla' | 'blocked'``. ``'auto'`` picks the
+      MXU-blocked factoriser (``ops.pallas_cholesky``) for f32 systems
+      >= ``BLOCKED_CHOL_MIN_N`` on TPU, else ``jnp.linalg.cholesky``.
+    - ``canonical_rows``: promise that inputs follow the canonical row
+      population — training rows all gene-expression, latent grids all
+      force rows — letting the Pallas path specialise its branch ``kind``
+      instead of evaluating all four flag branches per tile.
+    """
 
     num_genes: int = 5
     jitter: float = 1e-6
     legacy_block_mean: bool = False
+    gram_impl: str = "auto"
+    chol_impl: str = "auto"
+    canonical_rows: bool = False
+
+    PALLAS_GRAM_MIN_N = 512
+    BLOCKED_CHOL_MIN_N = 1024
+
+    # -- backend resolution ------------------------------------------------
+
+    def _resolve_gram(self, n: int, dtype) -> str:
+        if self.gram_impl != "auto":
+            return self.gram_impl
+        if n >= self.PALLAS_GRAM_MIN_N and dtype == jnp.float32 and _on_tpu():
+            return "pallas"
+        return "xla"
+
+    def _resolve_chol(self, n: int, dtype) -> str:
+        if self.chol_impl != "auto":
+            return self.chol_impl
+        if n >= self.BLOCKED_CHOL_MIN_N and dtype == jnp.float32 and _on_tpu():
+            return "blocked"
+        return "xla"
+
+    def _kind(self, default: str) -> str:
+        return default if self.canonical_rows else "mixed"
 
     # -- model pieces -----------------------------------------------------
 
@@ -110,12 +156,20 @@ class ExactSIMM:
             mean = ratio[g]
         return mean * flags
 
-    def gram(self, params: SIMMParams, x: jnp.ndarray) -> jnp.ndarray:
-        return gram_ops.gram(x, params.decay, params.sensitivity, params.lengthscale)
+    def gram(self, params: SIMMParams, x: jnp.ndarray, kind: str = "mixed") -> jnp.ndarray:
+        return self.cross_covariance(params, x, x, kind)
 
     def cross_covariance(
-        self, params: SIMMParams, x1: jnp.ndarray, x2: jnp.ndarray
+        self, params: SIMMParams, x1: jnp.ndarray, x2: jnp.ndarray, kind: str = "mixed"
     ) -> jnp.ndarray:
+        impl = self._resolve_gram(max(x1.shape[0], x2.shape[0]), x1.dtype)
+        if impl == "pallas":
+            from dis_project_tpu.ops import pallas_gram
+
+            return pallas_gram.cross_covariance(
+                x1, x2, params.decay, params.sensitivity, params.lengthscale,
+                kind=kind,
+            )
         return gram_ops.cross_covariance(
             x1, x2, params.decay, params.sensitivity, params.lengthscale
         )
@@ -132,9 +186,10 @@ class ExactSIMM:
         """
         y = y.reshape(-1)
         mx = self.mean_function(params, x)
-        K = self.gram(params, x)
+        K = self.gram(params, x, self._kind("xx"))
         sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
-        return mll_ops.mvn_logpdf(y, mx, sigma)
+        impl = self._resolve_chol(x.shape[0], x.dtype)
+        return mll_ops.mvn_logpdf(y, mx, sigma, impl=impl)
 
     # -- posteriors ---------------------------------------------------------
 
@@ -160,16 +215,16 @@ class ExactSIMM:
         mean_x = self.mean_function(params, x)
         mean_t = self.mean_function(params, test_rows)
 
-        Kxx = self.gram(params, x)
+        Kxx = self.gram(params, x, self._kind("xx"))
         Kxx = mll_ops.add_diagonal(Kxx, variances + self.jitter)
-        L = mll_ops.cholesky(Kxx)
+        L = mll_ops.cholesky(Kxx, self._resolve_chol(x.shape[0], x.dtype))
 
-        Kxf = self.cross_covariance(params, x, test_rows)  # (N, M)
+        Kxf = self.cross_covariance(params, x, test_rows, self._kind("xf"))  # (N, M)
         # Kfx Kxx^{-1} == solve(Kxx, Kxf)^T by symmetry of Kxx.
         solved = mll_ops.chol_solve(L, Kxf)  # (N, M)
         mean = mean_t + solved.T @ (y - mean_x)
 
-        Kff = self.gram(params, test_rows)
+        Kff = self.gram(params, test_rows, self._kind("ff"))
         Kff = mll_ops.add_diagonal(Kff, self.jitter)
         var = Kff - solved.T @ Kxf
         var = jnp.diag(jnp.diagonal(var))
@@ -196,12 +251,12 @@ class ExactSIMM:
         mean_x = self.mean_function(params, x)
         mean_t = self.mean_function(params, t2)
 
-        Kxx = self.gram(params, x)
+        Kxx = self.gram(params, x, self._kind("xx"))
         sigma = mll_ops.add_diagonal(Kxx, variances + params.obs_stddev**2)
-        L = mll_ops.cholesky(sigma)
+        L = mll_ops.cholesky(sigma, self._resolve_chol(x.shape[0], x.dtype))
 
-        Ktt = self.gram(params, t2)
-        Kxt = self.cross_covariance(params, x, t2)
+        Ktt = self.gram(params, t2, self._kind("xx"))
+        Kxt = self.cross_covariance(params, x, t2, self._kind("xx"))
         solved = mll_ops.chol_solve(L, Kxt)
 
         mean = mean_t + solved.T @ (y - mean_x)

@@ -50,7 +50,7 @@ def erf(x):
     return jax.scipy.special.erf(x)
 
 
-def h_term(d_a, d_b, t1, t2, lengthscale):
+def h_term(d_a, d_b, t1, t2, lengthscale, erf_fn=erf):
     r"""The analytic double-integral term h(a, b, t1, t2).
 
     With :math:`\gamma_b = D_b l / 2`:
@@ -70,15 +70,15 @@ def h_term(d_a, d_b, t1, t2, lengthscale):
     t_dist = t2 - t1
     mult = jnp.exp(g_b * g_b) / (d_a + d_b)
     first = jnp.exp(-d_b * t_dist) * (
-        erf(t_dist / lengthscale - g_b) + erf(t1 / lengthscale + g_b)
+        erf_fn(t_dist / lengthscale - g_b) + erf_fn(t1 / lengthscale + g_b)
     )
     second = jnp.exp(-(d_b * t2 + d_a * t1)) * (
-        erf(t2 / lengthscale - g_b) + erf(g_b)
+        erf_fn(t2 / lengthscale - g_b) + erf_fn(g_b)
     )
     return mult * (first - second)
 
 
-def k_xx(t, t_prime, d_j, d_k, s_j, s_k, lengthscale):
+def k_xx(t, t_prime, d_j, d_k, s_j, s_k, lengthscale, erf_fn=erf):
     """Gene-gene covariance k_{x_j x_k}(t, t') — eq. 5.
 
     Matches reference ``src/model.py:197-235``:
@@ -87,12 +87,12 @@ def k_xx(t, t_prime, d_j, d_k, s_j, s_k, lengthscale):
     """
     mult = s_j * s_k * lengthscale * (0.5 * SQRT_PI)
     return mult * (
-        h_term(d_k, d_j, t_prime, t, lengthscale)
-        + h_term(d_j, d_k, t, t_prime, lengthscale)
+        h_term(d_k, d_j, t_prime, t, lengthscale, erf_fn)
+        + h_term(d_j, d_k, t, t_prime, lengthscale, erf_fn)
     )
 
 
-def k_xf(t_x, t_f, d_j, s_j, lengthscale):
+def k_xf(t_x, t_f, d_j, s_j, lengthscale, erf_fn=erf):
     """Gene-force cross-covariance k_{x_j f}(t_x, t_f) — eq. 6.
 
     Matches reference ``src/model.py:237-282`` (their ``gene_xpr``/
@@ -105,7 +105,7 @@ def k_xf(t_x, t_f, d_j, s_j, lengthscale):
         first
         * jnp.exp(g_j * g_j)
         * jnp.exp(-d_j * t_dist)
-        * (erf(t_dist / lengthscale - g_j) + erf(t_f / lengthscale + g_j))
+        * (erf_fn(t_dist / lengthscale - g_j) + erf_fn(t_f / lengthscale + g_j))
     )
 
 

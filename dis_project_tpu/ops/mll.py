@@ -14,11 +14,21 @@ via the closed form
 
 so no AD rules for ``cholesky``/``triangular_solve`` ever run, and the
 gradient w.r.t. kernel hyperparameters flows through the (cheap, elementwise)
-Gram construction only. On TPU the backward pass is two TRSMs (for
-:math:`\Sigma^{-1}`) plus a rank-1 update — all MXU work.
+Gram construction only. On TPU the backward pass is triangular inversion plus
+a rank-1 update — all MXU work.
+
+``impl`` selects the O(N^3) backend at trace time:
+
+- ``'xla'`` — ``jnp.linalg.cholesky`` + XLA ``triangular_solve`` (the f64
+  CPU parity oracle and the small-N default);
+- ``'blocked'`` — the MXU-blocked Pallas/matmul factoriser of
+  ``ops.pallas_cholesky`` (large-N f32 TPU hot path); the backward pass
+  builds ``Sigma^{-1}`` from the blocked triangular inverse.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -26,9 +36,12 @@ import jax.numpy as jnp
 LOG_2PI = 1.8378770664093453  # log(2*pi)
 
 
-def cholesky(sigma):
-    """Lower Cholesky factor. Thin wrapper so the Pallas blocked factoriser
-    can be swapped in behind one name (see ``ops.pallas_cholesky``)."""
+def cholesky(sigma, impl: str = "xla"):
+    """Lower Cholesky factor via the selected backend."""
+    if impl == "blocked":
+        from dis_project_tpu.ops import pallas_cholesky as pc
+
+        return pc.blocked_cholesky(sigma)
     return jnp.linalg.cholesky(sigma)
 
 
@@ -38,21 +51,24 @@ def chol_solve(L, b):
     return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
 
-@jax.custom_vjp
-def mvn_logpdf_centered(y_centered, sigma):
+def _sigma_inv(L, impl: str):
+    if impl == "blocked":
+        from dis_project_tpu.ops import pallas_cholesky as pc
+
+        return pc.inv_from_factor(L)
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    return chol_solve(L, eye)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def mvn_logpdf_centered(y_centered, sigma, impl: str = "xla"):
     """log N(y_centered | 0, sigma) for a 1-D centered observation vector."""
-    L = cholesky(sigma)
-    alpha = chol_solve(L, y_centered)
-    n = y_centered.shape[0]
-    return (
-        -0.5 * jnp.dot(y_centered, alpha)
-        - jnp.sum(jnp.log(jnp.diagonal(L)))
-        - 0.5 * n * LOG_2PI
-    )
+    logp, _ = _mvn_fwd(y_centered, sigma, impl)
+    return logp
 
 
-def _mvn_fwd(y_centered, sigma):
-    L = cholesky(sigma)
+def _mvn_fwd(y_centered, sigma, impl):
+    L = cholesky(sigma, impl)
     alpha = chol_solve(L, y_centered)
     n = y_centered.shape[0]
     logp = (
@@ -63,13 +79,11 @@ def _mvn_fwd(y_centered, sigma):
     return logp, (L, alpha)
 
 
-def _mvn_bwd(res, g):
+def _mvn_bwd(impl, res, g):
     L, alpha = res
-    n = alpha.shape[0]
     d_y = -g * alpha
-    # Sigma^{-1} via two triangular solves against I — reuses the factor.
-    eye = jnp.eye(n, dtype=L.dtype)
-    sigma_inv = chol_solve(L, eye)
+    # Sigma^{-1} reusing the factor — blocked tri-inverse on the MXU path.
+    sigma_inv = _sigma_inv(L, impl)
     d_sigma = (0.5 * g) * (jnp.outer(alpha, alpha) - sigma_inv)
     return d_y, d_sigma
 
@@ -77,9 +91,9 @@ def _mvn_bwd(res, g):
 mvn_logpdf_centered.defvjp(_mvn_fwd, _mvn_bwd)
 
 
-def mvn_logpdf(y, mean, sigma):
+def mvn_logpdf(y, mean, sigma, impl: str = "xla"):
     """log N(y | mean, sigma); gradients flow to all three arguments."""
-    return mvn_logpdf_centered(y - mean, sigma)
+    return mvn_logpdf_centered(y - mean, sigma, impl)
 
 
 def add_diagonal(mat, diag):

@@ -1,0 +1,190 @@
+r"""Fused Pallas TPU Gram-matrix kernel for the SIMM LFM covariance.
+
+The reference materialises the Gram matrix by dispatching a *scalar* kernel
+per input pair through a nested ``vmap`` (reference ``src/model.py:392``)
+with flag-product branch switches (``src/model.py:183-193``). Here the same
+algebra — the erf/exp ``h``-term expressions of ``ops.lfm_kernels`` — is
+generated tile-by-tile directly from per-row metadata ``(t, decay, sens,
+flag)`` on the VPU:
+
+- each grid step reads O(TM + TN) metadata and writes one (TM, TN) output
+  tile, so HBM traffic is the write-only minimum — the kernel is
+  transcendental-bound, not bandwidth-bound;
+- ``erf`` does not lower in Pallas TPU (no Mosaic primitive), so the kernel
+  uses the Abramowitz & Stegun 7.1.26 rational approximation (max abs error
+  1.5e-7 — at the f32 ulp) through the *same* ``lfm_kernels`` block algebra
+  via its ``erf_fn`` hook, keeping one source of truth for the math;
+- the four flag branches (xx / ff / xf / fx) are selected at **trace time**
+  by ``kind`` when the caller knows the row population (training rows are
+  all gene-expression, latent-force grids are all force rows), avoiding the
+  reference's evaluate-all-branches-per-pair cost; ``kind='mixed'`` keeps
+  the fully general flag-weighted combination.
+
+Padding: inputs are padded to tile multiples with benign metadata
+(t=0, d=1, s=0, flag=1) so padded entries are finite (they evaluate k_xx
+with zero sensitivity = 0.0) and then sliced off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dis_project_tpu.ops import lfm_kernels as lfk
+
+# Default tile: 256x256 f32 = 256 KiB output tile in VMEM, VPU-aligned.
+TILE_M = 256
+TILE_N = 256
+
+# Abramowitz & Stegun 7.1.26 coefficients.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def erf_approx(x):
+    """Vectorised erf via A&S 7.1.26 (max abs err 1.5e-7; f32-exact for
+    practical purposes). Lowers on the TPU VPU — used inside Pallas kernels
+    where the XLA ``erf`` primitive is unavailable."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + _AS_P * a)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.sign(x) * y
+
+
+def _tile_values(kind, t1, d1, s1, f1, t2, d2, s2, f2, ell):
+    """Covariance values for one (TM, TN) tile given broadcast metadata."""
+    if kind == "xx":
+        return lfk.k_xx(t1, t2, d1, d2, s1, s2, ell, erf_fn=erf_approx)
+    if kind == "ff":
+        return lfk.k_ff(t1, t2, ell)
+    if kind == "xf":
+        return lfk.k_xf(t1, t2, d1, s1, ell, erf_fn=erf_approx)
+    if kind == "fx":
+        return lfk.k_xf(t2, t1, d2, s2, ell, erf_fn=erf_approx)
+    # Fully general: flag-weighted combination (reference src/model.py:183-193).
+    kxx = lfk.k_xx(t1, t2, d1, d2, s1, s2, ell, erf_fn=erf_approx)
+    kff = lfk.k_ff(t1, t2, ell)
+    kxf = lfk.k_xf(t1, t2, d1, s1, ell, erf_fn=erf_approx)
+    kfx = lfk.k_xf(t2, t1, d2, s2, ell, erf_fn=erf_approx)
+    w_xx = f1 * f2
+    w_ff = (1.0 - f1) * (1.0 - f2)
+    w_xf = f1 * (1.0 - f2)
+    w_fx = (1.0 - f1) * f2
+    return w_xx * kxx + w_ff * kff + w_xf * kxf + w_fx * kfx
+
+
+def _gram_kernel(kind, m1_ref, m2_ref, ell_ref, o_ref):
+    """One (TM, TN) tile. ``m1_ref``: (4, TM) row metadata [t, d, s, flag];
+    ``m2_ref``: (4, TN) column metadata; ``ell_ref``: (1, 1) SMEM scalar."""
+    ell = ell_ref[0, 0]
+    t1 = m1_ref[0, :][:, None]
+    d1 = m1_ref[1, :][:, None]
+    s1 = m1_ref[2, :][:, None]
+    f1 = m1_ref[3, :][:, None]
+    t2 = m2_ref[0, :][None, :]
+    d2 = m2_ref[1, :][None, :]
+    s2 = m2_ref[2, :][None, :]
+    f2 = m2_ref[3, :][None, :]
+    o_ref[:] = _tile_values(kind, t1, d1, s1, f1, t2, d2, s2, f2, ell)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _pack_meta(x, decay, sens, pad_to, dtype):
+    """(N, 3) row metadata -> padded (4, Np) [t, d, s, flag] array.
+
+    Gene indices are clipped to [0, G-1] before the gather — the same
+    clamp-gather semantics as ``ops.gram`` (see its module docstring).
+    Padding rows get benign values (t=0, d=1, s=0, flag=1) -> zero entries.
+    """
+    G = decay.shape[0]
+    n = x.shape[0]
+    g = jnp.clip(x[:, 1].astype(jnp.int32), 0, G - 1)
+    t = x[:, 0].astype(dtype)
+    d = decay[g].astype(dtype)
+    s = sens[g].astype(dtype)
+    f = x[:, 2].astype(dtype)
+    pad = pad_to - n
+    t = jnp.pad(t, (0, pad))
+    d = jnp.pad(d, (0, pad), constant_values=1.0)
+    s = jnp.pad(s, (0, pad))
+    f = jnp.pad(f, (0, pad), constant_values=1.0)
+    return jnp.stack([t, d, s, f])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "tile_m", "tile_n", "interpret", "out_dtype"),
+)
+def cross_covariance(
+    x1,
+    x2,
+    decay,
+    sens,
+    lengthscale,
+    *,
+    kind: str = "mixed",
+    tile_m: int = TILE_M,
+    tile_n: int = TILE_N,
+    interpret: bool = False,
+    out_dtype=None,
+):
+    """Dense (N, M) SIMM covariance from (t, gene, flag) rows, Pallas-fused.
+
+    Same semantics as :func:`dis_project_tpu.ops.gram.cross_covariance`
+    (reference ``src/model.py:372-394``); ``kind`` specialises the branch at
+    trace time when the row population is known statically:
+
+    - ``'xx'``: all rows/cols are gene-expression rows (training Gram),
+    - ``'ff'``: all are latent-force rows (prediction-grid prior),
+    - ``'xf'`` / ``'fx'``: expression rows x force cols / vice versa,
+    - ``'mixed'``: general flag-dispatched combination.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    n, m = x1.shape[0], x2.shape[0]
+    dtype = out_dtype or jnp.result_type(x1.dtype, decay.dtype)
+    np_, mp_ = _round_up(n, tile_m), _round_up(m, tile_n)
+
+    m1 = _pack_meta(x1, decay, sens, np_, dtype)
+    m2 = _pack_meta(x2, decay, sens, mp_, dtype)
+    ell = jnp.asarray(lengthscale, dtype).reshape(1, 1)
+
+    grid = (np_ // tile_m, mp_ // tile_n)
+    # ~60 flops and ~14 transcendentals (6 erf -> exp each, 4 bare exp) per
+    # output element in the mixed case — tells the scheduler this kernel is
+    # compute-heavy despite its tiny inputs.
+    cost = pl.CostEstimate(
+        flops=60 * np_ * mp_,
+        bytes_accessed=np_ * mp_ * jnp.dtype(dtype).itemsize,
+        transcendentals=14 * np_ * mp_,
+    )
+    out = pl.pallas_call(
+        functools.partial(_gram_kernel, kind),
+        out_shape=jax.ShapeDtypeStruct((np_, mp_), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, tile_m), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(m1, m2, ell)
+    return out[:n, :m]
+
+
+def gram(x, decay, sens, lengthscale, **kw):
+    """Symmetric (N, N) Gram over one row set (Pallas-fused)."""
+    return cross_covariance(x, x, decay, sens, lengthscale, **kw)

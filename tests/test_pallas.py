@@ -1,0 +1,155 @@
+"""Pallas-kernel-vs-XLA-reference numerical tests (interpret mode on CPU).
+
+The Pallas kernels must reproduce the vectorised XLA ops (`ops.gram`,
+`jnp.linalg.cholesky`) that are themselves tested against the reference
+math — so these are second-level parity tests: same algebra, hand-tiled.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dis_project_tpu.ops import gram as gram_ops
+from dis_project_tpu.ops import pallas_cholesky as pc
+from dis_project_tpu.ops import pallas_gram as pg
+
+RNG = np.random.default_rng(42)
+
+
+def _rows(n, G=5, flag=None):
+    t = RNG.uniform(0, 12, n)
+    g = RNG.integers(0, G, n)
+    f = RNG.integers(0, 2, n) if flag is None else np.full(n, flag)
+    return jnp.asarray(np.stack([t, g, f], axis=1))
+
+
+def _params(G=5):
+    return (
+        jnp.asarray(RNG.uniform(0.2, 1.0, G)),
+        jnp.asarray(RNG.uniform(0.5, 1.5, G)),
+        jnp.asarray(2.5),
+    )
+
+
+class TestErfApprox:
+    def test_matches_reference_erf(self):
+        x = jnp.linspace(-6, 6, 4001)
+        err = jnp.abs(pg.erf_approx(x) - jnp.asarray(np_erf(x)))
+        assert float(err.max()) < 2e-7
+
+    def test_odd_and_limits(self):
+        x = jnp.asarray([0.0, 1e4, -1e4])
+        v = pg.erf_approx(x)
+        assert float(v[0]) == 0.0
+        assert float(v[1]) == pytest.approx(1.0)
+        assert float(v[2]) == pytest.approx(-1.0)
+
+
+def np_erf(x):
+    from scipy.special import erf as serf  # scipy ships with the env
+
+    return serf(np.asarray(x))
+
+
+@pytest.mark.parametrize("kind,flags", [("mixed", None), ("xx", 1), ("ff", 0)])
+def test_pallas_cross_covariance_matches_xla(kind, flags):
+    decay, sens, ell = _params()
+    x1, x2 = _rows(70, flag=flags), _rows(90, flag=flags)
+    ref = gram_ops.cross_covariance(x1, x2, decay, sens, ell)
+    out = pg.cross_covariance(
+        x1, x2, decay, sens, ell, kind=kind, interpret=True, tile_m=32, tile_n=128
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_pallas_xf_kind():
+    decay, sens, ell = _params()
+    x1, x2 = _rows(40, flag=1), _rows(50, flag=0)
+    ref = gram_ops.cross_covariance(x1, x2, decay, sens, ell)
+    out = pg.cross_covariance(
+        x1, x2, decay, sens, ell, kind="xf", interpret=True, tile_m=32, tile_n=128
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    # and the transpose orientation
+    ref_t = gram_ops.cross_covariance(x2, x1, decay, sens, ell)
+    out_t = pg.cross_covariance(
+        x2, x1, decay, sens, ell, kind="fx", interpret=True, tile_m=32, tile_n=128
+    )
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=5e-5)
+
+
+def test_pallas_gram_symmetric_psd():
+    decay, sens, ell = _params()
+    x = _rows(64, flag=1)
+    K = pg.gram(x, decay, sens, ell, kind="xx", interpret=True, tile_m=32, tile_n=128)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K.T), atol=1e-12)
+    # The A&S erf approximation (1.5e-7 abs, amplified by exp(gamma^2))
+    # perturbs exact PSD-ness at the ~1e-5 level; consumers add jitter/noise
+    # diagonals far above that (>= 1e-4 on the f32 perf path).
+    w = np.linalg.eigvalsh(np.asarray(K))
+    assert w.min() > -1e-4
+
+
+class TestBlockedCholesky:
+    def _spd(self, n, dtype=jnp.float64):
+        A = RNG.standard_normal((n, n))
+        A = A @ A.T + n * np.eye(n)
+        return jnp.asarray(A, dtype)
+
+    @pytest.mark.parametrize("n", [32, 100, 256, 300, 640])
+    def test_matches_xla_cholesky(self, n):
+        A = self._spd(n)
+        Lref = jnp.linalg.cholesky(A)
+        L = pc.blocked_cholesky(A, block=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(Lref), atol=1e-10)
+
+    def test_unblocked_pallas_kernel_f32(self):
+        A = self._spd(96, jnp.float32)
+        L = pc.chol_unblocked(A, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(L @ L.T), np.asarray(A), rtol=2e-5, atol=2e-4
+        )
+        assert float(jnp.abs(jnp.triu(L, 1)).max()) == 0.0
+
+    def test_tri_inv(self):
+        A = self._spd(200)
+        L = jnp.linalg.cholesky(A)
+        Li = pc.tri_inv(L)
+        np.testing.assert_allclose(
+            np.asarray(Li @ L), np.eye(200), atol=1e-10
+        )
+
+    def test_mvn_logpdf_blocked_impl_matches_xla(self):
+        import jax
+
+        from dis_project_tpu.ops import mll as mll_ops
+
+        n = 300
+        A = self._spd(n)
+        y = jnp.asarray(RNG.standard_normal(n))
+        mean = jnp.asarray(RNG.standard_normal(n))
+
+        def f(impl):
+            return lambda m, s: mll_ops.mvn_logpdf(y, m, s, impl=impl)
+
+        v_x, g_x = jax.value_and_grad(f("xla"), argnums=(0, 1))(mean, A)
+        v_b, g_b = jax.value_and_grad(f("blocked"), argnums=(0, 1))(mean, A)
+        np.testing.assert_allclose(float(v_b), float(v_x), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_b[0]), np.asarray(g_x[0]), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_b[1]), np.asarray(g_x[1]), atol=1e-10)
+
+    def test_blocked_solve_and_inverse(self):
+        A = self._spd(300)
+        L = jnp.linalg.cholesky(A)
+        b = jnp.asarray(RNG.standard_normal((300, 4)))
+        np.testing.assert_allclose(
+            np.asarray(pc.blocked_chol_solve(L, b)),
+            np.asarray(jnp.linalg.solve(A, b)),
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pc.inv_from_factor(L)),
+            np.asarray(jnp.linalg.inv(A)),
+            atol=1e-10,
+        )
