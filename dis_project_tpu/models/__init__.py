@@ -1,6 +1,9 @@
 """Model families: exact SIMM (first-order ODE), second-order, variational."""
 
 from dis_project_tpu.models.base import Gaussian
+from dis_project_tpu.models import simm2, svlfm
+from dis_project_tpu.models.simm2 import SecondOrderSIMM, SIMM2Params
+from dis_project_tpu.models.svlfm import SparseSIMM, SVLFMParams
 from dis_project_tpu.models.simm import (
     ExactSIMM,
     SIMMParams,
@@ -13,6 +16,12 @@ from dis_project_tpu.models.simm import (
 
 __all__ = [
     "Gaussian",
+    "simm2",
+    "svlfm",
+    "SecondOrderSIMM",
+    "SIMM2Params",
+    "SparseSIMM",
+    "SVLFMParams",
     "ExactSIMM",
     "SIMMParams",
     "SIMM_BIJECTORS",

@@ -97,11 +97,16 @@ class ExactSIMM:
     dtype and the default JAX backend — nothing dynamic enters the jit):
 
     - ``gram_impl``: ``'auto' | 'xla' | 'pallas'``. ``'auto'`` picks the
-      fused Pallas tile kernel (``ops.pallas_gram``) for f32 row counts
-      >= ``PALLAS_GRAM_MIN_N`` on TPU, else the XLA-fused block formulas.
-    - ``chol_impl``: ``'auto' | 'xla' | 'blocked'``. ``'auto'`` picks the
-      MXU-blocked factoriser (``ops.pallas_cholesky``) for f32 systems
-      >= ``BLOCKED_CHOL_MIN_N`` on TPU, else ``jnp.linalg.cholesky``.
+      fused Pallas tile kernel (``ops.pallas_gram``) for f32 row counts in
+      [``PALLAS_GRAM_MIN_N``, ``PALLAS_GRAM_MAX_N``) on TPU — measured on
+      v5e: Pallas 1.9x faster at N=2048, XLA's fused build 1.5x faster by
+      N=8192 (the tile kernel is VPU-transcendental-bound and XLA's erf
+      codegen wins at scale) — else the XLA-fused block formulas.
+    - ``chol_impl``: ``'auto' | 'xla' | 'blocked'``. ``'auto'`` always picks
+      XLA's native ``cholesky`` — measured 6x faster than the blocked
+      Pallas/matmul factoriser at N=2048 and still 1.6x at N=8192 (14.3
+      TFLOP/s); ``'blocked'`` remains the explicit option and the building
+      block of the *distributed* factoriser, which XLA's op cannot shard.
     - ``canonical_rows``: promise that inputs follow the canonical row
       population — training rows all gene-expression, latent grids all
       force rows — letting the Pallas path specialise its branch ``kind``
@@ -116,22 +121,24 @@ class ExactSIMM:
     canonical_rows: bool = False
 
     PALLAS_GRAM_MIN_N = 512
-    BLOCKED_CHOL_MIN_N = 1024
+    PALLAS_GRAM_MAX_N = 6144
 
     # -- backend resolution ------------------------------------------------
 
     def _resolve_gram(self, n: int, dtype) -> str:
         if self.gram_impl != "auto":
             return self.gram_impl
-        if n >= self.PALLAS_GRAM_MIN_N and dtype == jnp.float32 and _on_tpu():
+        if (
+            self.PALLAS_GRAM_MIN_N <= n < self.PALLAS_GRAM_MAX_N
+            and dtype == jnp.float32
+            and _on_tpu()
+        ):
             return "pallas"
         return "xla"
 
     def _resolve_chol(self, n: int, dtype) -> str:
         if self.chol_impl != "auto":
             return self.chol_impl
-        if n >= self.BLOCKED_CHOL_MIN_N and dtype == jnp.float32 and _on_tpu():
-            return "blocked"
         return "xla"
 
     def _kind(self, default: str) -> str:

@@ -116,6 +116,20 @@ def k_ff(t, t_prime, lengthscale):
     return jnp.exp(-sq / (2.0 * lengthscale))
 
 
+def k_ff_consistent(t, t_prime, lengthscale):
+    """RBF force prior in the Lawrence convention: exp(-(t-t')^2 / l^2).
+
+    This is the prior the closed-form ``k_xx``/``k_xf`` analytically
+    integrate (their erf arguments are t/l, see :func:`h_term`); the
+    reference's *implemented* ``k_ff`` above uses ``2*l`` instead — an
+    internal inconsistency kept for parity on the exact path. New model
+    families that require a jointly-PSD (f, x) covariance — the sparse
+    inter-domain inducing path in particular — must use this one.
+    """
+    sq = jnp.square(t - t_prime)
+    return jnp.exp(-sq / jnp.square(lengthscale))
+
+
 # ---------------------------------------------------------------------------
 # Block builders — the vectorised building blocks for Gram assembly.
 # ---------------------------------------------------------------------------
@@ -158,5 +172,10 @@ def k_xf_block(t_x, t_f, decay, sens, lengthscale):
 
 
 def k_ff_block(t1, t2, lengthscale):
-    """Dense (T1, T2) latent-force prior covariance."""
+    """Dense (T1, T2) latent-force prior covariance (reference convention)."""
     return k_ff(t1[:, None], t2[None, :], lengthscale)
+
+
+def k_ff_consistent_block(t1, t2, lengthscale):
+    """Dense (T1, T2) latent-force prior covariance (Lawrence convention)."""
+    return k_ff_consistent(t1[:, None], t2[None, :], lengthscale)

@@ -1,0 +1,147 @@
+r"""Second-order (spring-damper) LFM kernel family — new math beyond the
+reference (SURVEY.md §2d: the reference implements first-order only).
+
+Model: each output obeys a damped driven oscillator (mass normalised to 1)
+
+.. math:: \ddot x_j + 2\alpha_j \dot x_j + (\alpha_j^2 + \omega_j^2) x_j
+          = B_j + S_j f(t)
+
+with an RBF GP prior on f (Lawrence-consistent convention
+``k_ff* = exp(-r^2/l^2)``, see ``lfm_kernels.k_ff_consistent``). The system
+is parameterised directly by the decay rate :math:`\alpha_j > 0` and the
+damped frequency :math:`\omega_j > 0` (damping :math:`c = 2\alpha`, spring
+:math:`k = \alpha^2 + \omega^2`) so it is always underdamped and the
+Green's function is
+
+.. math:: g_j(\tau) = e^{-\alpha_j \tau} \sin(\omega_j \tau)/\omega_j
+        = \frac{e^{-p_j\tau} - e^{-q_j\tau}}{2i\,\omega_j},
+        \qquad p_j = \alpha_j - i\omega_j,\; q_j = \alpha_j + i\omega_j.
+
+Because the Green's function is a signed pair of **complex exponentials**,
+every covariance integral reduces to the *first-order* closed forms of
+``ops.lfm_kernels`` evaluated at complex decay rates, with
+``ops.special.erf_complex`` supplying the complex-argument erf:
+
+.. math::
+    k^{(2)}_{x_j x_k}(t,t') = \frac{S_j S_k}{(2i\omega_j)(2i\omega_k)}
+        \sum_{a \in \{p_j, -q_j\}} \sum_{b \in \{p_k, -q_k\}}
+        \pm\, \mathrm{kxx}_1(t, t'; a, b)
+
+(each ``-q`` term enters with a minus sign). The imaginary parts cancel
+analytically; the implementation takes the real part.
+
+Steady state (f = 0): ``x_j -> B_j / (alpha_j^2 + omega_j^2)`` — the mean
+function of the second-order model.
+
+Safe parameter region: the h-term combines ``exp(gamma^2)`` prefactors with
+erf differences, and for complex ``gamma = d l / 2`` intermediate magnitudes
+scale like ``exp((Im gamma)^2) = exp((omega l / 2)^2)``; keep
+``omega * l < ~12`` in f64 (``< ~5`` in f32) to stay clear of overflow.
+Validated against brute-force double quadrature of the Green's-function
+integrals in ``tests/test_kernels2.py``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dis_project_tpu.ops import lfm_kernels as lfk
+from dis_project_tpu.ops.special import erf_complex
+
+
+def _complex_rates(alpha, omega):
+    p = alpha - 1j * omega
+    q = alpha + 1j * omega
+    return p, q
+
+
+def k_xx2(t, t_prime, a_j, w_j, a_k, w_k, s_j, s_k, lengthscale):
+    """Output-output covariance of the second-order LFM (broadcasts)."""
+    p_j, q_j = _complex_rates(a_j, w_j)
+    p_k, q_k = _complex_rates(a_k, w_k)
+    acc = 0.0
+    for d_a, sign_a in ((p_j, 1.0), (q_j, -1.0)):
+        for d_b, sign_b in ((p_k, 1.0), (q_k, -1.0)):
+            acc = acc + sign_a * sign_b * lfk.k_xx(
+                t, t_prime, d_a, d_b, 1.0, 1.0, lengthscale, erf_fn=erf_complex
+            )
+    # (2i w_j)(2i w_k) = -4 w_j w_k
+    return jnp.real(acc) * s_j * s_k / (-4.0 * w_j * w_k)
+
+
+def k_xf2(t_x, t_f, a_j, w_j, s_j, lengthscale):
+    """Output-force cross-covariance of the second-order LFM (broadcasts)."""
+    p_j, q_j = _complex_rates(a_j, w_j)
+    ep = lfk.k_xf(t_x, t_f, p_j, 1.0, lengthscale, erf_fn=erf_complex)
+    eq = lfk.k_xf(t_x, t_f, q_j, 1.0, lengthscale, erf_fn=erf_complex)
+    # z / (2i) = Im(z) / 2 for the purely imaginary difference ep - eq
+    return s_j * jnp.imag(ep - eq) / (2.0 * w_j)
+
+
+def k_ff2(t, t_prime, lengthscale):
+    """Force prior — the Lawrence-consistent RBF (the convention every
+    closed form in this module integrates)."""
+    return lfk.k_ff_consistent(t, t_prime, lengthscale)
+
+
+# ---------------------------------------------------------------------------
+# Block builders (gene-major layout, mirroring lfm_kernels block builders).
+# ---------------------------------------------------------------------------
+
+
+def k_xx2_block(t1, t2, alpha, omega, sens, lengthscale):
+    """(G*T1, G*T2) dense output-output covariance for all gene pairs."""
+    G = alpha.shape[0]
+    T1, T2 = t1.shape[0], t2.shape[0]
+    tt1 = t1[None, :, None, None]
+    tt2 = t2[None, None, None, :]
+    a_j = alpha[:, None, None, None]
+    a_k = alpha[None, None, :, None]
+    w_j = omega[:, None, None, None]
+    w_k = omega[None, None, :, None]
+    s_j = sens[:, None, None, None]
+    s_k = sens[None, None, :, None]
+    K = k_xx2(tt1, tt2, a_j, w_j, a_k, w_k, s_j, s_k, lengthscale)
+    return K.reshape(G * T1, G * T2)
+
+
+def k_xf2_block(t_x, t_f, alpha, omega, sens, lengthscale):
+    """(G*T1, T2) dense output-force cross-covariance."""
+    G = alpha.shape[0]
+    T1, T2 = t_x.shape[0], t_f.shape[0]
+    K = k_xf2(
+        t_x[None, :, None],
+        t_f[None, None, :],
+        alpha[:, None, None],
+        omega[:, None, None],
+        sens[:, None, None],
+        lengthscale,
+    )
+    return K.reshape(G * T1, T2)
+
+
+def cross_covariance2(x1, x2, alpha, omega, sens, lengthscale):
+    """Dense (N, M) covariance between (t, gene, flag) row sets — the
+    second-order analogue of ``ops.gram.cross_covariance`` (flag 1 =
+    output, flag 0 = latent force)."""
+    G = alpha.shape[0]
+    t1, g1, f1 = x1[:, 0], jnp.clip(x1[:, 1].astype(jnp.int32), 0, G - 1), x1[:, 2]
+    t2, g2, f2 = x2[:, 0], jnp.clip(x2[:, 1].astype(jnp.int32), 0, G - 1), x2[:, 2]
+
+    T1, T2 = t1[:, None], t2[None, :]
+    A1, A2 = alpha[g1][:, None], alpha[g2][None, :]
+    W1, W2 = omega[g1][:, None], omega[g2][None, :]
+    S1, S2 = sens[g1][:, None], sens[g2][None, :]
+    F1, F2 = f1[:, None], f2[None, :]
+
+    kxx = k_xx2(T1, T2, A1, W1, A2, W2, S1, S2, lengthscale)
+    kff = k_ff2(T1, T2, lengthscale)
+    kxf = k_xf2(T1, T2, A1, W1, S1, lengthscale)
+    kfx = k_xf2(T2, T1, A2, W2, S2, lengthscale)
+
+    return (
+        F1 * F2 * kxx
+        + (1.0 - F1) * (1.0 - F2) * kff
+        + F1 * (1.0 - F2) * kxf
+        + (1.0 - F1) * F2 * kfx
+    )

@@ -173,8 +173,19 @@ def blocked_cholesky(
     return L[:n, :n]
 
 
+# The single-program kernel holds ~4 (B, B) f32 buffers in VMEM (in, out,
+# and the fori_loop carry pair); B=512 uses ~4 MiB, B=1024 would blow the
+# 16 MiB budget — recurse with a smaller block instead.
+_PALLAS_CHOL_MAX_B = 512
+
+
 def _diag_chol(a, diag, interpret):
     if diag == "pallas" and a.dtype != jnp.float64:
+        B = a.shape[0]
+        if B > _PALLAS_CHOL_MAX_B:
+            return blocked_cholesky(
+                a, block=_PALLAS_CHOL_MAX_B, diag=diag, interpret=interpret
+            )
         return chol_unblocked(a, interpret=interpret)
     return jnp.linalg.cholesky(a)
 

@@ -1,0 +1,90 @@
+r"""Complex-argument special functions: Faddeeva w(z) and erf(z).
+
+Needed by the second-order (spring-damper) LFM kernels
+(``ops.lfm_kernels2``): the damped-oscillator Green's function
+``e^{-a t} sin(w t)`` splits into complex exponentials, so the analytic
+SIMM integrals keep their first-order closed form but with *complex* decay
+rates — and their erf terms acquire complex arguments. Neither JAX nor XLA
+provides a complex erf, so it is built here from the Faddeeva function
+
+.. math:: w(z) = e^{-z^2} \mathrm{erfc}(-iz)
+
+via Weideman's (1994, SIAM Rev. 36) single rational approximation: a
+degree-N polynomial in the Möbius-transformed variable Z = (L+iz)/(L-iz),
+whose coefficients come from one FFT of the real function
+``exp(-t^2)(L^2+t^2)`` — computed once at import with NumPy. Accuracy with
+N=64 terms is ~1e-13 over the upper half-plane; fully vectorised, jits, and
+differentiates (the evaluation is a polynomial plus elementwise transforms).
+
+Domain handling: Weideman's form converges for Im(z) >= 0; the lower
+half-plane uses the reflection ``w(-z) = 2 exp(-z^2) - w(z)``. ``erf``
+uses ``erf(z) = 1 - exp(-z^2) w(iz)`` for Re(z) >= 0 and oddness otherwise.
+
+Overflow note: ``exp(-z^2)`` grows like ``exp(Im(z)^2)`` — callers combining
+``exp(gamma^2)`` prefactors with erf differences (the h-term pattern) should
+keep ``|Im(gamma)| = w*l/2`` moderate (< ~9 in f64) or the products overflow;
+the second-order kernel module documents its safe parameter region.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+SQRT_PI = 1.7724538509055159
+
+
+@functools.lru_cache(maxsize=None)
+def _weideman_coeffs(n_terms: int):
+    """Polynomial coefficients a_1..a_N and the scale L (float64)."""
+    N = n_terms
+    M = 2 * N
+    M2 = 2 * M
+    L = np.sqrt(N / np.sqrt(2.0))
+    k = np.arange(-M + 1, M)
+    theta = k * np.pi / M
+    t = L * np.tan(theta / 2.0)
+    f = np.exp(-t * t) * (L * L + t * t)
+    f = np.concatenate([[0.0], f])
+    a = np.real(np.fft.fft(np.fft.fftshift(f))) / M2
+    a = np.flipud(a[1 : N + 1])  # highest power first (np.polyval order)
+    return a, L
+
+
+def _w_upper(z, a, L):
+    """Weideman rational approximation, valid for Im(z) >= 0."""
+    iz = 1j * z
+    Z = (L + iz) / (L - iz)
+    p = jnp.polyval(jnp.asarray(a, dtype=z.dtype), Z)
+    return 2.0 * p / (L - iz) ** 2 + (1.0 / SQRT_PI) / (L - iz)
+
+
+def faddeeva(z, n_terms: int = 64):
+    """w(z) = exp(-z^2) erfc(-iz) for complex z (any half-plane)."""
+    z = jnp.asarray(z)
+    if not jnp.issubdtype(z.dtype, jnp.complexfloating):
+        z = z.astype(jnp.complex128 if z.dtype == jnp.float64 else jnp.complex64)
+    a, L = _weideman_coeffs(n_terms)
+    upper = jnp.imag(z) >= 0
+    zu = jnp.where(upper, z, -z)  # reflected into the upper half-plane
+    wu = _w_upper(zu, a, L)
+    # w(-z) = 2 exp(-z^2) - w(z)  =>  for Im(z) < 0: w(z) = 2 e^{-z^2} - w(-z)
+    return jnp.where(upper, wu, 2.0 * jnp.exp(-z * z) - wu)
+
+
+def erf_complex(z, n_terms: int = 64):
+    """erf(z) for complex z: 1 - exp(-z^2) w(iz), odd-reflected."""
+    z = jnp.asarray(z)
+    if not jnp.issubdtype(z.dtype, jnp.complexfloating):
+        z = z.astype(jnp.complex128 if z.dtype == jnp.float64 else jnp.complex64)
+    right = jnp.real(z) >= 0
+    zr = jnp.where(right, z, -z)  # reflected into Re >= 0
+    val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr, n_terms)
+    return jnp.where(right, val, -val)
+
+
+def erfc_complex(z, n_terms: int = 64):
+    """erfc(z) = 1 - erf(z)."""
+    return 1.0 - erf_complex(z, n_terms)

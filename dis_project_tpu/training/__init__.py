@@ -1,6 +1,6 @@
 """Training loop, objectives, checkpointing."""
 
 from dis_project_tpu.training.trainer import TrainConfig, TrainResult, fit
-from dis_project_tpu.training import objectives
+from dis_project_tpu.training import objectives, svtrainer
 
-__all__ = ["TrainConfig", "TrainResult", "fit", "objectives"]
+__all__ = ["TrainConfig", "TrainResult", "fit", "objectives", "svtrainer"]
