@@ -1,4 +1,5 @@
-"""Mesh-parallel execution: device meshes, sharded ensemble training."""
+"""Mesh-parallel execution: device meshes, sharded ensemble training,
+distributed Cholesky/MLL for beyond-HBM Gram matrices."""
 
 from dis_project_tpu.parallel.mesh import make_mesh, named
 from dis_project_tpu.parallel.sharding import (
@@ -6,6 +7,11 @@ from dis_project_tpu.parallel.sharding import (
     fit_ensemble,
     make_ensemble_train_step,
     replicate_params,
+)
+from dis_project_tpu.parallel.dist_cholesky import (
+    sharded_cholesky,
+    sharded_mvn_logpdf,
+    sharded_tri_inv,
 )
 
 __all__ = [
@@ -15,4 +21,7 @@ __all__ = [
     "fit_ensemble",
     "make_ensemble_train_step",
     "replicate_params",
+    "sharded_cholesky",
+    "sharded_mvn_logpdf",
+    "sharded_tri_inv",
 ]

@@ -1,0 +1,160 @@
+r"""Mesh-distributed blocked Cholesky / MLL for Gram matrices that exceed
+one chip's HBM (the dense N ~ 1e4-1e5 configs).
+
+XLA's native ``cholesky`` op does not partition: under GSPMD it gathers the
+full operand onto every device, so at N = 1e5 (40 GB f32) it simply cannot
+run. This module expresses the right-looking blocked factorisation of
+``ops.pallas_cholesky`` as a GSPMD program over a row-sharded matrix:
+
+- the (B, B) diagonal block is tiny and factored replicated;
+- the panel TRSM is a matmul against the block's triangular inverse — rows
+  stay where they live;
+- the trailing SYRK (the N^3/3 FLOPs) is a row-sharded matmul for which XLA
+  inserts the all-gather of the (rows, B) panel over ICI.
+
+Everything is ``with_sharding_constraint`` annotations on the shrinking
+trailing matrix — no hand-written collectives — so the same code runs on a
+1-device mesh, an 8-device virtual CPU mesh (tests), or a real slice.
+Per-device peak memory is ~N^2/D + N*B.
+
+``sharded_mvn_logpdf`` builds the exact conjugate MLL on top: logdet from
+the factor's diagonal, quadratic form via the distributed triangular
+inverse, and a custom VJP reusing :math:`\Sigma^{-1}` — the distributed
+version of ``ops.mll``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dis_project_tpu.ops import pallas_cholesky as pc
+
+LOG_2PI = 1.8378770664093453
+
+
+def _row_spec(mesh: Mesh, axis: str):
+    return NamedSharding(mesh, P(axis, None))
+
+
+def sharded_cholesky(
+    a: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    block: int = 1024,
+) -> jnp.ndarray:
+    """Lower Cholesky factor of a row-sharded SPD matrix.
+
+    ``a`` is (logically) sharded ``P(axis, None)``; the result carries the
+    same sharding. The block loop unrolls at trace time (static shapes).
+    """
+    spec = _row_spec(mesh, axis)
+    n = a.shape[0]
+    if n <= block:
+        return jnp.linalg.cholesky(a)
+    nb = -(-n // block)
+    npad = nb * block
+    if npad != n:
+        a = pc._pad_identity(a, npad)
+    a = jax.lax.with_sharding_constraint(a, spec)
+
+    cols = []
+    trail = a
+    for k in range(nb):
+        akk = trail[:block, :block]
+        # Tiny block: replicated factorisation on every device.
+        lkk = jnp.linalg.cholesky(akk)
+        if trail.shape[0] == block:
+            cols.append(lkk)
+            break
+        panel = trail[block:, :block]
+        lkk_it = pc.tri_inv(lkk).T
+        lpanel = panel @ lkk_it  # row-sharded TRSM-as-matmul
+        lpanel = jax.lax.with_sharding_constraint(lpanel, spec)
+        cols.append(jnp.concatenate([lkk, lpanel], axis=0))
+        trail = trail[block:, block:] - lpanel @ lpanel.T  # sharded SYRK
+        trail = jax.lax.with_sharding_constraint(trail, spec)
+
+    L = jnp.zeros((npad, npad), a.dtype)
+    for k, colk in enumerate(cols):
+        L = L.at[k * block :, k * block : (k + 1) * block].set(colk)
+    L = jax.lax.with_sharding_constraint(L, spec)
+    return L[:n, :n]
+
+
+def sharded_tri_inv(
+    L: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    base: int = 256,
+) -> jnp.ndarray:
+    """Distributed lower-triangular inverse by recursive 2x2 blocking.
+
+    [[A,0],[B,C]]^{-1} = [[Ai, 0], [-Ci B Ai, Ci]] — the off-diagonal
+    correction is two row-sharded matmuls per level; leaves fall back to a
+    replicated solve.
+    """
+    spec = _row_spec(mesh, axis)
+    n = L.shape[0]
+    if n <= base:
+        eye = jnp.eye(n, dtype=L.dtype)
+        return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    h = n // 2
+    A = L[:h, :h]
+    B = L[h:, :h]
+    C = L[h:, h:]
+    Ai = sharded_tri_inv(A, mesh, axis, base)
+    Ci = sharded_tri_inv(C, mesh, axis, base)
+    off = -Ci @ (B @ Ai)
+    top = jnp.concatenate([Ai, jnp.zeros((h, n - h), L.dtype)], axis=1)
+    bot = jnp.concatenate([off, Ci], axis=1)
+    out = jnp.concatenate([top, bot], axis=0)
+    return jax.lax.with_sharding_constraint(out, spec)
+
+
+def _logpdf_pieces(y_centered, sigma, mesh, axis, block):
+    L = sharded_cholesky(sigma, mesh, axis, block)
+    Li = sharded_tri_inv(L, mesh, axis, base=min(block, 256))
+    z = Li @ y_centered
+    n = y_centered.shape[0]
+    logp = (
+        -0.5 * jnp.dot(z, z)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * n * LOG_2PI
+    )
+    return logp, Li, z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sharded_mvn_logpdf_centered(
+    y_centered, sigma, mesh: Mesh, axis: str = "model", block: int = 1024
+):
+    """log N(y_centered | 0, sigma) with the distributed factoriser."""
+    logp, _, _ = _logpdf_pieces(y_centered, sigma, mesh, axis, block)
+    return logp
+
+
+def _fwd(y_centered, sigma, mesh, axis, block):
+    logp, Li, z = _logpdf_pieces(y_centered, sigma, mesh, axis, block)
+    return logp, (Li, z)
+
+
+def _bwd(mesh, axis, block, res, g):
+    Li, z = res
+    spec = _row_spec(mesh, axis)
+    alpha = Li.T @ z  # Sigma^{-1} (y - mu)
+    sigma_inv = jax.lax.with_sharding_constraint(Li.T @ Li, spec)
+    d_y = -g * alpha
+    d_sigma = (0.5 * g) * (jnp.outer(alpha, alpha) - sigma_inv)
+    return d_y, d_sigma
+
+
+sharded_mvn_logpdf_centered.defvjp(_fwd, _bwd)
+
+
+def sharded_mvn_logpdf(y, mean, sigma, mesh, axis: str = "model", block: int = 1024):
+    """Distributed exact MVN log-density; gradients flow to all three args."""
+    return sharded_mvn_logpdf_centered(y - mean, sigma, mesh, axis, block)

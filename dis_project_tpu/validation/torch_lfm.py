@@ -1,0 +1,280 @@
+r"""Independent PyTorch (CPU) implementation of the SIMM LFM for
+cross-framework validation.
+
+Role: the reference validates its GPJax implementation against a second full
+stack in GPyTorch (``src/gpytorch_alfi/``, SURVEY.md §2b) — agreement of the
+two latent-force posteriors is its de-facto integration test. This module
+plays the same role for the JAX framework: the same math, written a second
+time in a different framework with a *different implementation strategy*, so
+numerical agreement is meaningful:
+
+- torch autograd (no custom VJP), eager per-epoch training loop
+  (vs the JAX side's jit-compiled scan + factorisation-reusing VJP);
+- **blockwise Gram assembly** with an explicit Python double loop over gene
+  pairs on a 1-D blocked time vector (the reference torch path's encoding,
+  ``src/gpytorch_alfi/model_alfi.py:266-300,545-569``) — gene identity by
+  block position, not a gene-index column;
+- plain torch.linalg for the MVN pieces.
+
+Behavioral contract mirrored from the reference torch stack (SURVEY.md §2
+#24, #26): the **fixed per-point measurement variances and the jitter are
+added inside the kernel forward** when the Gram is square — so the torch-side
+MLL *does* see measurement variances (the GPJax side's MLL deliberately does
+not; tests compare like with like) — and the per-epoch p21 clamp fixes
+S[3] = 1.0, D[3] = 0.8 under ``no_grad``.
+
+Everything is f64 CPU — this is a parity oracle, not a performance path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import torch
+
+SQRT_PI = math.sqrt(math.pi)
+
+
+def _softplus_inv(y: torch.Tensor) -> torch.Tensor:
+    return y + torch.log(-torch.expm1(-y))
+
+
+class TorchSIMM(torch.nn.Module):
+    """Exact SIMM LFM on a 1-D blocked time vector (torch, f64, CPU)."""
+
+    def __init__(
+        self,
+        num_genes: int,
+        timepoints: torch.Tensor,
+        variances: Optional[torch.Tensor] = None,
+        jitter: float = 1e-4,
+        num_replicates: int = 1,
+    ):
+        super().__init__()
+        self.num_genes = num_genes
+        self.num_replicates = num_replicates
+        self.jitter = jitter
+        self.register_buffer("timepoints", timepoints.to(torch.float64))
+        n = num_genes * timepoints.shape[0] * num_replicates
+        if variances is None:
+            variances = torch.zeros(n, dtype=torch.float64)
+        self.register_buffer("variances", variances.reshape(-1).to(torch.float64))
+
+        def raw(v, size):
+            t = torch.full((size,), float(v), dtype=torch.float64)
+            return torch.nn.Parameter(_softplus_inv(t))
+
+        # Reference inits B=0.05, S=1.0, D=0.4 (src/model.py:99-108).
+        self.raw_basal = raw(0.05, num_genes)
+        self.raw_sensitivity = raw(1.0, num_genes)
+        self.raw_decay = raw(0.4, num_genes)
+        # Lengthscale: sigmoid-bounded [0.5, 3.5], init 2.5.
+        self.raw_lengthscale = torch.nn.Parameter(
+            torch.logit(torch.tensor((2.5 - 0.5) / 3.0, dtype=torch.float64))
+        )
+        self.raw_obs_stddev = raw(1.0, 1)
+
+    # -- constrained accessors ---------------------------------------------
+
+    @property
+    def basal(self):
+        return torch.nn.functional.softplus(self.raw_basal)
+
+    @property
+    def sensitivity(self):
+        return torch.nn.functional.softplus(self.raw_sensitivity)
+
+    @property
+    def decay(self):
+        return torch.nn.functional.softplus(self.raw_decay)
+
+    @property
+    def lengthscale(self):
+        return 0.5 + 3.0 * torch.sigmoid(self.raw_lengthscale)
+
+    @property
+    def obs_stddev(self):
+        return torch.nn.functional.softplus(self.raw_obs_stddev)[0]
+
+    # -- kernel math (independent rewrite of the closed forms) --------------
+
+    def _h(self, d_a, d_b, t1, t2):
+        """h(a, b, t1, t2) for time grids t1 (rows) x t2 (cols)."""
+        l = self.lengthscale
+        g_b = d_b * l / 2.0
+        td = t2[None, :] - t1[:, None]
+        mult = torch.exp(g_b * g_b) / (d_a + d_b)
+        first = torch.exp(-d_b * td) * (
+            torch.erf(td / l - g_b) + torch.erf(t1[:, None] / l + g_b)
+        )
+        second = torch.exp(-(d_b * t2[None, :] + d_a * t1[:, None])) * (
+            torch.erf(t2[None, :] / l - g_b) + torch.erf(g_b)
+        )
+        return mult * (first - second)
+
+    def _kxx_block(self, j, k, t1, t2):
+        """(T1, T2) covariance block for gene pair (j, k)."""
+        d, s = self.decay, self.sensitivity
+        mult = s[j] * s[k] * self.lengthscale * SQRT_PI / 2.0
+        # h(k, j, t', t) evaluated on the (t2, t1) grid, then transposed.
+        return mult * (self._h(d[k], d[j], t2, t1).T + self._h(d[j], d[k], t1, t2))
+
+    def _kxf_block(self, j, t1, t_f):
+        """(T1, Tf) gene-force cross block for gene j."""
+        d, s = self.decay, self.sensitivity
+        l = self.lengthscale
+        g_j = d[j] * l / 2.0
+        td = t1[:, None] - t_f[None, :]
+        return (
+            0.5 * SQRT_PI * l * s[j]
+            * torch.exp(g_j * g_j)
+            * torch.exp(-d[j] * td)
+            * (torch.erf(td / l - g_j) + torch.erf(t_f[None, :] / l + g_j))
+        )
+
+    def _kff(self, t1, t2):
+        """Reference-convention RBF: exp(-(t-t')^2 / (2*l))."""
+        sq = (t1[:, None] - t2[None, :]) ** 2
+        return torch.exp(-sq / (2.0 * self.lengthscale))
+
+    # -- Gram assembly (blockwise double loop, ALFI-style) -------------------
+
+    def gram(self, add_noise_diag: bool = True) -> torch.Tensor:
+        """Full (R*G*T, R*G*T) training Gram by explicit block assembly.
+
+        Adds diag(variances) + jitter when ``add_noise_diag`` — the torch
+        reference path's in-kernel behavior (model_alfi.py:295-299).
+        """
+        t = self.timepoints
+        T = t.shape[0]
+        G, R = self.num_genes, self.num_replicates
+        blocks = [
+            [self._kxx_block(j, k, t, t) for k in range(G)] for j in range(G)
+        ]
+        block = torch.cat([torch.cat(row, dim=1) for row in blocks], dim=0)
+        K = block.repeat(R, R)
+        if add_noise_diag:
+            n = G * T * R
+            K = K + torch.diag(self.variances) + self.jitter * torch.eye(
+                n, dtype=K.dtype
+            )
+        return K
+
+    def mean(self) -> torch.Tensor:
+        """Blocked B_j / D_j mean over the training vector."""
+        ratio = self.basal / self.decay
+        T = self.timepoints.shape[0]
+        return ratio.repeat_interleave(T).repeat(self.num_replicates)
+
+    # -- objective & training -----------------------------------------------
+
+    def mll(self, y: torch.Tensor) -> torch.Tensor:
+        """Exact MLL with the torch-side noise convention: Sigma includes
+        the fixed measurement variances (in-kernel) + jitter + obs_noise^2."""
+        y = y.reshape(-1)
+        n = y.shape[0]
+        sigma = self.gram() + (self.obs_stddev ** 2) * torch.eye(
+            n, dtype=torch.float64
+        )
+        mu = self.mean()
+        L = torch.linalg.cholesky(sigma)
+        alpha = torch.cholesky_solve((y - mu).unsqueeze(-1), L).squeeze(-1)
+        return (
+            -0.5 * torch.dot(y - mu, alpha)
+            - torch.log(torch.diagonal(L)).sum()
+            - 0.5 * n * math.log(2 * math.pi)
+        )
+
+    def fit(
+        self,
+        y: torch.Tensor,
+        epochs: int = 150,
+        lr: float = 0.01,
+        fix_params: bool = True,
+        clamp_gene: int = 3,
+    ):
+        """Eager Adam loop with the per-epoch p21 clamp (applied to the raw
+        parameters under no_grad, reference trainer_alfi.py:192-199)."""
+        opt = torch.optim.Adam(self.parameters(), lr=lr)
+        history = []
+        for _ in range(epochs):
+            opt.zero_grad()
+            loss = -self.mll(y)
+            loss.backward()
+            opt.step()
+            if fix_params:
+                with torch.no_grad():
+                    one = torch.tensor(1.0, dtype=torch.float64)
+                    d08 = torch.tensor(0.8, dtype=torch.float64)
+                    self.raw_sensitivity[clamp_gene] = _softplus_inv(one)
+                    self.raw_decay[clamp_gene] = _softplus_inv(d08)
+            history.append(float(loss))
+        return history
+
+    # -- posteriors ----------------------------------------------------------
+
+    @torch.no_grad()
+    def predict_f(self, t_test: torch.Tensor) -> tuple:
+        """Latent-force posterior (mean, var) at test times."""
+        t_test = t_test.to(torch.float64)
+        t = self.timepoints
+        G, R = self.num_genes, self.num_replicates
+        Kxx = self.gram()  # includes variances + jitter
+        Kxf = torch.cat(
+            [self._kxf_block(j, t, t_test) for j in range(G)], dim=0
+        ).repeat(R, 1)
+        y_res = self._y_residual
+        L = torch.linalg.cholesky(Kxx)
+        solved = torch.cholesky_solve(Kxf, L)  # (N, Tf)
+        mean = solved.T @ y_res
+        Kff = self._kff(t_test, t_test)
+        var = torch.diagonal(Kff - solved.T @ Kxf)
+        return mean, torch.clamp(var, min=0.0)
+
+    def set_train_targets(self, y: torch.Tensor):
+        self._y = y.reshape(-1).to(torch.float64)
+
+    @property
+    def _y_residual(self):
+        return self._y - self.mean()
+
+    @torch.no_grad()
+    def predict_m(self, t_test: torch.Tensor) -> tuple:
+        """Gene-expression posterior (means, vars) per gene at test times."""
+        t_test = t_test.to(torch.float64)
+        t = self.timepoints
+        G, R = self.num_genes, self.num_replicates
+        n = G * t.shape[0] * R
+        sigma = self.gram() + (self.obs_stddev ** 2) * torch.eye(
+            n, dtype=torch.float64
+        )
+        # Kxt: rows = train gene blocks j (replicated), cols = test gene
+        # blocks k — assembled blockwise like the training Gram.
+        Kxt = torch.cat(
+            [
+                torch.cat([self._kxx_block(j, k, t, t_test) for k in range(G)], dim=1)
+                for j in range(G)
+            ],
+            dim=0,
+        ).repeat(R, 1)
+        L = torch.linalg.cholesky(sigma)
+        solved = torch.cholesky_solve(Kxt, L)
+        mean = self._test_mean(t_test) + solved.T @ self._y_residual
+        Ktt = torch.cat(
+            [
+                torch.cat([self._kxx_block(j, k, t_test, t_test) for k in range(G)], dim=1)
+                for j in range(G)
+            ],
+            dim=0,
+        )
+        var = torch.diagonal(Ktt - Kxt.T @ solved)
+        T_test = t_test.shape[0]
+        return (
+            mean.reshape(G, T_test),
+            torch.clamp(var, min=0.0).reshape(G, T_test),
+        )
+
+    def _test_mean(self, t_test):
+        ratio = self.basal / self.decay
+        return ratio.repeat_interleave(t_test.shape[0])
