@@ -17,12 +17,28 @@ from typing import Optional, Sequence
 
 @dataclasses.dataclass
 class RunConfig:
+    # preset: maps 1:1 onto the five BASELINE.json configs.
+    #   p53          — canonical single-replicate exact pipeline (config 1)
+    #   p53-replicates — all-replicate / ablation runs (config 2)
+    #   alfi-parity  — cross-framework torch validation run (config 3)
+    #   dense10k     — synthetic 50x200 exact GP stress run (config 4)
+    #   sparse100k   — synthetic N=1e5 sparse variational run (config 5)
+    preset: str = "p53"
+    # model family: simm (first-order exact) | simm2 (second-order exact)
+    model: str = "simm"
     # data
     replicate: Optional[int] = 0  # None = all three replicates
     selected_genes: Optional[Sequence[str]] = None
     data_dir: str = "data"
     data_source: str = "auto"  # auto | csv | synthetic
     seed: int = 0
+    # synthetic stress-config shape (dense10k / sparse100k presets)
+    synth_genes: int = 50
+    synth_timepoints: int = 200
+    # sparse variational settings (sparse100k preset)
+    num_inducing: int = 128
+    batch_size: int = 2048
+    num_epochs: int = 25
     # model
     jitter: float = 1e-4
     legacy_block_mean: bool = False
@@ -50,6 +66,18 @@ class RunConfig:
 
 def add_cli_args(parser: argparse.ArgumentParser) -> None:
     d = RunConfig()
+    parser.add_argument("--preset", default=d.preset,
+                        choices=["p53", "p53-replicates", "alfi-parity",
+                                 "dense10k", "sparse100k"],
+                        help="one of the five BASELINE configs")
+    parser.add_argument("--model", default=d.model, choices=["simm", "simm2"],
+                        help="model family: first- or second-order ODE LFM")
+    parser.add_argument("--synth-genes", type=int, default=d.synth_genes)
+    parser.add_argument("--synth-timepoints", type=int,
+                        default=d.synth_timepoints)
+    parser.add_argument("--num-inducing", type=int, default=d.num_inducing)
+    parser.add_argument("--batch-size", type=int, default=d.batch_size)
+    parser.add_argument("--num-epochs", type=int, default=d.num_epochs)
     parser.add_argument("--replicate", type=str, default="0",
                         help="replicate index 0-2, or 'all'")
     parser.add_argument("--genes", type=str, default=None,
@@ -82,6 +110,13 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     replicate = None if args.replicate == "all" else int(args.replicate)
     genes = args.genes.split(",") if args.genes else None
     return RunConfig(
+        preset=args.preset,
+        model=args.model,
+        synth_genes=args.synth_genes,
+        synth_timepoints=args.synth_timepoints,
+        num_inducing=args.num_inducing,
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
         replicate=replicate,
         selected_genes=genes,
         data_dir=args.data_dir,

@@ -18,7 +18,7 @@ import time
 from dis_project_tpu import config as cfg
 
 
-def run(config: cfg.RunConfig):
+def _setup_backend(config: cfg.RunConfig):
     import jax
 
     platform = config.platform
@@ -40,6 +40,12 @@ def run(config: cfg.RunConfig):
         jax.config.update("jax_platforms", platform)
     if config.x64:
         jax.config.update("jax_enable_x64", True)
+
+
+def run(config: cfg.RunConfig):
+    import jax
+
+    _setup_backend(config)
 
     from dis_project_tpu.data.dataset import P53Data, dataset_3d
     from dis_project_tpu.models import simm
@@ -118,11 +124,300 @@ def run(config: cfg.RunConfig):
     return result
 
 
+def run_second_order(config: cfg.RunConfig):
+    """Second-order (spring-damper) LFM on the p53 data — the ``--model
+    simm2`` route. New model family beyond the reference."""
+    import jax
+    import optax
+
+    _setup_backend(config)
+
+    from dis_project_tpu.data.dataset import P53Data, train_arrays
+    from dis_project_tpu.models import simm2
+    from dis_project_tpu.reporting import plotter
+    from dis_project_tpu.utils.test_grids import latent_grid
+
+    data = P53Data(
+        replicate=config.replicate,
+        data_dir=config.data_dir,
+        selected_genes=config.selected_genes,
+        source=config.data_source,
+        seed=config.seed,
+    )
+    X, y, var = train_arrays(data)
+    model = simm2.SecondOrderSIMM(num_genes=data.num_genes, jitter=config.jitter)
+    raw = simm2.unconstrain(simm2.init_params(data.num_genes))
+
+    def loss(raw):
+        return -model.mll(simm2.constrain(raw), X, y)
+
+    opt = optax.adam(config.learning_rate)
+
+    @jax.jit
+    def fit(raw):
+        state = opt.init(raw)
+
+        def step(carry, _):
+            raw, state = carry
+            l, g = jax.value_and_grad(loss)(raw)
+            upd, state = opt.update(g, state)
+            return (optax.apply_updates(raw, upd), state), l
+
+        (raw, _), hist = jax.lax.scan(step, (raw, state), None,
+                                      length=config.num_iters)
+        return raw, hist
+
+    print("Training second-order LFM...")
+    t0 = time.perf_counter()
+    raw, hist = fit(raw)
+    final = float(hist[-1])
+    wall = time.perf_counter() - t0
+    print(f"Trained {config.num_iters} iters in {wall:.2f}s (final loss {final:.6f})")
+
+    params = simm2.constrain(raw)
+    print("\nGene       Basal     Sensitivity  Alpha     Omega     Damping   Spring")
+    import numpy as np
+
+    for i, g in enumerate(data.gene_names):
+        print(
+            f"{g:<10} {float(params.basal[i]):<9.4f} "
+            f"{float(params.sensitivity[i]):<12.4f} "
+            f"{float(params.alpha[i]):<9.4f} {float(params.omega[i]):<9.4f} "
+            f"{float(simm2.damping(params)[i]):<9.4f} "
+            f"{float(simm2.spring(params)[i]):<9.4f}"
+        )
+
+    t_grid = latent_grid(100)
+    latent = model.latent_predict(params, t_grid, X, y, var)
+    plotter.plot_lf(
+        t_grid,
+        latent,
+        y_scatter=data.f_observed,
+        save_name=config.save_name or "simm2",
+        out_dir=config.out_dir,
+    )
+    print(f"Latent-force plot saved under {config.out_dir}/")
+    return params, hist
+
+
+def run_alfi_parity(config: cfg.RunConfig):
+    """Cross-framework validation run (BASELINE config 3): train the JAX
+    stack and the independent torch stack on the same data and report
+    MLL/posterior agreement — the reference's GPJax-vs-GPyTorch check."""
+    import numpy as np
+
+    _setup_backend(config)
+
+    import jax.numpy as jnp
+    import torch
+
+    from dis_project_tpu.data.dataset import P53Data, train_arrays
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.training import trainer as tr
+    from dis_project_tpu.validation.torch_lfm import TorchSIMM
+
+    data = P53Data(
+        replicate=config.replicate,
+        data_dir=config.data_dir,
+        source=config.data_source,
+        seed=config.seed,
+    )
+    X, y, var = train_arrays(data)
+
+    print("Training JAX stack...")
+    model = simm.ExactSIMM(num_genes=data.num_genes, jitter=config.jitter)
+    res = tr.fit(
+        model,
+        simm.init_params(data.num_genes),
+        X,
+        y,
+        tr.TrainConfig(num_iters=config.num_iters,
+                       learning_rate=config.learning_rate),
+    )
+
+    print("Training torch validation stack...")
+    tm = TorchSIMM(
+        num_genes=data.num_genes,
+        timepoints=torch.tensor(np.asarray(data.timepoints)),
+        variances=torch.tensor(np.asarray(var)),
+        jitter=config.jitter,
+        num_replicates=data.num_replicates,
+    )
+    tm.set_train_targets(torch.tensor(np.asarray(y)))
+    hist_t = tm.fit(torch.tensor(np.asarray(y)), epochs=config.num_iters,
+                    lr=config.learning_rate)
+
+    t_test = np.linspace(0.0, 13.0, 80)
+    f_torch, _ = tm.predict_f(torch.tensor(t_test))
+    rows = jnp.stack(
+        [jnp.asarray(t_test), -jnp.ones(80), jnp.zeros(80)], axis=-1
+    )
+    f_jax = model.latent_predict(res.params, rows, X, y, var).mean
+
+    corr = float(np.corrcoef(f_torch.numpy(), np.asarray(f_jax))[0, 1])
+    print(f"\nFinal loss  jax={float(res.history[-1]):.6f}  "
+          f"torch={hist_t[-1]:.6f}")
+    print(f"Latent-force posterior correlation (jax vs torch): {corr:.4f}")
+    if corr < 0.9:
+        raise SystemExit("cross-framework parity FAILED (corr < 0.9)")
+    print("Cross-framework parity OK")
+    return corr
+
+
+def run_dense(config: cfg.RunConfig):
+    """Dense exact-GP stress run (BASELINE config 4): synthetic first-order
+    data at N = genes x timepoints, full-batch exact MLL training with the
+    Pallas/XLA dispatch, and ground-truth kinetics recovery metrics."""
+    import numpy as np
+
+    _setup_backend(config)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dis_project_tpu.data import synthetic
+    from dis_project_tpu.data.dataset import train_arrays
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.training import trainer as tr
+
+    scfg = synthetic.SyntheticConfig(
+        num_genes=config.synth_genes,
+        num_timepoints=config.synth_timepoints,
+        num_replicates=1,
+        noise_std=0.1,
+    )
+    print(f"Sampling synthetic LFM dataset: {scfg.num_genes} genes x "
+          f"{scfg.num_timepoints} timepoints (N={scfg.n_points})...")
+    data = synthetic.sample_prior(jax.random.PRNGKey(config.seed), scfg)
+    X, y, var = train_arrays(data)
+
+    model = simm.ExactSIMM(
+        num_genes=scfg.num_genes, jitter=config.jitter, canonical_rows=True
+    )
+    print("Training (full-batch exact MLL)...")
+    t0 = time.perf_counter()
+    res = tr.fit(
+        model,
+        simm.init_params(scfg.num_genes, dtype=X.dtype),
+        X,
+        y,
+        tr.TrainConfig(
+            num_iters=config.num_iters,
+            learning_rate=config.learning_rate,
+            fix_params=False,
+        ),
+    )
+    final = float(res.history[-1])
+    wall = time.perf_counter() - t0
+    print(f"Trained {config.num_iters} iters in {wall:.2f}s "
+          f"(final loss {final:.4f}, N={scfg.n_points})")
+
+    b, s, d = data.params_ground_truth()
+    corr_d = float(np.corrcoef(np.asarray(res.params.decay), d)[0, 1])
+    corr_s = float(np.corrcoef(np.asarray(res.params.sensitivity), s)[0, 1])
+    print(f"Ground-truth recovery: corr(decay)={corr_d:.3f} "
+          f"corr(sensitivity)={corr_s:.3f}")
+    if config.metrics_path:
+        with open(config.metrics_path, "w") as f:
+            for i, l in enumerate(res.history.tolist()):
+                f.write(json.dumps({"step": i, "loss": l}) + "\n")
+    return res
+
+
+def run_sparse(config: cfg.RunConfig):
+    """Sparse variational stress run (BASELINE config 5): synthetic data at
+    N up to 1e5, minibatch SVI on the whitened ELBO with latent-force
+    inducing points."""
+    import numpy as np
+
+    _setup_backend(config)
+
+    import jax
+
+    from dis_project_tpu.data import synthetic
+    from dis_project_tpu.data.dataset import train_arrays
+    from dis_project_tpu.models import svlfm
+    from dis_project_tpu.training import svtrainer
+
+    scfg = synthetic.SyntheticConfig(
+        num_genes=config.synth_genes,
+        num_timepoints=config.synth_timepoints,
+        num_replicates=1,
+        noise_std=0.1,
+    )
+    print(f"Sampling synthetic LFM dataset via ODE quadrature: "
+          f"{scfg.num_genes} x {scfg.num_timepoints} (N={scfg.n_points})...")
+    # The ODE-integrator path scales to N=1e5 (no N x N output Gram to
+    # sample); oversample=4 keeps the fine-grid force Cholesky tractable
+    # at 1000 output timepoints while holding quadrature error ~1e-4.
+    data = synthetic.generate_ode(
+        jax.random.PRNGKey(config.seed), scfg, oversample=4
+    )
+    X, y, var = train_arrays(data)
+
+    model = svlfm.SparseSIMM(
+        num_genes=scfg.num_genes,
+        num_inducing=config.num_inducing,
+        jitter=1e-6,
+    )
+    params = svlfm.init_params(scfg.num_genes, config.num_inducing,
+                               t_max=scfg.t_max, dtype=X.dtype)
+    print(f"Training SVI: {config.num_epochs} epochs, batch "
+          f"{config.batch_size}, M={config.num_inducing} inducing points...")
+    t0 = time.perf_counter()
+    res = svtrainer.fit(
+        model,
+        params,
+        X,
+        y,
+        var,
+        svtrainer.SVTrainConfig(
+            num_epochs=config.num_epochs,
+            batch_size=config.batch_size,
+            learning_rate=config.learning_rate,
+            seed=config.seed,
+        ),
+    )
+    hist = np.asarray(res.history)
+    wall = time.perf_counter() - t0
+    print(f"Trained {hist.size} minibatch steps in {wall:.2f}s "
+          f"(neg-ELBO first epoch {hist[0].mean():.1f} -> "
+          f"last epoch {hist[-1].mean():.1f})")
+
+    import jax.numpy as jnp
+
+    t_grid = jnp.asarray(np.linspace(0.0, scfg.t_max, scfg.num_timepoints),
+                         X.dtype)
+    post = model.latent_predict(res.params, t_grid)
+    corr = float(np.corrcoef(np.asarray(post.mean),
+                             np.asarray(data.f_true))[0, 1])
+    print(f"Latent-force recovery correlation vs generating force: {corr:.3f}")
+    if config.metrics_path:
+        with open(config.metrics_path, "w") as f:
+            for e, row in enumerate(hist):
+                f.write(json.dumps(
+                    {"epoch": e, "neg_elbo_mean": float(row.mean())}) + "\n")
+    return res
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     cfg.add_cli_args(parser)
     args = parser.parse_args()
-    run(cfg.config_from_args(args))
+    config = cfg.config_from_args(args)
+    if config.model == "simm2":
+        run_second_order(config)
+    elif config.preset == "alfi-parity":
+        run_alfi_parity(config)
+    elif config.preset == "dense10k":
+        run_dense(config)
+    elif config.preset == "sparse100k":
+        run_sparse(config)
+    elif config.preset == "p53-replicates":
+        config.replicate = None
+        run(config)
+    else:
+        run(config)
 
 
 if __name__ == "__main__":

@@ -51,8 +51,16 @@ def chol_solve(L, b):
     return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
 
+# Above this size, Sigma^{-1} = L^{-T} L^{-1} goes through the recursive
+# blocked triangular inverse instead of XLA's triangular_solve against an
+# N x N identity: the native solve materialises O(N/128) staggered (N, N)
+# temporaries (measured: OOMs a 16 GB v5e at N = 10^4), while the blocked
+# inverse is matmul-based with O(N^2) peak temps.
+_TRI_INV_MIN_N = 2048
+
+
 def _sigma_inv(L, impl: str):
-    if impl == "blocked":
+    if impl == "blocked" or L.shape[0] >= _TRI_INV_MIN_N:
         from dis_project_tpu.ops import pallas_cholesky as pc
 
         return pc.inv_from_factor(L)
