@@ -61,6 +61,7 @@ class RunConfig:
     out_dir: str = "plots"
     save_name: Optional[str] = None
     checkpoint_dir: Optional[str] = None
+    resume: bool = False
     metrics_path: Optional[str] = None  # JSONL per-step metrics
 
 
@@ -103,6 +104,9 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--out-dir", default=d.out_dir)
     parser.add_argument("--save-name", default=None)
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in "
+                        "--checkpoint-dir (params + optimizer state)")
     parser.add_argument("--metrics-path", default=None)
 
 
@@ -134,5 +138,6 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         out_dir=args.out_dir,
         save_name=args.save_name,
         checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
         metrics_path=args.metrics_path,
     )

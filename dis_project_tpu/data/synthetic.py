@@ -90,6 +90,57 @@ class SyntheticLFMData:
         )
 
 
+def _np_kxx_block(t, decay, sens, ell):
+    """Host-f64 gene-gene covariance block — the closed forms of
+    ``ops.lfm_kernels`` in pure NumPy so generation precision never depends
+    on the JAX x64 policy (scipy.special.erf supplies the f64 erf)."""
+    from scipy.special import erf
+
+    t = np.asarray(t, np.float64)
+    d = np.asarray(decay, np.float64)
+    s = np.asarray(sens, np.float64)
+    ell = float(ell)
+    G, T = d.shape[0], t.shape[0]
+
+    def h(d_a, d_b, t1, t2):
+        g_b = d_b * ell / 2.0
+        td = t2 - t1
+        mult = np.exp(g_b * g_b) / (d_a + d_b)
+        first = np.exp(-d_b * td) * (erf(td / ell - g_b) + erf(t1 / ell + g_b))
+        second = np.exp(-(d_b * t2 + d_a * t1)) * (erf(t2 / ell - g_b) + erf(g_b))
+        return mult * (first - second)
+
+    tt1 = t[None, :, None, None]
+    tt2 = t[None, None, None, :]
+    d_j = d[:, None, None, None]
+    d_k = d[None, None, :, None]
+    s_j = s[:, None, None, None]
+    s_k = s[None, None, :, None]
+    mult = s_j * s_k * ell * (0.5 * np.sqrt(np.pi))
+    K = mult * (h(d_k, d_j, tt2, tt1) + h(d_j, d_k, tt1, tt2))
+    return K.reshape(G * T, G * T)
+
+
+def _np_kxf_block(t_x, t_f, decay, sens, ell):
+    """Host-f64 gene-force cross block (NumPy twin of ``k_xf_block``)."""
+    from scipy.special import erf
+
+    t_x = np.asarray(t_x, np.float64)
+    t_f = np.asarray(t_f, np.float64)
+    d = np.asarray(decay, np.float64)[:, None, None]
+    s = np.asarray(sens, np.float64)[:, None, None]
+    ell = float(ell)
+    g_j = d * ell / 2.0
+    td = t_x[None, :, None] - t_f[None, None, :]
+    K = (
+        0.5 * np.sqrt(np.pi) * ell * s
+        * np.exp(g_j * g_j)
+        * np.exp(-d * td)
+        * (erf(td / ell - g_j) + erf(t_f[None, None, :] / ell + g_j))
+    )
+    return K.reshape(d.shape[0] * t_x.shape[0], t_f.shape[0])
+
+
 def _sample_kinetics(key, cfg: SyntheticConfig, dtype):
     kb, ks, kd = jax.random.split(key, 3)
     G = cfg.num_genes
@@ -122,21 +173,30 @@ def sample_prior(
     params = _sample_kinetics(kp, cfg, dtype)
     d, s, ell = params["decay"], params["sensitivity"], params["lengthscale"]
     G, T, R = cfg.num_genes, cfg.num_timepoints, cfg.num_replicates
-
-    Kxx = lfk.k_xx_block(t, t, d, s, ell)
     n = G * T
-    Kxx = Kxx + cfg.jitter * jnp.eye(n, dtype=dtype)
-    L = jnp.linalg.cholesky(Kxx)
-    mean = jnp.repeat(params["basal"] / d, T)
-    x_clean = mean + L @ jax.random.normal(kx, (n,), dtype)
+
+    # The prior Gram is near-low-rank (a handful of effective force degrees
+    # of freedom), so the build AND factorisation run in HOST float64
+    # regardless of the JAX precision policy — an f32 Cholesky here fails
+    # outright, and even an f32 kernel *build* perturbs the tiny
+    # eigenvalues past any reasonable jitter.
+    Kxx = _np_kxx_block(t, d, s, ell)
+    jitter = max(cfg.jitter, 1e-9 * float(np.abs(np.diagonal(Kxx)).max()))
+    L = np.linalg.cholesky(Kxx + jitter * np.eye(n))
+    mean = np.repeat(np.asarray(params["basal"] / d, np.float64), T)
+    eps = np.asarray(jax.random.normal(kx, (n,), jnp.float32), np.float64)
+    x_clean = mean + L @ eps
 
     # Conditional mean of f | x on the same grid — the ground-truth force.
-    Kfx = lfk.k_xf_block(t, t, d, s, ell).T  # (T, G*T)
-    f_true = Kfx @ jax.scipy.linalg.cho_solve((L, True), x_clean - mean)
+    Kfx = _np_kxf_block(t, t, d, s, ell).T  # (T, n)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, x_clean - mean))
+    f_true = jnp.asarray(Kfx @ alpha, dtype)
 
-    noise = cfg.noise_std * jax.random.normal(kn, (R, n), dtype)
+    noise = cfg.noise_std * np.asarray(
+        jax.random.normal(kn, (R, n), jnp.float32), np.float64
+    )
     y = x_clean[None, :] + noise
-    expressions = y.reshape(R, G, T)
+    expressions = jnp.asarray(y.reshape(R, G, T), dtype)
     variances = jnp.full((R, G, T), cfg.noise_std**2, dtype)
     return SyntheticLFMData(t, expressions, variances, params, f_true)
 
@@ -167,29 +227,40 @@ def generate_ode(
     G, T, R = cfg.num_genes, cfg.num_timepoints, cfg.num_replicates
 
     n_fine = (T - 1) * oversample + 1
-    t_fine = jnp.linspace(0.0, cfg.t_max, n_fine, dtype=dtype)
-    Kff = lfk.k_ff_consistent_block(t_fine, t_fine, params["lengthscale"])
-    Lf = jnp.linalg.cholesky(Kff + 1e-8 * jnp.eye(n_fine, dtype=dtype))
-    f_fine = Lf @ jax.random.normal(kf, (n_fine,), dtype)
+    # Force sampling + quadrature in HOST float64 (see sample_prior: the
+    # fine-grid RBF Gram is ill-conditioned and the e^{D u} integrand mixes
+    # huge/small magnitudes that f32 cannot carry).
+    t_fine = np.linspace(0.0, cfg.t_max, n_fine)
+    Kff = np.exp(
+        -((t_fine[:, None] - t_fine[None, :]) ** 2)
+        / float(params["lengthscale"]) ** 2
+    )
+    Lf = np.linalg.cholesky(Kff + 1e-8 * np.eye(n_fine))
+    eps = np.asarray(jax.random.normal(kf, (n_fine,), jnp.float32), np.float64)
+    f_fine = Lf @ eps
 
     dt = t_fine[1] - t_fine[0]
-    d, s, b = params["decay"], params["sensitivity"], params["basal"]
+    d = np.asarray(params["decay"], np.float64)
+    s = np.asarray(params["sensitivity"], np.float64)
+    b = np.asarray(params["basal"], np.float64)
 
     # Cumulative trapezoid of e^{D u} f(u) per gene, vectorised over genes.
-    integrand = jnp.exp(d[:, None] * t_fine[None, :]) * f_fine[None, :]  # (G, F)
+    integrand = np.exp(d[:, None] * t_fine[None, :]) * f_fine[None, :]  # (G, F)
     steps = 0.5 * dt * (integrand[:, 1:] + integrand[:, :-1])
-    cumint = jnp.concatenate(
-        [jnp.zeros((G, 1), dtype), jnp.cumsum(steps, axis=1)], axis=1
+    cumint = np.concatenate(
+        [np.zeros((G, 1)), np.cumsum(steps, axis=1)], axis=1
     )
-    x_fine = (b / d)[:, None] + s[:, None] * jnp.exp(
+    x_fine = (b / d)[:, None] + s[:, None] * np.exp(
         -d[:, None] * t_fine[None, :]
     ) * cumint  # (G, F)
 
     x = x_fine[:, ::oversample]  # (G, T)
-    f_true = f_fine[::oversample]
+    f_true = jnp.asarray(f_fine[::oversample], dtype)
 
-    noise = cfg.noise_std * jax.random.normal(kn, (R, G, T), dtype)
-    expressions = x[None, :, :] + noise
+    noise = cfg.noise_std * np.asarray(
+        jax.random.normal(kn, (R, G, T), jnp.float32), np.float64
+    )
+    expressions = jnp.asarray(x[None, :, :] + noise, dtype)
     variances = jnp.full((R, G, T), cfg.noise_std**2, dtype)
     return SyntheticLFMData(
         jnp.linspace(0.0, cfg.t_max, T, dtype=dtype),

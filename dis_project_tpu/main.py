@@ -67,6 +67,21 @@ def run(config: cfg.RunConfig):
         legacy_block_mean=config.legacy_block_mean,
     )
     params0 = simm.init_params(data.num_genes)
+    start_step = 0
+    if config.resume and config.checkpoint_dir:
+        from dis_project_tpu.training import checkpoint as ckpt
+
+        latest = ckpt.latest_step(config.checkpoint_dir)
+        if latest is not None:
+            restored = ckpt.restore(
+                config.checkpoint_dir,
+                latest,
+                template={"params": params0, "step": 0},
+            )
+            params0 = restored["params"]
+            start_step = int(restored["step"])
+            print(f"Resumed from checkpoint step {start_step} "
+                  f"({config.checkpoint_dir})")
 
     train_cfg = tr.TrainConfig(
         num_iters=config.num_iters,
@@ -97,7 +112,11 @@ def run(config: cfg.RunConfig):
     if config.checkpoint_dir:
         from dis_project_tpu.training import checkpoint as ckpt
 
-        ckpt.save(config.checkpoint_dir, result.params, step=config.num_iters)
+        ckpt.save(
+            config.checkpoint_dir,
+            {"params": result.params, "step": start_step + config.num_iters},
+            step=start_step + config.num_iters,
+        )
 
     tables.print_hyperparams(result.params, data, csv_path="hyperparams.csv")
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from dis_project_tpu.models.base import Gaussian
@@ -197,6 +198,32 @@ class ExactSIMM:
         sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
         impl = self._resolve_chol(x.shape[0], x.dtype)
         return mll_ops.mvn_logpdf(y, mx, sigma, impl=impl)
+
+    def mll_iterative(
+        self,
+        params: SIMMParams,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        key,
+        num_probes: int = 16,
+        lanczos_iters: int = 32,
+        cg_iters: int = 256,
+    ) -> jnp.ndarray:
+        """Matmul-only exact MLL via batched CG + stochastic Lanczos
+        quadrature (``ops.iterative``, the BBMM pattern) — same Sigma
+        convention as :meth:`mll`. The logdet (value) is a randomised
+        estimate and gradients are unbiased; use for SGD-style training at
+        N where O(N^3) factorisation does not pay. The LFM Sigma is
+        noise*I + low-rank, so CG converges in ~rank(K) iterations."""
+        from dis_project_tpu.ops import iterative
+
+        y = y.reshape(-1)
+        mx = self.mean_function(params, x)
+        K = self.gram(params, x, self._kind("xx"))
+        sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
+        return iterative.mvn_logpdf_cg(
+            y - mx, sigma, key, num_probes, lanczos_iters, cg_iters
+        )
 
     # -- posteriors ---------------------------------------------------------
 

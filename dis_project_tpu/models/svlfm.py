@@ -57,7 +57,9 @@ LOG_2PI = 1.8378770664093453
 class SVLFMParams(NamedTuple):
     """Kinetics + GP hypers (constrained space) and variational state.
 
-    ``kinetics``: the SIMM parameter block (B/S/D/lengthscale/obs_stddev).
+    ``kinetics``: the kinetic parameter block — ``SIMMParams``
+    (B/S/D/lengthscale/obs_stddev) for the first-order model, or
+    ``SIMM2Params`` (B/S/alpha/omega/...) for the second-order family.
     ``z``: (M,) inducing times (unconstrained — times are unbounded).
     ``q_mu``: (M,) whitened variational mean.
     ``q_sqrt``: (M, M) whitened variational square root; only the lower
@@ -70,16 +72,31 @@ class SVLFMParams(NamedTuple):
     q_sqrt: jnp.ndarray
 
 
+def _kinetics_bijectors(kinetics):
+    from dis_project_tpu.models.simm2 import SIMM2_BIJECTORS, SIMM2Params
+
+    if isinstance(kinetics, SIMM2Params):
+        return SIMM2_BIJECTORS
+    return SIMM_BIJECTORS
+
+
 def init_params(
-    num_genes: int, num_inducing: int, t_max: float = 12.0, dtype=None
+    num_genes: int,
+    num_inducing: int,
+    t_max: float = 12.0,
+    dtype=None,
+    order: int = 1,
 ) -> SVLFMParams:
     """Reference kinetic inits + identity whitened posterior, inducing
-    times uniform over [0, t_max]."""
-    from dis_project_tpu.models.simm import init_params as simm_init
-
+    times uniform over [0, t_max]. ``order=2`` selects spring-damper
+    kinetics (SIMM2Params)."""
     dtype = dtype or default_float()
+    if order == 2:
+        from dis_project_tpu.models.simm2 import init_params as kin_init
+    else:
+        from dis_project_tpu.models.simm import init_params as kin_init
     return SVLFMParams(
-        kinetics=simm_init(num_genes, dtype),
+        kinetics=kin_init(num_genes, dtype),
         z=jnp.linspace(0.0, t_max, num_inducing, dtype=dtype),
         q_mu=jnp.zeros((num_inducing,), dtype),
         q_sqrt=jnp.eye(num_inducing, dtype=dtype),
@@ -88,7 +105,7 @@ def init_params(
 
 def constrain(raw: SVLFMParams) -> SVLFMParams:
     return SVLFMParams(
-        kinetics=bij.constrain(raw.kinetics, SIMM_BIJECTORS),
+        kinetics=bij.constrain(raw.kinetics, _kinetics_bijectors(raw.kinetics)),
         z=raw.z,
         q_mu=raw.q_mu,
         q_sqrt=_tri_constrain(raw.q_sqrt),
@@ -97,7 +114,9 @@ def constrain(raw: SVLFMParams) -> SVLFMParams:
 
 def unconstrain(params: SVLFMParams) -> SVLFMParams:
     return SVLFMParams(
-        kinetics=bij.unconstrain(params.kinetics, SIMM_BIJECTORS),
+        kinetics=bij.unconstrain(
+            params.kinetics, _kinetics_bijectors(params.kinetics)
+        ),
         z=params.z,
         q_mu=params.q_mu,
         q_sqrt=_tri_unconstrain(params.q_sqrt),
@@ -118,24 +137,41 @@ def _tri_unconstrain(L):
 
 @dataclasses.dataclass(frozen=True)
 class SparseSIMM:
-    """Static configuration + pure methods for the sparse variational SIMM."""
+    """Static configuration + pure methods for the sparse variational LFM.
+
+    ``order`` selects the output-process dynamics: 1 = first-order SIMM
+    (``SIMMParams`` kinetics), 2 = spring-damper (``SIMM2Params``) — the
+    variational machinery is identical, only the cross/auto covariances
+    and the steady-state mean change (all resolved at trace time).
+    """
 
     num_genes: int = 5
     num_inducing: int = 64
     jitter: float = 1e-6
+    order: int = 1
 
     # -- shared pieces ------------------------------------------------------
 
     def mean_function(self, params: SVLFMParams, x: jnp.ndarray) -> jnp.ndarray:
         k = params.kinetics
         g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
-        return (k.basal / k.decay)[g] * x[:, 2]
+        if self.order == 2:
+            ratio = k.basal / (k.alpha**2 + k.omega**2)
+        else:
+            ratio = k.basal / k.decay
+        return ratio[g] * x[:, 2]
 
     def _luu(self, params: SVLFMParams):
         z = params.z
         ell = params.kinetics.lengthscale
         Kuu = lfk.k_ff_consistent_block(z, z, ell)
-        Kuu = Kuu + self.jitter * jnp.eye(z.shape[0], dtype=z.dtype)
+        # The RBF Kuu is near-low-rank (a handful of effective degrees of
+        # freedom across [0, t_max]); in f32 its kernel-build error alone
+        # pushes the tiny eigenvalues negative, so the jitter floor must
+        # scale with the working precision or the factorisation NaNs the
+        # moment the inducing points leave a perfectly uniform grid.
+        floor = 1e-4 if z.dtype == jnp.float32 else self.jitter
+        Kuu = Kuu + max(self.jitter, floor) * jnp.eye(z.shape[0], dtype=z.dtype)
         return jnp.linalg.cholesky(Kuu)
 
     def _proj(self, params: SVLFMParams, luu, x: jnp.ndarray):
@@ -146,10 +182,20 @@ class SparseSIMM:
         t = x[:, 0]
         g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
         flag = x[:, 2]
-        d, s = k.decay[g], k.sensitivity[g]
+        s = k.sensitivity[g]
         # (B, M): gene rows vs inducing times / force rows vs inducing times
-        kxu = lfk.k_xf(t[:, None], params.z[None, :], d[:, None], s[:, None],
-                       k.lengthscale)
+        if self.order == 2:
+            from dis_project_tpu.ops import lfm_kernels2 as lfk2
+
+            kxu = lfk2.k_xf2(
+                t[:, None], params.z[None, :], k.alpha[g][:, None],
+                k.omega[g][:, None], s[:, None], k.lengthscale,
+            )
+        else:
+            kxu = lfk.k_xf(
+                t[:, None], params.z[None, :], k.decay[g][:, None],
+                s[:, None], k.lengthscale,
+            )
         kfu = lfk.k_ff_consistent(t[:, None], params.z[None, :], k.lengthscale)
         Kxu = flag[:, None] * kxu + (1.0 - flag[:, None]) * kfu
         return jax.scipy.linalg.solve_triangular(luu, Kxu.T, lower=True)  # (M, B)
@@ -160,9 +206,18 @@ class SparseSIMM:
         t = x[:, 0]
         g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
         flag = x[:, 2]
-        d, s = k.decay[g], k.sensitivity[g]
-        vxx = lfk.k_xx(t, t, d, d, s, s, k.lengthscale)
-        vff = jnp.ones_like(t)  # k_ff(t, t) = 1
+        s = k.sensitivity[g]
+        if self.order == 2:
+            from dis_project_tpu.ops import lfm_kernels2 as lfk2
+
+            vxx = lfk2.k_xx2(
+                t, t, k.alpha[g], k.omega[g], k.alpha[g], k.omega[g],
+                s, s, k.lengthscale,
+            )
+        else:
+            d = k.decay[g]
+            vxx = lfk.k_xx(t, t, d, d, s, s, k.lengthscale)
+        vff = jnp.ones_like(t)  # k_ff*(t, t) = 1
         return flag * vxx + (1.0 - flag) * vff
 
     def _marginals(self, params: SVLFMParams, x: jnp.ndarray):

@@ -188,6 +188,54 @@ class TestTrainability:
         assert np.isfinite(float(l))
         assert float(l) < l0
 
+    def test_second_order_sparse_bound_below_exact(self):
+        """order=2 sparse model: collapsed bound must lower-bound the exact
+        second-order MLL (same heteroscedastic noise) and tighten with M."""
+        from dis_project_tpu.models import simm2
+        from dis_project_tpu.ops import lfm_kernels2 as lfk2
+        from dis_project_tpu.ops import mll as mll_ops
+
+        G, T = 2, 10
+        t = jnp.linspace(0.0, 10.0, T)
+        kin = simm2.SIMM2Params(
+            basal=jnp.asarray([0.05, 0.08]),
+            sensitivity=jnp.asarray([1.0, 1.2]),
+            alpha=jnp.asarray([0.4, 0.6]),
+            omega=jnp.asarray([1.0, 0.8]),
+            lengthscale=jnp.asarray(2.0),
+            obs_stddev=jnp.asarray(0.1),
+        )
+        n = G * T
+        rows = jnp.stack(
+            [jnp.tile(t, G), jnp.repeat(jnp.arange(G, dtype=t.dtype), T),
+             jnp.ones(n)],
+            axis=-1,
+        )
+        K = lfk2.k_xx2_block(t, t, kin.alpha, kin.omega, kin.sensitivity,
+                             kin.lengthscale)
+        L = jnp.linalg.cholesky(K + 1e-8 * jnp.eye(n))
+        mean = jnp.repeat(kin.basal / (kin.alpha**2 + kin.omega**2), T)
+        y = mean + L @ jax.random.normal(jax.random.PRNGKey(3), (n,))
+        var = jnp.full((n,), 1e-4)
+
+        sigma = mll_ops.add_diagonal(K, kin.obs_stddev**2 + var)
+        exact = float(mll_ops.mvn_logpdf(y, mean, sigma))
+
+        bounds = []
+        for m in (6, 40):
+            model = svlfm.SparseSIMM(num_genes=G, num_inducing=m, order=2)
+            params = svlfm.init_params(G, m, t_max=10.0, order=2)
+            params = params._replace(kinetics=kin)
+            bounds.append(float(model.collapsed_elbo(params, rows, y, var)))
+        assert bounds[0] <= bounds[1] <= exact + 1e-6
+        assert abs(bounds[1] - exact) < 0.05 * abs(exact) + 0.5
+
+    def test_second_order_sparse_constrain_round_trip(self):
+        raw = svlfm.unconstrain(svlfm.init_params(3, 8, order=2))
+        back = svlfm.unconstrain(svlfm.constrain(raw))
+        for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(back)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
     def test_svtrainer_minibatch_fit_improves_elbo(self, problem):
         from dis_project_tpu.training import svtrainer
 
