@@ -198,6 +198,51 @@ def bench_gram_chol(n=4096, genes=50, dtype=jnp.float32):
     }
 
 
+def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
+    """Steady-state time of ONE full exact-MLL training step (forward Gram
+    + Cholesky + custom-VJP backward + Adam update) at stress scale, with
+    utilization against the static roofline model."""
+    import numpy as np
+
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.utils.benchmarking import time_op
+    from dis_project_tpu.utils.profiling import flop_report
+
+    rng = np.random.default_rng(0)
+    T = n // genes
+    n = genes * T  # exact block structure
+    t = np.linspace(0, 12.0, T)
+    X = jnp.asarray(
+        np.stack(
+            [np.tile(t, genes), np.repeat(np.arange(genes), T), np.ones(n)], 1
+        ),
+        dtype,
+    )
+    y = jnp.asarray(rng.standard_normal(n) * 0.5 + 1.0, dtype)
+    model = simm.ExactSIMM(num_genes=genes, jitter=1e-4, canonical_rows=True)
+    raw0 = simm.unconstrain(simm.init_params(genes, dtype=dtype))
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(raw0)
+
+    def one_step(eps, raw, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda r: -model.mll(simm.constrain(r), X + eps, y)
+        )(raw)
+        updates, _ = optimizer.update(grads, opt_state)
+        return jax.tree.leaves(optax.apply_updates(raw, updates))[0]
+
+    step_s = time_op(one_step, raw0, opt_state, iters=4)
+    report = flop_report(n)
+    # forward + backward ~ 3x the forward O(N^3) work (chol + tri-inv + syrk)
+    return {
+        "train_step_n": n,
+        "train_step_s": round(step_s, 6),
+        "train_step_roofline_frac": round(
+            3 * report.seconds_at_peak() / step_s, 4
+        ),
+    }
+
+
 def main():
     dtype = jnp.float32
     X, y = _build_problem(dtype)
@@ -205,6 +250,7 @@ def main():
     ours_s, ours_hist = bench_ours(X, y)
     ref_s, ref_hist = bench_reference_pattern(X, y)
     probes = bench_gram_chol()
+    probes.update(bench_train_step_at_scale())
 
     result = {
         "metric": "p53_train_150iter_wall_clock",

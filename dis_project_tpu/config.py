@@ -39,6 +39,9 @@ class RunConfig:
     num_inducing: int = 128
     batch_size: int = 2048
     num_epochs: int = 25
+    # dense-preset MLL engine: cholesky (exact) | cg (matmul-only BBMM —
+    # unbiased stochastic logdet/gradients, O(N^2 * iters))
+    mll_engine: str = "cholesky"
     # model
     jitter: float = 1e-4
     legacy_block_mean: bool = False
@@ -79,6 +82,8 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--num-inducing", type=int, default=d.num_inducing)
     parser.add_argument("--batch-size", type=int, default=d.batch_size)
     parser.add_argument("--num-epochs", type=int, default=d.num_epochs)
+    parser.add_argument("--mll-engine", default=d.mll_engine,
+                        choices=["cholesky", "cg"])
     parser.add_argument("--replicate", type=str, default="0",
                         help="replicate index 0-2, or 'all'")
     parser.add_argument("--genes", type=str, default=None,
@@ -121,6 +126,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         num_inducing=args.num_inducing,
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
+        mll_engine=args.mll_engine,
         replicate=replicate,
         selected_genes=genes,
         data_dir=args.data_dir,

@@ -110,15 +110,18 @@ def _np_kxx_block(t, decay, sens, ell):
         second = np.exp(-(d_b * t2 + d_a * t1)) * (erf(t2 / ell - g_b) + erf(g_b))
         return mult * (first - second)
 
-    tt1 = t[None, :, None, None]
-    tt2 = t[None, None, None, :]
-    d_j = d[:, None, None, None]
-    d_k = d[None, None, :, None]
-    s_j = s[:, None, None, None]
-    s_k = s[None, None, :, None]
-    mult = s_j * s_k * ell * (0.5 * np.sqrt(np.pi))
-    K = mult * (h(d_k, d_j, tt2, tt1) + h(d_j, d_k, tt1, tt2))
-    return K.reshape(G * T, G * T)
+    # Row-of-blocks loop keeps peak temporaries at (T, G, T) instead of
+    # (G, T, G, T) — at G=50, T=200 that is 0.16 GB per temp, not 8 GB.
+    K = np.empty((G * T, G * T))
+    tt1 = t[:, None, None]
+    tt2 = t[None, None, :]
+    d_k = d[None, :, None]
+    s_k = s[None, :, None]
+    for j in range(G):
+        mult = s[j] * s_k * ell * (0.5 * np.sqrt(np.pi))
+        block = mult * (h(d_k, d[j], tt2, tt1) + h(d[j], d_k, tt1, tt2))
+        K[j * T : (j + 1) * T] = block.reshape(T, G * T)
+    return K
 
 
 def _np_kxf_block(t_x, t_f, decay, sens, ell):

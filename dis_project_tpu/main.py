@@ -313,20 +313,66 @@ def run_dense(config: cfg.RunConfig):
     model = simm.ExactSIMM(
         num_genes=scfg.num_genes, jitter=config.jitter, canonical_rows=True
     )
-    print("Training (full-batch exact MLL)...")
     t0 = time.perf_counter()
-    res = tr.fit(
-        model,
-        simm.init_params(scfg.num_genes, dtype=X.dtype),
-        X,
-        y,
-        tr.TrainConfig(
-            num_iters=config.num_iters,
-            learning_rate=config.learning_rate,
-            fix_params=False,
-        ),
-    )
-    final = float(res.history[-1])
+    if config.mll_engine == "cg":
+        # Matmul-only BBMM engine (ops.iterative): O(N^2 * iters) per step
+        # with unbiased stochastic gradients — the fast path at N >= 1e4.
+        import optax
+
+        print("Training (full-batch exact MLL, CG/Lanczos engine)...")
+        raw0 = simm.unconstrain(simm.init_params(scfg.num_genes, dtype=X.dtype))
+        # Clip: the Hutchinson d_sigma estimator's variance grows with N
+        # per probe, and an unlucky large sample can kick the unconstrained
+        # decay into exp(gamma^2) overflow territory in f32.
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(config.learning_rate),
+        )
+
+        @jax.jit
+        def fit_cg(raw):
+            opt_state = optimizer.init(raw)
+
+            def step(carry, key):
+                raw, opt_state = carry
+                loss, grads = jax.value_and_grad(
+                    lambda r: -model.mll_iterative(
+                        simm.constrain(r), X, y, key,
+                        num_probes=16, lanczos_iters=24, cg_iters=128,
+                    )
+                )(raw)
+                updates, opt_state = optimizer.update(grads, opt_state)
+                return (optax.apply_updates(raw, updates), opt_state), loss
+
+            keys = jax.random.split(
+                jax.random.PRNGKey(config.seed + 1), config.num_iters
+            )
+            (raw, _), hist = jax.lax.scan(step, (raw, opt_state), keys)
+            return raw, hist
+
+        raw_f, history = fit_cg(raw0)
+        params_f = simm.constrain(raw_f)
+        # Exact final loss for reporting (one Cholesky evaluation).
+        final = float(-model.mll(params_f, X, y))
+        res = tr.TrainResult(
+            params=params_f, history=history,
+            grad_norms=jnp.zeros_like(history),
+        )
+    else:
+        print("Training (full-batch exact MLL, Cholesky engine)...")
+        res = tr.fit(
+            model,
+            simm.init_params(scfg.num_genes, dtype=X.dtype),
+            X,
+            y,
+            tr.TrainConfig(
+                num_iters=config.num_iters,
+                learning_rate=config.learning_rate,
+                fix_params=False,
+            ),
+        )
+        final = float(res.history[-1])
+    jax.block_until_ready(res.history)
     wall = time.perf_counter() - t0
     print(f"Trained {config.num_iters} iters in {wall:.2f}s "
           f"(final loss {final:.4f}, N={scfg.n_points})")

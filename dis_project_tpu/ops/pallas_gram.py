@@ -124,7 +124,7 @@ def _pack_meta(x, decay, sens, pad_to, dtype):
     jax.jit,
     static_argnames=("kind", "tile_m", "tile_n", "interpret", "out_dtype"),
 )
-def cross_covariance(
+def _cross_covariance_fwd_impl(
     x1,
     x2,
     decay,
@@ -137,19 +137,7 @@ def cross_covariance(
     interpret: bool = False,
     out_dtype=None,
 ):
-    """Dense (N, M) SIMM covariance from (t, gene, flag) rows, Pallas-fused.
-
-    Same semantics as :func:`dis_project_tpu.ops.gram.cross_covariance`
-    (reference ``src/model.py:372-394``); ``kind`` specialises the branch at
-    trace time when the row population is known statically:
-
-    - ``'xx'``: all rows/cols are gene-expression rows (training Gram),
-    - ``'ff'``: all are latent-force rows (prediction-grid prior),
-    - ``'xf'`` / ``'fx'``: expression rows x force cols / vice versa,
-    - ``'mixed'``: general flag-dispatched combination.
-
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
-    """
+    """Pallas forward evaluation (no autodiff rule of its own)."""
     n, m = x1.shape[0], x2.shape[0]
     dtype = out_dtype or jnp.result_type(x1.dtype, decay.dtype)
     np_, mp_ = _round_up(n, tile_m), _round_up(m, tile_n)
@@ -183,6 +171,70 @@ def cross_covariance(
         interpret=interpret,
     )(m1, m2, ell)
     return out[:n, :m]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _cross_covariance_diffable(
+    x1, x2, decay, sens, lengthscale, kind, tile_m, tile_n, interpret
+):
+    return _cross_covariance_fwd_impl(
+        x1, x2, decay, sens, lengthscale,
+        kind=kind, tile_m=tile_m, tile_n=tile_n, interpret=interpret,
+    )
+
+
+def _ccov_fwd(x1, x2, decay, sens, lengthscale, kind, tile_m, tile_n, interpret):
+    out = _cross_covariance_fwd_impl(
+        x1, x2, decay, sens, lengthscale,
+        kind=kind, tile_m=tile_m, tile_n=tile_n, interpret=interpret,
+    )
+    return out, (x1, x2, decay, sens, lengthscale)
+
+
+def _ccov_bwd(kind, tile_m, tile_n, interpret, res, g):
+    # pallas_call has no autodiff rule; the backward pass differentiates
+    # the XLA-fused closed-form implementation instead (identical math to
+    # float tolerance — verified in tests/test_pallas.py). Forward keeps
+    # the hand-tiled kernel, backward costs one fused elementwise VJP.
+    from dis_project_tpu.ops import gram as gram_ops
+
+    _, vjp = jax.vjp(gram_ops.cross_covariance, *res)
+    return vjp(g.astype(res[2].dtype))
+
+
+_cross_covariance_diffable.defvjp(_ccov_fwd, _ccov_bwd)
+
+
+def cross_covariance(
+    x1,
+    x2,
+    decay,
+    sens,
+    lengthscale,
+    *,
+    kind: str = "mixed",
+    tile_m: int = TILE_M,
+    tile_n: int = TILE_N,
+    interpret: bool = False,
+):
+    """Dense (N, M) SIMM covariance from (t, gene, flag) rows, Pallas-fused
+    and **differentiable** (custom VJP routes the backward pass through the
+    XLA closed forms, since ``pallas_call`` carries no autodiff rule).
+
+    Same semantics as :func:`dis_project_tpu.ops.gram.cross_covariance`
+    (reference ``src/model.py:372-394``); ``kind`` specialises the branch at
+    trace time when the row population is known statically:
+
+    - ``'xx'``: all rows/cols are gene-expression rows (training Gram),
+    - ``'ff'``: all are latent-force rows (prediction-grid prior),
+    - ``'xf'`` / ``'fx'``: expression rows x force cols / vice versa,
+    - ``'mixed'``: general flag-dispatched combination.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    return _cross_covariance_diffable(
+        x1, x2, decay, sens, lengthscale, kind, tile_m, tile_n, interpret
+    )
 
 
 def gram(x, decay, sens, lengthscale, **kw):

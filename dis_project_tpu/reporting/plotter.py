@@ -25,6 +25,12 @@ def _plt():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # House style (the reference's dissertation.mplstyle role); never fatal.
+    style = os.path.join(os.path.dirname(__file__), "house.mplstyle")
+    try:
+        plt.style.use(style)
+    except OSError:
+        pass
     return plt
 
 

@@ -52,6 +52,8 @@ class TrainResult:
     history: jnp.ndarray  # (num_iters,) per-step loss
     grad_norms: jnp.ndarray  # (num_iters,)
     param_trace: Optional[SIMMParams] = None  # stacked constrained params
+    raw_params: Optional[SIMMParams] = None  # final unconstrained params
+    opt_state: Optional[object] = None  # final optimizer state (resume)
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -69,8 +71,17 @@ def fit(
     y: jnp.ndarray,
     config: TrainConfig = TrainConfig(),
     optimizer: Optional[optax.GradientTransformation] = None,
+    init_state: Optional[Tuple] = None,
+    step_offset: int = 0,
 ) -> TrainResult:
-    """Train to the (negative) exact MLL. The full loop is one XLA program."""
+    """Train to the (negative) exact MLL. The full loop is one XLA program.
+
+    ``init_state``: optional ``(raw_params, opt_state)`` to continue an
+    earlier run exactly (optimizer moments included); ``step_offset``
+    shifts the global step counter so the epoch-clamp schedule is
+    preserved across segments — the resume path of
+    :func:`fit_checkpointed`.
+    """
     optimizer = optimizer or make_optimizer(config)
     y = y.reshape(-1)
 
@@ -85,8 +96,11 @@ def fit(
             decay=config.clamp_decay,
         )
 
-    raw0 = simm.unconstrain(params)
-    opt_state0 = optimizer.init(raw0)
+    if init_state is not None:
+        raw0, opt_state0 = init_state
+    else:
+        raw0 = simm.unconstrain(params)
+        opt_state0 = optimizer.init(raw0)
 
     value_and_grad = jax.value_and_grad(loss_fn)
 
@@ -114,8 +128,10 @@ def fit(
             out = out + (simm.constrain(raw),)
         return (raw, opt_state), out
 
-    (raw_final, _), outs = jax.lax.scan(
-        step_fn, (raw0, opt_state0), jnp.arange(config.num_iters)
+    (raw_final, opt_state_final), outs = jax.lax.scan(
+        step_fn,
+        (raw0, opt_state0),
+        jnp.arange(step_offset, step_offset + config.num_iters),
     )
 
     trained = simm.constrain(raw_final)
@@ -133,5 +149,81 @@ def fit(
         history, grad_norms = outs
         trace = None
     return TrainResult(
-        params=trained, history=history, grad_norms=grad_norms, param_trace=trace
+        params=trained,
+        history=history,
+        grad_norms=grad_norms,
+        param_trace=trace,
+        raw_params=raw_final,
+        opt_state=opt_state_final,
+    )
+
+
+def fit_checkpointed(
+    model: ExactSIMM,
+    params: SIMMParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    config: TrainConfig,
+    directory: str,
+    checkpoint_every: int = 50,
+) -> TrainResult:
+    """Fault-tolerant training: run in ``checkpoint_every``-step segments,
+    persisting (raw params, optimizer state, step) between segments with
+    orbax, and resume *exactly* (Adam moments included) from the latest
+    checkpoint in ``directory`` if one exists — kill the process at any
+    point and rerunning continues where it left off (SURVEY.md §5:
+    failure detection / elastic recovery, absent in the reference)."""
+    import numpy as np
+
+    from dis_project_tpu.training import checkpoint as ckpt
+
+    optimizer = make_optimizer(config)
+    raw = simm.unconstrain(params)
+    opt_state = optimizer.init(raw)
+    step = 0
+
+    latest = ckpt.latest_step(directory)
+    if latest is not None and latest > 0:
+        restored = ckpt.restore(
+            directory,
+            latest,
+            template={"raw": raw, "opt_state": opt_state, "step": 0},
+        )
+        raw, opt_state = restored["raw"], restored["opt_state"]
+        step = int(restored["step"])
+
+    histories, grad_norms = [], []
+    result = None
+    while step < config.num_iters:
+        seg = min(checkpoint_every, config.num_iters - step)
+        seg_cfg = dataclasses.replace(config, num_iters=seg)
+        result = fit(
+            model, params, x, y, seg_cfg, optimizer=optimizer,
+            init_state=(raw, opt_state), step_offset=step,
+        )
+        raw, opt_state = result.raw_params, result.opt_state
+        step += seg
+        histories.append(np.asarray(result.history))
+        grad_norms.append(np.asarray(result.grad_norms))
+        ckpt.save(
+            directory,
+            {"raw": raw, "opt_state": opt_state, "step": step},
+            step=step,
+        )
+
+    if result is None:  # already complete on entry
+        trained = simm.constrain(raw)
+        if config.fix_params:
+            trained = simm.clamp_params(trained, gene_index=config.clamp_gene)
+        return TrainResult(
+            params=trained,
+            history=jnp.zeros((0,)),
+            grad_norms=jnp.zeros((0,)),
+            raw_params=raw,
+            opt_state=opt_state,
+        )
+    return dataclasses.replace(
+        result,
+        history=jnp.asarray(np.concatenate(histories)),
+        grad_norms=jnp.asarray(np.concatenate(grad_norms)),
     )

@@ -40,6 +40,50 @@ def _softplus_inv(y: torch.Tensor) -> torch.Tensor:
     return y + torch.log(-torch.expm1(-y))
 
 
+class TorchP53Dataset(torch.utils.data.Dataset):
+    """torch ``Dataset`` view of a loaded p53 dataset (the role of the
+    reference's ``PyTorchDataset``, ``src/gpytorch_alfi/dataset_alfi.py``):
+    items are ``(timepoints, expression)`` pairs indexed replicate-major
+    over genes; the 1-D blocked (train_t, train_y) encoding the torch
+    model consumes comes from :meth:`blocked`.
+
+    Construct from the framework's loader so both stacks share one data
+    path: ``TorchP53Dataset.from_p53(P53Data(...))``.
+    """
+
+    def __init__(self, timepoints, expressions, variances):
+        self.timepoints = torch.as_tensor(timepoints, dtype=torch.float64)
+        self.expressions = torch.as_tensor(expressions, dtype=torch.float64)
+        self.variances = torch.as_tensor(variances, dtype=torch.float64)
+        self.num_replicates = int(self.expressions.shape[0])
+        self.num_genes = int(self.expressions.shape[1])
+
+    @classmethod
+    def from_p53(cls, data):
+        import numpy as np
+
+        return cls(
+            np.asarray(data.timepoints),
+            np.asarray(data.gene_expressions),
+            np.asarray(data.gene_variances),
+        )
+
+    def __len__(self):
+        return self.num_replicates * self.num_genes
+
+    def __getitem__(self, index):
+        r, g = divmod(index, self.num_genes)
+        return self.timepoints, self.expressions[r, g]
+
+    def blocked(self):
+        """1-D blocked (train_t, train_y, variances) — gene identity by
+        block position (reference ``model_alfi.py:545-569``)."""
+        n_blocks = self.num_replicates * self.num_genes
+        train_t = self.timepoints.repeat(n_blocks)
+        train_y = self.expressions.reshape(-1)
+        return train_t, train_y, self.variances.reshape(-1)
+
+
 class TorchSIMM(torch.nn.Module):
     """Exact SIMM LFM on a 1-D blocked time vector (torch, f64, CPU)."""
 

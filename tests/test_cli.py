@@ -1,0 +1,98 @@
+"""Config/CLI surface: argument parsing, preset routing fields, and the
+canonical pipeline entry (smoke, synthetic source, tiny iteration count)."""
+
+import argparse
+
+from dis_project_tpu import config as cfg
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser()
+    cfg.add_cli_args(p)
+    return cfg.config_from_args(p.parse_args(argv))
+
+
+class TestConfigParsing:
+    def test_defaults_match_reference_canonical_run(self):
+        c = _parse([])
+        assert c.num_iters == 150
+        assert c.learning_rate == 0.01
+        assert c.jitter == 1e-4
+        assert c.fix_params is True
+        assert c.x64 is True
+        assert c.replicate == 0
+        assert c.preset == "p53"
+        assert c.model == "simm"
+
+    def test_replicate_all(self):
+        assert _parse(["--replicate", "all"]).replicate is None
+        assert _parse(["--replicate", "2"]).replicate == 2
+
+    def test_gene_subset(self):
+        c = _parse(["--genes", "p21,DDB2"])
+        assert c.selected_genes == ["p21", "DDB2"]
+
+    def test_preset_and_engine_flags(self):
+        c = _parse(
+            ["--preset", "dense10k", "--mll-engine", "cg",
+             "--synth-genes", "20", "--synth-timepoints", "50"]
+        )
+        assert c.preset == "dense10k"
+        assert c.mll_engine == "cg"
+        assert c.synth_genes == 20 and c.synth_timepoints == 50
+
+    def test_sparse_flags(self):
+        c = _parse(
+            ["--preset", "sparse100k", "--num-inducing", "64",
+             "--batch-size", "512", "--num-epochs", "7"]
+        )
+        assert (c.num_inducing, c.batch_size, c.num_epochs) == (64, 512, 7)
+
+    def test_ablation_and_precision_flags(self):
+        c = _parse(["--no-fix-params", "--no-x64", "--optimizer", "lbfgs"])
+        assert c.fix_params is False
+        assert c.x64 is False
+        assert c.optimizer == "lbfgs"
+
+    def test_resume_and_io_flags(self):
+        c = _parse(
+            ["--checkpoint-dir", "/tmp/x", "--resume",
+             "--metrics-path", "m.jsonl", "--out-dir", "o"]
+        )
+        assert c.resume is True
+        assert c.checkpoint_dir == "/tmp/x"
+        assert c.metrics_path == "m.jsonl"
+        assert c.out_dir == "o"
+
+
+class TestPipelineEntry:
+    def test_canonical_run_smoke(self, tmp_path):
+        """The full run() path end-to-end on synthetic data: trains, writes
+        metrics JSONL, hyperparams CSV and the three plots."""
+        import json
+        import os
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            replicate=0,
+            data_source="synthetic",
+            num_iters=5,
+            out_dir=str(tmp_path / "plots"),
+            metrics_path=str(tmp_path / "m.jsonl"),
+        )
+        entry.run(c)
+        lines = open(c.metrics_path).read().strip().splitlines()
+        assert len(lines) == 5
+        rec = json.loads(lines[-1])
+        assert {"step", "loss", "grad_norm"} <= set(rec)
+        for name in ("lf.png", "gxpr.png", "comparison.png"):
+            assert os.path.exists(os.path.join(c.out_dir, name))
+
+    def test_invalid_gene_raises(self):
+        import pytest
+
+        from dis_project_tpu.data.dataset import P53Data
+
+        with pytest.raises(ValueError, match="Invalid gene names"):
+            P53Data(replicate=0, source="synthetic", selected_genes=["FAKE"])

@@ -91,6 +91,52 @@ class TestCheckpointResume:
             np.asarray(restored["params"].decay), np.asarray(p2.decay)
         )
 
+    def test_fit_checkpointed_exact_resume(self, tmp_path):
+        """Segmented checkpointed training equals the unsegmented run
+        bit-for-bit (optimizer moments persisted), and killing mid-run then
+        rerunning picks up at the last segment boundary."""
+        from dis_project_tpu.data.dataset import P53Data, train_arrays
+        from dis_project_tpu.models import simm
+        from dis_project_tpu.training import trainer as tr
+
+        data = P53Data(replicate=0, source="synthetic")
+        X, y, _ = train_arrays(data)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        p0 = simm.init_params(5)
+        cfg = tr.TrainConfig(num_iters=60)
+
+        straight = tr.fit(model, p0, X, y, cfg)
+        d1 = str(tmp_path / "seg")
+        segmented = tr.fit_checkpointed(
+            model, p0, X, y, cfg, d1, checkpoint_every=25
+        )
+        np.testing.assert_allclose(
+            np.asarray(segmented.history),
+            np.asarray(straight.history),
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(segmented.params.decay),
+            np.asarray(straight.params.decay),
+            rtol=1e-12,
+        )
+
+        # Simulate a crash after 25 steps: a fresh call with the same dir
+        # resumes from the checkpoint and reproduces the tail exactly.
+        d2 = str(tmp_path / "crash")
+        tr.fit_checkpointed(
+            model, p0, X, y,
+            tr.TrainConfig(num_iters=25), d2, checkpoint_every=25,
+        )
+        resumed = tr.fit_checkpointed(
+            model, p0, X, y, cfg, d2, checkpoint_every=25
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.history),
+            np.asarray(straight.history)[25:],
+            rtol=1e-12,
+        )
+
     def test_trainer_resume_continues(self, tmp_path):
         """Train 30 iters, checkpoint, restore, train 30 more — must equal
         a straight 60-iter run (exact resume semantics)."""

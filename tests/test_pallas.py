@@ -79,6 +79,30 @@ def test_pallas_xf_kind():
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=5e-5)
 
 
+def test_pallas_gram_differentiable():
+    """pallas_call has no AD rule; the custom VJP must route gradients
+    through the XLA closed forms — parity with differentiating the XLA
+    implementation directly."""
+    import jax
+
+    decay, sens, ell = _params()
+    x = _rows(40, flag=1)
+
+    def loss_pallas(d, s, l):
+        K = pg.gram(x, d, s, l, kind="xx", interpret=True, tile_m=32, tile_n=128)
+        return jnp.sum(K * jnp.cos(K))
+
+    def loss_xla(d, s, l):
+        K = gram_ops.gram(x, d, s, l)
+        return jnp.sum(K * jnp.cos(K))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(decay, sens, ell)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(decay, sens, ell)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
 def test_pallas_gram_symmetric_psd():
     decay, sens, ell = _params()
     x = _rows(64, flag=1)
