@@ -45,6 +45,8 @@ class RunConfig:
     # model
     jitter: float = 1e-4
     legacy_block_mean: bool = False
+    # tie B/S/D across genes (shared-vs-per-gene kinetics ablation)
+    shared_kinetics: bool = False
     # training (reference canonical run: adam lr=0.01, 150 iters, f64)
     num_iters: int = 150
     learning_rate: float = 0.01
@@ -99,6 +101,9 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         choices=["adam", "lbfgs"])
     parser.add_argument("--no-fix-params", action="store_true",
                         help="disable the p21 identifiability clamp")
+    parser.add_argument("--shared-kinetics", action="store_true",
+                        help="tie basal/sensitivity/decay across genes "
+                        "(ablation; implies --no-fix-params)")
     parser.add_argument("--steps-per-epoch", type=int, default=d.num_steps_per_epoch)
     parser.add_argument("--track-parameters", action="store_true")
     parser.add_argument("--no-x64", action="store_true",
@@ -133,6 +138,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         data_source=args.data_source,
         seed=args.seed,
         jitter=args.jitter,
+        shared_kinetics=args.shared_kinetics,
         num_iters=args.num_iters,
         learning_rate=args.learning_rate,
         optimizer=args.optimizer,

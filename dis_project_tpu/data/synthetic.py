@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dis_project_tpu.ops import lfm_kernels as lfk
 from dis_project_tpu.ops.precision import default_float
 
 
@@ -82,7 +81,16 @@ class SyntheticLFMData:
         return self.num_replicates * self.num_genes
 
     def params_ground_truth(self):
+        """(B, S, D) for first-order data; (B, S, alpha, omega) for
+        second-order data (``generate_ode2``)."""
         p = self.params_true
+        if "alpha" in p:
+            return (
+                np.asarray(p["basal"]),
+                np.asarray(p["sensitivity"]),
+                np.asarray(p["alpha"]),
+                np.asarray(p["omega"]),
+            )
         return (
             np.asarray(p["basal"]),
             np.asarray(p["sensitivity"]),
@@ -272,3 +280,87 @@ def generate_ode(
         params,
         f_true,
     )
+
+
+def generate_ode2(
+    key,
+    cfg: Optional[SyntheticConfig] = None,
+    oversample: int = 16,
+    alpha_range: tuple = (0.2, 0.8),
+    omega_range: tuple = (0.6, 1.6),
+    dtype=None,
+) -> SyntheticLFMData:
+    r"""Second-order (spring-damper) quadrature oracle.
+
+    Integrates :math:`\ddot x + 2\alpha \dot x + (\alpha^2+\omega^2) x =
+    B + S f(t)` with resting initial conditions (x(0) = B/k, x'(0) = 0)
+    against a force drawn from the consistent RBF prior, by trapezoid
+    convolution with the damped-oscillator Green's function — independent
+    of the complex-erf closed forms in ``ops.lfm_kernels2``. Ground-truth
+    kinetics live in ``params_true`` (keys ``alpha``/``omega`` replacing
+    ``decay``).
+    """
+    cfg = cfg or SyntheticConfig()
+    dtype = dtype or default_float()
+    kp, kf, kn, ka, kw = jax.random.split(key, 5)
+    base = _sample_kinetics(kp, cfg, dtype)
+    G, T, R = cfg.num_genes, cfg.num_timepoints, cfg.num_replicates
+
+    def u(k, lo_hi):
+        lo, hi = lo_hi
+        return jax.random.uniform(k, (G,), dtype, lo, hi)
+
+    params = {
+        "basal": base["basal"],
+        "sensitivity": base["sensitivity"],
+        "alpha": u(ka, alpha_range),
+        "omega": u(kw, omega_range),
+        "lengthscale": base["lengthscale"],
+    }
+
+    n_fine = (T - 1) * oversample + 1
+    t_fine = np.linspace(0.0, cfg.t_max, n_fine)
+    Kff = np.exp(
+        -((t_fine[:, None] - t_fine[None, :]) ** 2)
+        / float(params["lengthscale"]) ** 2
+    )
+    Lf = np.linalg.cholesky(Kff + 1e-8 * np.eye(n_fine))
+    eps = np.asarray(jax.random.normal(kf, (n_fine,), jnp.float32), np.float64)
+    f_fine = Lf @ eps
+
+    dt = t_fine[1] - t_fine[0]
+    a = np.asarray(params["alpha"], np.float64)[:, None]
+    w = np.asarray(params["omega"], np.float64)[:, None]
+    s = np.asarray(params["sensitivity"], np.float64)[:, None]
+    b = np.asarray(params["basal"], np.float64)[:, None]
+    spring = a**2 + w**2
+
+    # x(t_i) = B/k + S * trapz_u g(t_i - u) f(u): direct convolution per
+    # output time (the Green's function is not separable like e^{-D t},
+    # so no single cumulative integral; F = T*oversample sums of length F).
+    # tau[_, i, f] = t_out[i] - u[f] (the Green's function argument)
+    tau = t_fine[None, ::oversample, None] - t_fine[None, None, :]  # (1,T,F)
+    green = np.where(
+        tau >= 0,
+        np.exp(-a[:, :, None] * tau) * np.sin(w[:, :, None] * tau)
+        / w[:, :, None],
+        0.0,
+    )  # (G, T, F)
+    weights = np.full(n_fine, dt)
+    weights[0] = weights[-1] = dt / 2.0
+    x = b / spring + s * np.einsum("gtf,f,f->gt", green, f_fine, weights)
+
+    f_true = jnp.asarray(f_fine[::oversample], dtype)
+    noise = cfg.noise_std * np.asarray(
+        jax.random.normal(kn, (R, G, T), jnp.float32), np.float64
+    )
+    expressions = jnp.asarray(x[None, :, :] + noise, dtype)
+    variances = jnp.full((R, G, T), cfg.noise_std**2, dtype)
+    data = SyntheticLFMData(
+        jnp.linspace(0.0, cfg.t_max, T, dtype=dtype),
+        expressions,
+        variances,
+        params,
+        f_true,
+    )
+    return data

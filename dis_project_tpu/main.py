@@ -65,8 +65,11 @@ def run(config: cfg.RunConfig):
         num_genes=data.num_genes,
         jitter=config.jitter,
         legacy_block_mean=config.legacy_block_mean,
+        shared_kinetics=config.shared_kinetics,
     )
-    params0 = simm.init_params(data.num_genes)
+    params0 = simm.init_params(
+        data.num_genes, shared_kinetics=config.shared_kinetics
+    )
     start_step = 0
     if config.resume and config.checkpoint_dir:
         from dis_project_tpu.training import checkpoint as ckpt
@@ -86,7 +89,8 @@ def run(config: cfg.RunConfig):
     train_cfg = tr.TrainConfig(
         num_iters=config.num_iters,
         learning_rate=config.learning_rate,
-        fix_params=config.fix_params,
+        # The per-gene p21 clamp is meaningless with tied kinetics.
+        fix_params=config.fix_params and not config.shared_kinetics,
         num_steps_per_epoch=config.num_steps_per_epoch,
         track_parameters=config.track_parameters,
         optimizer=config.optimizer,
@@ -457,6 +461,16 @@ def run_sparse(config: cfg.RunConfig):
     corr = float(np.corrcoef(np.asarray(post.mean),
                              np.asarray(data.f_true))[0, 1])
     print(f"Latent-force recovery correlation vs generating force: {corr:.3f}")
+    from dis_project_tpu.reporting import plotter
+
+    plotter.plot_lf(
+        jnp.stack([t_grid, -jnp.ones_like(t_grid), jnp.zeros_like(t_grid)], -1),
+        post,
+        y_scatter=np.asarray(data.f_true).reshape(1, 1, -1),
+        save_name=config.save_name or "sparse_lf",
+        out_dir=config.out_dir,
+    )
+    print(f"Latent-force recovery plot saved under {config.out_dir}/")
     if config.metrics_path:
         with open(config.metrics_path, "w") as f:
             for e, row in enumerate(hist):

@@ -64,13 +64,19 @@ SIMM_BIJECTORS = SIMMParams(
 )
 
 
-def init_params(num_genes: int, dtype=None) -> SIMMParams:
-    """Reference inits: B=0.05, S=1.0, D=0.4, l=2.5, obs_stddev=1.0."""
+def init_params(num_genes: int, dtype=None, shared_kinetics: bool = False) -> SIMMParams:
+    """Reference inits: B=0.05, S=1.0, D=0.4, l=2.5, obs_stddev=1.0.
+
+    ``shared_kinetics=True`` ties B/S/D across genes (one trainable value
+    each, shape (1,)) — the shared-vs-per-gene ablation axis; pair with
+    ``ExactSIMM(shared_kinetics=True)``.
+    """
     dtype = dtype or default_float()
+    g = 1 if shared_kinetics else num_genes
     return SIMMParams(
-        basal=jnp.full((num_genes,), 0.05, dtype),
-        sensitivity=jnp.full((num_genes,), 1.0, dtype),
-        decay=jnp.full((num_genes,), 0.4, dtype),
+        basal=jnp.full((g,), 0.05, dtype),
+        sensitivity=jnp.full((g,), 1.0, dtype),
+        decay=jnp.full((g,), 0.4, dtype),
         lengthscale=jnp.asarray(2.5, dtype),
         obs_stddev=jnp.asarray(1.0, dtype),
     )
@@ -120,6 +126,9 @@ class ExactSIMM:
     gram_impl: str = "auto"
     chol_impl: str = "auto"
     canonical_rows: bool = False
+    # Tie B/S/D across genes (one trainable value each; params hold
+    # shape-(1,) kinetics) — the shared-vs-per-gene ablation.
+    shared_kinetics: bool = False
 
     PALLAS_GRAM_MIN_N = 512
     PALLAS_GRAM_MAX_N = 6144
@@ -145,10 +154,22 @@ class ExactSIMM:
     def _kind(self, default: str) -> str:
         return default if self.canonical_rows else "mixed"
 
+    def _expand(self, params: SIMMParams) -> SIMMParams:
+        """Broadcast shared (1,) kinetics to per-gene (G,) for the gathers."""
+        if not self.shared_kinetics:
+            return params
+        G = self.num_genes
+        return params._replace(
+            basal=jnp.broadcast_to(params.basal, (G,)),
+            sensitivity=jnp.broadcast_to(params.sensitivity, (G,)),
+            decay=jnp.broadcast_to(params.decay, (G,)),
+        )
+
     # -- model pieces -----------------------------------------------------
 
     def mean_function(self, params: SIMMParams, x: jnp.ndarray) -> jnp.ndarray:
         """SIMM mean: B_j / D_j on expression rows, 0 on force rows."""
+        params = self._expand(params)
         ratio = params.basal / params.decay  # (G,)
         flags = x[:, 2]
         if self.legacy_block_mean:
@@ -170,6 +191,7 @@ class ExactSIMM:
     def cross_covariance(
         self, params: SIMMParams, x1: jnp.ndarray, x2: jnp.ndarray, kind: str = "mixed"
     ) -> jnp.ndarray:
+        params = self._expand(params)
         impl = self._resolve_gram(max(x1.shape[0], x2.shape[0]), x1.dtype)
         if impl == "pallas":
             from dis_project_tpu.ops import pallas_gram
@@ -193,11 +215,14 @@ class ExactSIMM:
         :func:`dis_project_tpu.ops.mll.mvn_logpdf`.
         """
         y = y.reshape(-1)
-        mx = self.mean_function(params, x)
-        K = self.gram(params, x, self._kind("xx"))
+        with jax.named_scope("simm_mean"):
+            mx = self.mean_function(params, x)
+        with jax.named_scope("simm_gram"):
+            K = self.gram(params, x, self._kind("xx"))
         sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
         impl = self._resolve_chol(x.shape[0], x.dtype)
-        return mll_ops.mvn_logpdf(y, mx, sigma, impl=impl)
+        with jax.named_scope("simm_mvn_logpdf"):
+            return mll_ops.mvn_logpdf(y, mx, sigma, impl=impl)
 
     def mll_iterative(
         self,

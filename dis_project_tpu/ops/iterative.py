@@ -52,6 +52,21 @@ def batched_cg(matvec, b, *, tol: float = 1e-10, max_iters: int = 256):
     vectorised over R); stops when every column's residual norm is below
     ``tol * ||b||`` or at ``max_iters``.
     """
+    # Krylov recurrences are precision-critical: on TPU the default matmul
+    # precision (bf16-ish passes under allow_excess_precision) destroys
+    # Lanczos orthogonality and can stall CG at large N — measured at
+    # N=1e4: SLQ logdet -4722 (garbage; must be >= 0) at default precision
+    # vs 63.2 at HIGHEST. Everything in this module traces under HIGHEST;
+    # on v5e the measured f32 matmul rate is the same either way.
+    return _batched_cg_hp(matvec, b, tol, max_iters)
+
+
+def _batched_cg_hp(matvec, b, tol, max_iters):
+    with jax.default_matmul_precision("highest"):
+        return _batched_cg_impl(matvec, b, tol, max_iters)
+
+
+def _batched_cg_impl(matvec, b, tol, max_iters):
     b_norm = jnp.linalg.norm(b, axis=0)  # (R,)
     thresh = tol * jnp.maximum(b_norm, 1e-30)
 
@@ -87,8 +102,14 @@ def lanczos(matvec, v0, m: int):
     """m-step Lanczos with full reorthogonalisation for one start vector.
 
     Returns (alphas (m,), betas (m-1,)) of the tridiagonal T_m. ``v0`` need
-    not be normalised (handled internally).
+    not be normalised (handled internally). Runs at HIGHEST matmul
+    precision (see :func:`batched_cg`).
     """
+    with jax.default_matmul_precision("highest"):
+        return _lanczos_impl(matvec, v0, m)
+
+
+def _lanczos_impl(matvec, v0, m: int):
     n = v0.shape[0]
     v0 = v0 / jnp.linalg.norm(v0)
     V = jnp.zeros((m, n), v0.dtype).at[0].set(v0)

@@ -9,9 +9,11 @@ import numpy as np
 
 
 def hyperparam_rows(params, data):
-    basal = np.asarray(params.basal)
-    sens = np.asarray(params.sensitivity)
-    decay = np.asarray(params.decay)
+    G = len(data.gene_names)
+    # Shared-kinetics params hold shape-(1,) values; show them per gene.
+    basal = np.broadcast_to(np.asarray(params.basal), (G,))
+    sens = np.broadcast_to(np.asarray(params.sensitivity), (G,))
+    decay = np.broadcast_to(np.asarray(params.decay), (G,))
     return list(zip(data.gene_names, basal, sens, decay))
 
 

@@ -104,6 +104,45 @@ class TestGenerateODE:
         err = np.abs(recon[:, 5:-5] - f[None, 5:-5]).max()
         assert err < 0.05
 
+    def test_generate_ode2_shapes_and_ic(self):
+        cfg = small_cfg(noise_std=0.0, num_replicates=1)
+        data = synthetic.generate_ode2(jax.random.PRNGKey(8), cfg, oversample=8)
+        b, s, a, w = data.params_ground_truth()
+        assert data.gene_expressions.shape == (1, 4, 12)
+        # resting initial condition x(0) = B / (alpha^2 + omega^2)
+        np.testing.assert_allclose(
+            np.asarray(data.gene_expressions[0, :, 0]),
+            b / (a**2 + w**2),
+            rtol=1e-6,
+        )
+
+    def test_generate_ode2_statistics_match_closed_form(self):
+        """Covariance of many second-order ODE draws must match k_xx2 —
+        the generator and ops/lfm_kernels2 are independent implementations."""
+        from dis_project_tpu.ops import lfm_kernels2 as lfk2
+
+        cfg = synthetic.SyntheticConfig(
+            num_genes=1, num_timepoints=5, num_replicates=1, noise_std=0.0,
+            basal_range=(0.02, 0.02), sensitivity_range=(1.0, 1.0),
+        )
+        draws = []
+        for i in range(200):
+            d = synthetic.generate_ode2(
+                jax.random.PRNGKey(300 + i), cfg, oversample=16,
+                alpha_range=(0.5, 0.5), omega_range=(1.0, 1.0),
+            )
+            draws.append(np.asarray(d.gene_expressions[0, 0]))
+        draws = np.stack(draws) - 0.02 / (0.25 + 1.0)
+        emp = np.cov(draws.T, bias=True)
+        t = jnp.linspace(0, 12.0, 5)
+        K = np.asarray(
+            lfk2.k_xx2_block(
+                t, t, jnp.full((1,), 0.5), jnp.full((1,), 1.0),
+                jnp.full((1,), 1.0), jnp.asarray(2.5),
+            )
+        )
+        assert np.abs(emp - K).max() < 0.35 * np.abs(K).max()
+
     def test_prior_and_ode_paths_agree_statistically(self):
         """Gene-gene covariance of many ODE-integrated draws must match the
         closed-form k_xx the exact sampler uses — the two generators are

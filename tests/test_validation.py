@@ -67,7 +67,7 @@ class TestStaticParity:
     def test_mll_at_init_agrees(self, problem):
         data, X, y, var, tm = problem
         params = simm.init_params(5)
-        got_t = float(tm.mll(torch.tensor(np.asarray(y))))
+        got_t = float(tm.mll(torch.tensor(np.asarray(y))).detach())
         got_j = float(_jax_mll_with_variances(params, X, y, var))
         assert got_t == pytest.approx(got_j, abs=1e-8)
 
