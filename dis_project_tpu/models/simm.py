@@ -27,7 +27,7 @@ Behavioral parity notes (each deliberate, see SURVEY.md §2/§7):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,8 @@ collectives; the sharded Cholesky upgrade slots in behind ``ops.mll``.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -51,6 +51,24 @@ def annotated(name: str):
     return deco
 
 
+def dump_hlo(fn, *args, path: str | None = None, optimized: bool = True) -> str:
+    """Lower+compile ``fn(*args)`` and return (optionally write) its HLO
+    text — fusion decisions, layouts and rematerialisation are all visible
+    here. ``optimized=False`` gives the pre-optimisation stable HLO."""
+    lowered = jax.jit(fn).lower(*args)
+    if optimized:
+        text = lowered.compile().as_text()
+    else:
+        text = lowered.as_text()
+    if path:
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
 @dataclasses.dataclass(frozen=True)
 class FlopReport:
     n: int

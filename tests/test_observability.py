@@ -67,6 +67,21 @@ class TestProfiling:
 
         np.testing.assert_allclose(np.asarray(f(x)), 3.0)
 
+    def test_dump_hlo(self, tmp_path):
+        path = str(tmp_path / "hlo" / "f.txt")
+        text = profiling.dump_hlo(
+            lambda a, b: a @ b + 1.0,
+            jnp.ones((16, 16)),
+            jnp.ones((16, 16)),
+            path=path,
+        )
+        assert "fusion" in text or "dot" in text
+        assert os.path.exists(path)
+        unopt = profiling.dump_hlo(
+            lambda a: jnp.sum(a), jnp.ones(8), optimized=False
+        )
+        assert "reduce" in unopt
+
     def test_trace_writes_files(self, tmp_path):
         d = str(tmp_path / "trace")
         with profiling.trace(d):
