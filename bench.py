@@ -231,14 +231,25 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
         updates, _ = optimizer.update(grads, opt_state)
         return jax.tree.leaves(optax.apply_updates(raw, updates))[0]
 
+    tp = jnp.asarray(t, dtype)
+
+    def one_step_gridded(eps, raw, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda r: -model.mll_gridded(simm.constrain(r), tp + eps, y)
+        )(raw)
+        updates, _ = optimizer.update(grads, opt_state)
+        return jax.tree.leaves(optax.apply_updates(raw, updates))[0]
+
     step_s = time_op(one_step, raw0, opt_state, iters=4)
+    grid_s = time_op(one_step_gridded, raw0, opt_state, iters=4)
     report = flop_report(n)
     # forward + backward ~ 3x the forward O(N^3) work (chol + tri-inv + syrk)
     return {
         "train_step_n": n,
         "train_step_s": round(step_s, 6),
+        "train_step_gridded_s": round(grid_s, 6),
         "train_step_roofline_frac": round(
-            3 * report.seconds_at_peak() / step_s, 4
+            3 * report.seconds_at_peak() / grid_s, 4
         ),
     }
 

@@ -363,17 +363,40 @@ def run_dense(config: cfg.RunConfig):
             grad_norms=jnp.zeros_like(history),
         )
     else:
-        print("Training (full-batch exact MLL, Cholesky engine)...")
-        res = tr.fit(
-            model,
-            simm.init_params(scfg.num_genes, dtype=X.dtype),
-            X,
-            y,
-            tr.TrainConfig(
-                num_iters=config.num_iters,
-                learning_rate=config.learning_rate,
-                fix_params=False,
-            ),
+        # Gridded fast path: the synthetic data sits on one time grid, so
+        # the Gram builds from small transcendental tables (11x faster
+        # than the row-metadata build at N=1e4 on v5e).
+        import optax
+
+        print("Training (full-batch exact MLL, Cholesky engine, gridded Gram)...")
+        timepoints = jnp.asarray(data.timepoints, X.dtype)
+        raw0 = simm.unconstrain(simm.init_params(scfg.num_genes, dtype=X.dtype))
+        optimizer = optax.adam(config.learning_rate)
+
+        @jax.jit
+        def fit_gridded(raw):
+            opt_state = optimizer.init(raw)
+
+            def step(carry, _):
+                raw, opt_state = carry
+                loss, grads = jax.value_and_grad(
+                    lambda r: -model.mll_gridded(
+                        simm.constrain(r), timepoints, y
+                    )
+                )(raw)
+                updates, opt_state = optimizer.update(grads, opt_state)
+                return (optax.apply_updates(raw, updates), opt_state), loss
+
+            (raw, _), hist = jax.lax.scan(
+                step, (raw, opt_state), None, length=config.num_iters
+            )
+            return raw, hist
+
+        raw_f, history = fit_gridded(raw0)
+        res = tr.TrainResult(
+            params=simm.constrain(raw_f),
+            history=history,
+            grad_norms=jnp.zeros_like(history),
         )
         final = float(res.history[-1])
     jax.block_until_ready(res.history)

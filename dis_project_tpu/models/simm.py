@@ -224,6 +224,35 @@ class ExactSIMM:
         with jax.named_scope("simm_mvn_logpdf"):
             return mll_ops.mvn_logpdf(y, mx, sigma, impl=impl)
 
+    def mll_gridded(
+        self,
+        params: SIMMParams,
+        timepoints: jnp.ndarray,
+        y: jnp.ndarray,
+        replicates: int = 1,
+    ) -> jnp.ndarray:
+        """Exact conjugate MLL for canonical GRIDDED data (gene-major
+        blocks of one shared time grid, optionally replicate-tiled — the
+        layout ``dataset_3d`` produces). Uses the table-based fast Gram
+        (``ops.gram.gram_xx_blocked_fast``): O(T G^2) transcendentals
+        instead of O((GT)^2), leaving bandwidth-bound gathers — measured
+        ~4x faster than the row-metadata build at N=10^4 on v5e. Same
+        Sigma convention as :meth:`mll`.
+        """
+        params = self._expand(params)
+        y = y.reshape(-1)
+        T = timepoints.shape[0]
+        with jax.named_scope("simm_gram_gridded"):
+            K = gram_ops.gram_xx_blocked_fast(
+                timepoints, params.decay, params.sensitivity, params.lengthscale
+            )
+            if replicates > 1:
+                K = jnp.tile(K, (replicates, replicates))
+        mean = jnp.tile(jnp.repeat(params.basal / params.decay, T), replicates)
+        sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
+        impl = self._resolve_chol(y.shape[0], y.dtype)
+        return mll_ops.mvn_logpdf(y, mean, sigma, impl=impl)
+
     def mll_iterative(
         self,
         params: SIMMParams,

@@ -1,0 +1,86 @@
+"""Table-based gridded Gram and the gridded MLL path: exactness vs the
+generic row-metadata implementation, gradients, and replicate tiling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dis_project_tpu.data.dataset import P53Data, train_arrays
+from dis_project_tpu.models import simm
+from dis_project_tpu.ops import gram as gram_ops
+from dis_project_tpu.ops import lfm_kernels as lfk
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.mark.parametrize("G,T", [(2, 5), (5, 7), (7, 23)])
+def test_fast_gram_matches_block_builder(G, T):
+    t = jnp.linspace(0.0, 12.0, T)
+    d = jnp.asarray(RNG.uniform(0.2, 1.0, G))
+    s = jnp.asarray(RNG.uniform(0.5, 1.5, G))
+    for ell in (0.7, 2.5, 3.4):
+        ref = lfk.k_xx_block(t, t, d, s, jnp.asarray(ell))
+        fast = gram_ops.gram_xx_blocked_fast(t, d, s, jnp.asarray(ell))
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-12)
+
+
+def test_fast_gram_gradients_match():
+    G, T = 4, 9
+    t = jnp.linspace(0.0, 12.0, T)
+    d = jnp.asarray(RNG.uniform(0.2, 1.0, G))
+    s = jnp.asarray(RNG.uniform(0.5, 1.5, G))
+
+    def loss_fast(d, s, l):
+        return jnp.sum(jnp.sin(gram_ops.gram_xx_blocked_fast(t, d, s, l)))
+
+    def loss_ref(d, s, l):
+        return jnp.sum(jnp.sin(lfk.k_xx_block(t, t, d, s, l)))
+
+    gf = jax.grad(loss_fast, argnums=(0, 1, 2))(d, s, jnp.asarray(2.0))
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(d, s, jnp.asarray(2.0))
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
+class TestGriddedMLL:
+    def test_matches_row_mll_single_replicate(self):
+        data = P53Data(replicate=0, source="synthetic")
+        X, y, _ = train_arrays(data)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        p = simm.init_params(5)
+        a = float(model.mll(p, X, y))
+        b = float(model.mll_gridded(p, data.timepoints, y))
+        assert b == pytest.approx(a, rel=1e-12)
+
+    def test_matches_row_mll_all_replicates(self):
+        data = P53Data(replicate=None, source="synthetic")
+        X, y, _ = train_arrays(data)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        p = simm.init_params(5)
+        a = float(model.mll(p, X, y))
+        b = float(model.mll_gridded(p, data.timepoints, y, replicates=3))
+        assert b == pytest.approx(a, rel=1e-12)
+
+    def test_gradients_match_row_mll(self):
+        data = P53Data(replicate=0, source="synthetic")
+        X, y, _ = train_arrays(data)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        raw = simm.unconstrain(simm.init_params(5))
+        g_row = jax.grad(lambda r: -model.mll(simm.constrain(r), X, y))(raw)
+        g_grid = jax.grad(
+            lambda r: -model.mll_gridded(simm.constrain(r), data.timepoints, y)
+        )(raw)
+        for a, b in zip(jax.tree.leaves(g_row), jax.tree.leaves(g_grid)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_shared_kinetics_gridded(self):
+        data = P53Data(replicate=0, source="synthetic")
+        X, y, _ = train_arrays(data)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4, shared_kinetics=True)
+        p = simm.init_params(5, shared_kinetics=True)
+        a = float(model.mll(p, X, y))
+        b = float(model.mll_gridded(p, data.timepoints, y))
+        assert b == pytest.approx(a, rel=1e-12)
