@@ -253,6 +253,69 @@ class ExactSIMM:
         impl = self._resolve_chol(y.shape[0], y.dtype)
         return mll_ops.mvn_logpdf(y, mean, sigma, impl=impl)
 
+    def mll_replicated(
+        self,
+        params: SIMMParams,
+        timepoints: jnp.ndarray,
+        y: jnp.ndarray,
+        replicates: int,
+    ) -> jnp.ndarray:
+        r"""Exact conjugate MLL for R replicates, R^3-fold cheaper.
+
+        The training covariance over replicate-tiled rows is EXACTLY
+
+        .. math:: \Sigma = J_R \otimes B + c I, \qquad c = jitter +
+                  \sigma_{obs}^2
+
+        (the kernel ignores the replicate index — reference
+        ``src/model.py:392-414`` rebuilds identical blocks per replicate
+        pair — and the reference MLL adds only the uniform noise, not the
+        per-point variances). Diagonalising the all-ones matrix
+        :math:`J_R = Q\,\mathrm{diag}(R,0,\dots)\,Q^\top` block-
+        diagonalises :math:`\Sigma` into ONE dense (GT, GT) system
+        :math:`R B + cI` plus :math:`(R-1)` pure-noise copies:
+
+        .. math:: \log p = \log N(\bar y \sqrt R \mid \sqrt R\,\mu,
+                  R B + c I) + \sum_{r>1} \log N(z_r \mid 0, c I)
+
+        where :math:`\bar y` is the replicate mean and the :math:`z_r`
+        are the orthogonal residual combinations — computable from
+        :math:`\sum_r \lVert y_r \rVert^2` alone. O((GT)^3) instead of
+        O((RGT)^3): 27x fewer factorisation FLOPs for the canonical
+        3-replicate run. Value/gradient parity with :meth:`mll` tested
+        to 1e-12.
+        """
+        params = self._expand(params)
+        T = timepoints.shape[0]
+        n_block = self.num_genes * T
+        R = replicates
+        Y = y.reshape(R, n_block)
+        c = self.jitter + params.obs_stddev**2
+
+        B = gram_ops.gram_xx_blocked_fast(
+            timepoints, params.decay, params.sensitivity, params.lengthscale
+        )
+        mu = jnp.repeat(params.basal / params.decay, T)
+
+        ybar = jnp.mean(Y, axis=0)
+        # Dense component: sqrt(R)*(ybar - mu) ~ N(0, R B + c I).
+        sigma1 = mll_ops.add_diagonal(R * B, c)
+        impl = self._resolve_chol(n_block, y.dtype)
+        w = jnp.sqrt(jnp.asarray(R, y.dtype)) * (ybar - mu)
+        logp_dense = mll_ops.mvn_logpdf(w, jnp.zeros_like(w), sigma1, impl=impl)
+
+        # Orthogonal complement: (R-1)*n_block iid N(0, c) residuals with
+        # total energy sum_r ||y_r - mu||^2 - R ||ybar - mu||^2.
+        resid = Y - mu[None, :]
+        ss_total = jnp.sum(resid * resid)
+        ss_mean = R * jnp.sum((ybar - mu) ** 2)
+        ss_perp = ss_total - ss_mean
+        n_perp = (R - 1) * n_block
+        logp_perp = -0.5 * (
+            ss_perp / c + n_perp * jnp.log(c) + n_perp * mll_ops.LOG_2PI
+        )
+        return logp_dense + logp_perp
+
     def mll_iterative(
         self,
         params: SIMMParams,

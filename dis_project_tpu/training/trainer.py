@@ -73,6 +73,7 @@ def fit(
     optimizer: Optional[optax.GradientTransformation] = None,
     init_state: Optional[Tuple] = None,
     step_offset: int = 0,
+    gridded: Optional[Tuple] = None,
 ) -> TrainResult:
     """Train to the (negative) exact MLL. The full loop is one XLA program.
 
@@ -81,12 +82,28 @@ def fit(
     shifts the global step counter so the epoch-clamp schedule is
     preserved across segments — the resume path of
     :func:`fit_checkpointed`.
+
+    ``gridded``: optional ``(timepoints, replicates)`` promise that the
+    rows are canonical gene-major grid blocks (what ``dataset_3d``
+    produces) — routes the loss through ``model.mll_replicated``: the
+    table-based Gram build plus the Kronecker replicate diagonalisation
+    (exact to 1e-12 vs the row path, R^3-fold cheaper factorisation).
     """
     optimizer = optimizer or make_optimizer(config)
     y = y.reshape(-1)
 
-    def loss_fn(raw):
-        return -model.mll(simm.constrain(raw), x, y)
+    if gridded is not None:
+        timepoints, replicates = gridded
+
+        def loss_fn(raw):
+            return -model.mll_replicated(
+                simm.constrain(raw), timepoints, y, replicates
+            )
+
+    else:
+
+        def loss_fn(raw):
+            return -model.mll(simm.constrain(raw), x, y)
 
     def clamp_raw(raw):
         return simm.clamp_params(

@@ -76,6 +76,37 @@ class TestGriddedMLL:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-9, atol=1e-12)
 
+    def test_replicated_mll_matches_full(self):
+        """The Kronecker-diagonalised R-replicate MLL equals the dense
+        (RGT)^3 computation exactly — value and gradients."""
+        data = P53Data(replicate=None, source="synthetic")
+        X, y, _ = train_arrays(data)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        p = simm.init_params(5)
+        a = float(model.mll(p, X, y))
+        b = float(model.mll_replicated(p, data.timepoints, y, replicates=3))
+        assert b == pytest.approx(a, rel=1e-12)
+
+        raw = simm.unconstrain(p)
+        g_full = jax.grad(lambda r: -model.mll(simm.constrain(r), X, y))(raw)
+        g_rep = jax.grad(
+            lambda r: -model.mll_replicated(
+                simm.constrain(r), data.timepoints, y, replicates=3
+            )
+        )(raw)
+        for u, v in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_rep)):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_replicated_mll_single_replicate_degenerates(self):
+        data = P53Data(replicate=0, source="synthetic")
+        X, y, _ = train_arrays(data)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        p = simm.init_params(5)
+        a = float(model.mll(p, X, y))
+        b = float(model.mll_replicated(p, data.timepoints, y, replicates=1))
+        assert b == pytest.approx(a, rel=1e-12)
+
     def test_shared_kinetics_gridded(self):
         data = P53Data(replicate=0, source="synthetic")
         X, y, _ = train_arrays(data)

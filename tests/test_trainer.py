@@ -78,6 +78,27 @@ def test_param_tracking(p53):
     assert res.grad_norms.shape == (10,)
 
 
+def test_gridded_fit_matches_row_fit(p53):
+    """Training through the Kronecker/table fast path reproduces the
+    row-based trajectory step for step."""
+    data, X, y, _ = p53
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    p0 = simm.init_params(5)
+    cfg = tr.TrainConfig(num_iters=30)
+    rows = tr.fit(model, p0, X, y, cfg)
+    grid = tr.fit(
+        model, p0, X, y, cfg,
+        gridded=(data.timepoints, data.num_replicates),
+    )
+    np.testing.assert_allclose(
+        np.asarray(grid.history), np.asarray(rows.history), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(grid.params.decay), np.asarray(rows.params.decay),
+        rtol=1e-9,
+    )
+
+
 def test_shared_kinetics_ablation(p53):
     """Tied B/S/D: one trainable value per kinetic parameter, every gene's
     row uses it, and training still improves the MLL."""
