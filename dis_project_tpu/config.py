@@ -62,6 +62,9 @@ class RunConfig:
     # parallel
     mesh_shape: Optional[Sequence[int]] = None  # e.g. (4, 2)
     mesh_axes: Sequence[str] = ("data", "model")
+    # p53-replicates preset: train one model PER replicate as a mesh
+    # ensemble (one SPMD program) instead of one joint all-replicate model
+    ensemble: bool = False
     # reporting
     out_dir: str = "plots"
     save_name: Optional[str] = None
@@ -86,6 +89,11 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--num-epochs", type=int, default=d.num_epochs)
     parser.add_argument("--mll-engine", default=d.mll_engine,
                         choices=["cholesky", "cg"])
+    parser.add_argument("--ensemble", action="store_true",
+                        help="p53-replicates: per-replicate model ensemble "
+                        "as one SPMD mesh program")
+    parser.add_argument("--mesh-shape", type=str, default=None,
+                        help="device mesh shape, e.g. 4,2 (data,model)")
     parser.add_argument("--replicate", type=str, default="0",
                         help="replicate index 0-2, or 'all'")
     parser.add_argument("--genes", type=str, default=None,
@@ -132,6 +140,12 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         mll_engine=args.mll_engine,
+        ensemble=args.ensemble,
+        mesh_shape=(
+            tuple(int(v) for v in args.mesh_shape.split(","))
+            if args.mesh_shape
+            else None
+        ),
         replicate=replicate,
         selected_genes=genes,
         data_dir=args.data_dir,

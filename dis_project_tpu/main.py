@@ -152,6 +152,64 @@ def run(config: cfg.RunConfig):
     return result
 
 
+def run_replicate_ensemble(config: cfg.RunConfig):
+    """Per-replicate model ensemble as ONE SPMD program (BASELINE config 2
+    via the mesh layer): each replicate's single-replicate model trains as
+    an ensemble member, data-parallel over the device mesh."""
+    import numpy as np
+
+    _setup_backend(config)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dis_project_tpu.data.dataset import P53Data, train_arrays
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.parallel import fit_ensemble, make_mesh
+    from dis_project_tpu.reporting import tables
+
+    data = P53Data(
+        replicate=None,
+        data_dir=config.data_dir,
+        selected_genes=config.selected_genes,
+        source=config.data_source,
+        seed=config.seed,
+    )
+    # One member per replicate: identical X rows (single-replicate grid),
+    # member-specific targets.
+    single = P53Data(replicate=0, data_dir=config.data_dir,
+                     selected_genes=config.selected_genes,
+                     source=config.data_source, seed=config.seed)
+    X, _, _ = train_arrays(single)
+    y_batch = jnp.asarray(data.gene_expressions.reshape(data.num_replicates, -1))
+
+    n_dev = len(jax.devices())
+    shape = config.mesh_shape or (n_dev, 1)
+    mesh = make_mesh(tuple(shape))
+    print(f"Training {data.num_replicates} per-replicate models as one "
+          f"SPMD program over mesh {dict(mesh.shape)}...")
+    t0 = time.perf_counter()
+    model = simm.ExactSIMM(num_genes=data.num_genes, jitter=config.jitter)
+    params_batch, hist = fit_ensemble(
+        model,
+        simm.init_params(data.num_genes),
+        mesh,
+        X,
+        y_batch,
+        num_iters=config.num_iters,
+        learning_rate=config.learning_rate,
+        fix_params=config.fix_params,
+    )
+    jax.block_until_ready(hist)
+    print(f"Trained in {time.perf_counter() - t0:.2f}s; final losses "
+          f"{[round(float(l), 4) for l in hist[-1]]}")
+    for r in range(data.num_replicates):
+        member = jax.tree.map(lambda v: v[r], params_batch)
+        print(f"\nReplicate {r}:")
+        tables.print_hyperparams(member, data, csv_path=None)
+    return params_batch, hist
+
+
 def run_second_order(config: cfg.RunConfig):
     """Second-order (spring-damper) LFM on the p53 data — the ``--model
     simm2`` route. New model family beyond the reference."""
@@ -216,7 +274,8 @@ def run_second_order(config: cfg.RunConfig):
         )
 
     t_grid = latent_grid(100)
-    latent = model.latent_predict(params, t_grid, X, y, var)
+    # jit: eager complex ops are unimplemented on the TPU backend.
+    latent = jax.jit(model.latent_predict)(params, t_grid, X, y, var)
     plotter.plot_lf(
         t_grid,
         latent,
@@ -442,23 +501,30 @@ def run_sparse(config: cfg.RunConfig):
         num_replicates=1,
         noise_std=0.1,
     )
-    print(f"Sampling synthetic LFM dataset via ODE quadrature: "
+    order = 2 if config.model == "simm2" else 1
+    print(f"Sampling synthetic order-{order} ODE dataset via quadrature: "
           f"{scfg.num_genes} x {scfg.num_timepoints} (N={scfg.n_points})...")
     # The ODE-integrator path scales to N=1e5 (no N x N output Gram to
     # sample); oversample=4 keeps the fine-grid force Cholesky tractable
     # at 1000 output timepoints while holding quadrature error ~1e-4.
-    data = synthetic.generate_ode(
-        jax.random.PRNGKey(config.seed), scfg, oversample=4
-    )
+    if order == 2:
+        data = synthetic.generate_ode2(
+            jax.random.PRNGKey(config.seed), scfg, oversample=4
+        )
+    else:
+        data = synthetic.generate_ode(
+            jax.random.PRNGKey(config.seed), scfg, oversample=4
+        )
     X, y, var = train_arrays(data)
 
     model = svlfm.SparseSIMM(
         num_genes=scfg.num_genes,
         num_inducing=config.num_inducing,
         jitter=1e-6,
+        order=order,
     )
     params = svlfm.init_params(scfg.num_genes, config.num_inducing,
-                               t_max=scfg.t_max, dtype=X.dtype)
+                               t_max=scfg.t_max, dtype=X.dtype, order=order)
     print(f"Training SVI: {config.num_epochs} epochs, batch "
           f"{config.batch_size}, M={config.num_inducing} inducing points...")
     t0 = time.perf_counter()
@@ -485,7 +551,9 @@ def run_sparse(config: cfg.RunConfig):
 
     t_grid = jnp.asarray(np.linspace(0.0, scfg.t_max, scfg.num_timepoints),
                          X.dtype)
-    post = model.latent_predict(res.params, t_grid)
+    # jit: eager complex ops (order-2 kernels) are unimplemented on the
+    # TPU backend; the compiled graph lowers them to real pairs.
+    post = jax.jit(model.latent_predict)(res.params, t_grid)
     corr = float(np.corrcoef(np.asarray(post.mean),
                              np.asarray(data.f_true))[0, 1])
     print(f"Latent-force recovery correlation vs generating force: {corr:.3f}")
@@ -512,17 +580,21 @@ def main():
     cfg.add_cli_args(parser)
     args = parser.parse_args()
     config = cfg.config_from_args(args)
-    if config.model == "simm2":
-        run_second_order(config)
-    elif config.preset == "alfi-parity":
+    if config.preset == "alfi-parity":
         run_alfi_parity(config)
     elif config.preset == "dense10k":
         run_dense(config)
     elif config.preset == "sparse100k":
+        # --model simm2 selects the second-order sparse path (order=2).
         run_sparse(config)
+    elif config.model == "simm2":
+        run_second_order(config)
     elif config.preset == "p53-replicates":
-        config.replicate = None
-        run(config)
+        if config.ensemble:
+            run_replicate_ensemble(config)
+        else:
+            config.replicate = None
+            run(config)
     else:
         run(config)
 
