@@ -86,11 +86,18 @@ def run(config: cfg.RunConfig):
             print(f"Resumed from checkpoint step {start_step} "
                   f"({config.checkpoint_dir})")
 
+    # The identifiability clamp targets p21 BY NAME: with gene-subset
+    # ablations its index moves (or it is absent), and a hard-coded index 3
+    # would clamp the wrong gene / silently no-op.
+    has_p21 = "p21" in data.gene_names
+    clamp_gene = data.gene_names.index("p21") if has_p21 else 0
     train_cfg = tr.TrainConfig(
         num_iters=config.num_iters,
         learning_rate=config.learning_rate,
-        # The per-gene p21 clamp is meaningless with tied kinetics.
-        fix_params=config.fix_params and not config.shared_kinetics,
+        # The per-gene p21 clamp is meaningless with tied kinetics or
+        # when p21 is not in the selected subset.
+        fix_params=config.fix_params and not config.shared_kinetics and has_p21,
+        clamp_gene=clamp_gene,
         num_steps_per_epoch=config.num_steps_per_epoch,
         track_parameters=config.track_parameters,
         optimizer=config.optimizer,
@@ -156,14 +163,12 @@ def run_replicate_ensemble(config: cfg.RunConfig):
     """Per-replicate model ensemble as ONE SPMD program (BASELINE config 2
     via the mesh layer): each replicate's single-replicate model trains as
     an ensemble member, data-parallel over the device mesh."""
-    import numpy as np
-
     _setup_backend(config)
 
     import jax
     import jax.numpy as jnp
 
-    from dis_project_tpu.data.dataset import P53Data, train_arrays
+    from dis_project_tpu.data.dataset import P53Data
     from dis_project_tpu.models import simm
     from dis_project_tpu.parallel import fit_ensemble, make_mesh
     from dis_project_tpu.reporting import tables
@@ -175,21 +180,41 @@ def run_replicate_ensemble(config: cfg.RunConfig):
         source=config.data_source,
         seed=config.seed,
     )
-    # One member per replicate: identical X rows (single-replicate grid),
+    for flag, name in (
+        (config.shared_kinetics, "--shared-kinetics"),
+        (config.checkpoint_dir, "--checkpoint-dir"),
+        (config.optimizer != "adam", "--optimizer " + config.optimizer),
+    ):
+        if flag:
+            raise SystemExit(
+                f"{name} is not supported by the --ensemble path"
+            )
+
+    # One member per replicate: identical X rows (the single-replicate
+    # gene-major grid, built directly — no second dataset load needed),
     # member-specific targets.
-    single = P53Data(replicate=0, data_dir=config.data_dir,
-                     selected_genes=config.selected_genes,
-                     source=config.data_source, seed=config.seed)
-    X, _, _ = train_arrays(single)
+    T = int(data.timepoints.shape[0])
+    G = data.num_genes
+    X = jnp.stack(
+        [
+            jnp.tile(data.timepoints, G),
+            jnp.repeat(jnp.arange(G, dtype=data.timepoints.dtype), T),
+            jnp.ones(G * T, data.timepoints.dtype),
+        ],
+        axis=-1,
+    )
     y_batch = jnp.asarray(data.gene_expressions.reshape(data.num_replicates, -1))
 
     n_dev = len(jax.devices())
-    shape = config.mesh_shape or (n_dev, 1)
-    mesh = make_mesh(tuple(shape))
+    shape = tuple(config.mesh_shape) if config.mesh_shape else (n_dev, 1)
+    if len(shape) == 1:  # pure data-parallel spelling, e.g. --mesh-shape 8
+        shape = (shape[0], 1)
+    mesh = make_mesh(shape, axis_names=tuple(config.mesh_axes))
     print(f"Training {data.num_replicates} per-replicate models as one "
           f"SPMD program over mesh {dict(mesh.shape)}...")
     t0 = time.perf_counter()
     model = simm.ExactSIMM(num_genes=data.num_genes, jitter=config.jitter)
+    has_p21 = "p21" in data.gene_names
     params_batch, hist = fit_ensemble(
         model,
         simm.init_params(data.num_genes),
@@ -198,11 +223,16 @@ def run_replicate_ensemble(config: cfg.RunConfig):
         y_batch,
         num_iters=config.num_iters,
         learning_rate=config.learning_rate,
-        fix_params=config.fix_params,
+        fix_params=config.fix_params and has_p21,
+        clamp_gene=data.gene_names.index("p21") if has_p21 else 0,
     )
     jax.block_until_ready(hist)
     print(f"Trained in {time.perf_counter() - t0:.2f}s; final losses "
           f"{[round(float(l), 4) for l in hist[-1]]}")
+    if config.metrics_path:
+        with open(config.metrics_path, "w") as f:
+            for i, row in enumerate(hist.tolist()):
+                f.write(json.dumps({"step": i, "losses": row}) + "\n")
     for r in range(data.num_replicates):
         member = jax.tree.map(lambda v: v[r], params_batch)
         print(f"\nReplicate {r}:")
@@ -517,10 +547,13 @@ def run_sparse(config: cfg.RunConfig):
         )
     X, y, var = train_arrays(data)
 
+    # Honor --jitter (SparseSIMM applies its own f32 floor for Kuu);
+    # the sparse default is tighter than the exact path's 1e-4.
+    sparse_jitter = config.jitter if config.jitter != 1e-4 else 1e-6
     model = svlfm.SparseSIMM(
         num_genes=scfg.num_genes,
         num_inducing=config.num_inducing,
-        jitter=1e-6,
+        jitter=sparse_jitter,
         order=order,
     )
     params = svlfm.init_params(scfg.num_genes, config.num_inducing,
@@ -580,6 +613,18 @@ def main():
     cfg.add_cli_args(parser)
     args = parser.parse_args()
     config = cfg.config_from_args(args)
+    # Unsupported flag combinations fail loudly rather than silently
+    # running a different experiment than the flags describe.
+    if config.model == "simm2" and config.preset in (
+        "dense10k", "alfi-parity", "p53-replicates"
+    ):
+        raise SystemExit(
+            f"--model simm2 is not supported with --preset {config.preset} "
+            "(second-order routes: the default preset, or sparse100k)"
+        )
+    if config.ensemble and config.preset != "p53-replicates":
+        raise SystemExit("--ensemble requires --preset p53-replicates")
+
     if config.preset == "alfi-parity":
         run_alfi_parity(config)
     elif config.preset == "dense10k":

@@ -81,7 +81,11 @@ def gram(x, decay, sens, lengthscale):
 
 
 def gram_xx_blocked_fast(timepoints, decay, sens, lengthscale):
-    r"""Table-based (G*T, G*T) gene-gene Gram for GRIDDED timepoints.
+    r"""Table-based (G*T, G*T) gene-gene Gram for UNIFORMLY-gridded
+    timepoints (the delta table is indexed by the row/col index
+    difference; irregular shared grids would be silently wrong — callers
+    with concrete timepoints should check spacing, as ``trainer.fit``
+    does, and fall back to :func:`k_xx_block`).
 
     On a shared time grid every transcendental argument in the k_xx
     closed form lives on a small index set — time differences take only

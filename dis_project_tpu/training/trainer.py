@@ -94,6 +94,18 @@ def fit(
 
     if gridded is not None:
         timepoints, replicates = gridded
+        # The table-based Gram assumes a UNIFORM grid (its delta table is
+        # indexed by a - b); a shared-but-irregular grid would silently
+        # produce a wrong covariance. timepoints is concrete here, so the
+        # check is free — fall back to the row path when irregular.
+        import numpy as np
+
+        t_host = np.asarray(timepoints)
+        diffs = np.diff(t_host)
+        if diffs.size and not np.allclose(diffs, diffs[0], rtol=1e-6):
+            gridded = None
+
+    if gridded is not None:
 
         def loss_fn(raw):
             return -model.mll_replicated(

@@ -96,3 +96,34 @@ class TestPipelineEntry:
 
         with pytest.raises(ValueError, match="Invalid gene names"):
             P53Data(replicate=0, source="synthetic", selected_genes=["FAKE"])
+
+    def test_clamp_follows_p21_index_in_subsets(self, tmp_path):
+        """The identifiability clamp targets p21 BY NAME: with a subset it
+        must clamp p21's moved index, and with p21 absent it must not fire
+        at all (regression: a hard-coded index 3 clamped SESN1)."""
+        import numpy as np
+
+        from dis_project_tpu import main as entry
+
+        # p21 at index 1 -> clamped there.
+        c = cfg.RunConfig(
+            replicate=0, data_source="synthetic", num_iters=5,
+            selected_genes=["p21", "DDB2"],
+            out_dir=str(tmp_path / "a"),
+        )
+        res = entry.run(c)
+        assert float(res.params.sensitivity[1]) == 1.0
+        assert float(res.params.decay[1]) == 0.8
+        assert float(res.params.sensitivity[0]) != 1.0
+
+        # p21 absent -> nothing clamped.
+        c = cfg.RunConfig(
+            replicate=0, data_source="synthetic", num_iters=5,
+            selected_genes=["DDB2", "BIK", "DR5", "SESN1"],
+            out_dir=str(tmp_path / "b"),
+        )
+        res = entry.run(c)
+        s = np.asarray(res.params.sensitivity)
+        d = np.asarray(res.params.decay)
+        assert not np.any(s == 1.0)
+        assert not np.any(d == 0.8)
