@@ -34,6 +34,8 @@ class SVTrainConfig:
 class SVTrainResult:
     params: SVLFMParams
     history: jnp.ndarray  # (num_epochs, batches_per_epoch) negative ELBO
+    raw_params: Optional[SVLFMParams] = None
+    opt_state: Optional[object] = None
 
 
 def fit(
@@ -44,8 +46,15 @@ def fit(
     variances: jnp.ndarray,
     config: SVTrainConfig = SVTrainConfig(),
     optimizer: Optional[optax.GradientTransformation] = None,
+    init_state: Optional[tuple] = None,
+    epoch_offset: int = 0,
 ) -> SVTrainResult:
-    """Stochastic ELBO maximisation over row minibatches."""
+    """Stochastic ELBO maximisation over row minibatches.
+
+    ``init_state``: optional ``(raw_params, opt_state)`` to continue an
+    earlier run exactly; ``epoch_offset`` shifts the per-epoch PRNG
+    stream so resumed runs see the same shuffles as an unsegmented run.
+    """
     n = x.shape[0]
     bs = min(config.batch_size, n)
     batches = -(-n // bs)
@@ -56,7 +65,6 @@ def fit(
     def loss_fn(raw, xb, yb, vb):
         return -model.elbo(svlfm.constrain(raw), xb, yb, vb, n_total=n)
 
-    raw0 = svlfm.unconstrain(params)
     if not config.train_z:
         optimizer = optax.multi_transform(
             {
@@ -70,7 +78,11 @@ def fit(
                 q_sqrt="opt",
             ),
         )
-    opt_state0 = optimizer.init(raw0)
+    if init_state is not None:
+        raw0, opt_state0 = init_state
+    else:
+        raw0 = svlfm.unconstrain(params)
+        opt_state0 = optimizer.init(raw0)
 
     @jax.jit
     def run(raw, opt_state):
@@ -93,9 +105,89 @@ def fit(
             (raw, opt_state), losses = jax.lax.scan(batch_fn, (raw, opt_state), idx)
             return (raw, opt_state), losses
 
-        keys = jax.random.split(jax.random.PRNGKey(config.seed), config.num_epochs)
+        # Per-epoch keys come from one global stream indexed by the
+        # ABSOLUTE epoch number, so segmented/resumed runs reproduce the
+        # unsegmented shuffle sequence exactly.
+        keys = jax.vmap(
+            lambda e: jax.random.fold_in(jax.random.PRNGKey(config.seed), e)
+        )(jnp.arange(epoch_offset, epoch_offset + config.num_epochs))
         (raw, opt_state), history = jax.lax.scan(epoch_fn, (raw, opt_state), keys)
-        return raw, history
+        return raw, opt_state, history
 
-    raw_final, history = run(raw0, opt_state0)
-    return SVTrainResult(params=svlfm.constrain(raw_final), history=history)
+    raw_final, opt_state_final, history = run(raw0, opt_state0)
+    return SVTrainResult(
+        params=svlfm.constrain(raw_final),
+        history=history,
+        raw_params=raw_final,
+        opt_state=opt_state_final,
+    )
+
+
+def fit_checkpointed(
+    model: SparseSIMM,
+    params: SVLFMParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    variances: jnp.ndarray,
+    config: SVTrainConfig,
+    directory: str,
+    checkpoint_every: int = 10,
+) -> SVTrainResult:
+    """Fault-tolerant SVI: run in ``checkpoint_every``-epoch segments with
+    orbax persistence of (raw params, optimizer state, epoch); a rerun
+    resumes bit-exactly from the latest checkpoint (the epoch-indexed key
+    stream keeps the shuffle sequence identical to an unsegmented run)."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from dis_project_tpu.training import checkpoint as ckpt
+
+    optimizer = optax.adam(config.learning_rate)
+    raw = svlfm.unconstrain(params)
+    opt_state = optimizer.init(raw)
+    epoch = 0
+
+    latest = ckpt.latest_step(directory)
+    if latest is not None and latest > 0:
+        restored = ckpt.restore(
+            directory,
+            latest,
+            template={"raw": raw, "opt_state": opt_state, "epoch": 0},
+        )
+        raw, opt_state = restored["raw"], restored["opt_state"]
+        epoch = int(restored["epoch"])
+
+    histories = []
+    result = None
+    while epoch < config.num_epochs:
+        seg = min(checkpoint_every, config.num_epochs - epoch)
+        seg_cfg = _dc.replace(config, num_epochs=seg)
+        result = fit(
+            model, params, x, y, variances, seg_cfg,
+            optimizer=optimizer,
+            init_state=(raw, opt_state),
+            epoch_offset=epoch,
+        )
+        raw, opt_state = result.raw_params, result.opt_state
+        epoch += seg
+        histories.append(np.asarray(result.history))
+        ckpt.save(
+            directory,
+            {"raw": raw, "opt_state": opt_state, "epoch": epoch},
+            step=epoch,
+        )
+
+    if result is None:  # complete on entry
+        return SVTrainResult(
+            params=svlfm.constrain(raw),
+            history=jnp.zeros((0, 1)),
+            raw_params=raw,
+            opt_state=opt_state,
+        )
+    return SVTrainResult(
+        params=svlfm.constrain(raw),
+        history=jnp.asarray(np.concatenate(histories, axis=0)),
+        raw_params=raw,
+        opt_state=opt_state,
+    )

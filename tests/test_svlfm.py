@@ -236,6 +236,43 @@ class TestTrainability:
         for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(back)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
 
+    def test_svtrainer_checkpointed_resume_exact(self, problem, tmp_path):
+        """Segmented SVI equals the unsegmented run bit-for-bit, and a
+        crash/rerun resumes from the last epoch checkpoint."""
+        import numpy as np
+
+        from dis_project_tpu.training import svtrainer
+
+        data, X, y, var, kin = problem
+        model = svlfm.SparseSIMM(num_genes=3, num_inducing=8)
+        params = svlfm.init_params(3, 8)
+        cfg = svtrainer.SVTrainConfig(num_epochs=12, batch_size=10,
+                                      learning_rate=0.05)
+        straight = svtrainer.fit(model, params, X, y, var, cfg)
+        seg = svtrainer.fit_checkpointed(
+            model, params, X, y, var, cfg, str(tmp_path / "a"),
+            checkpoint_every=5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(seg.history), np.asarray(straight.history), rtol=1e-12
+        )
+        # crash after 5 epochs then rerun to completion
+        svtrainer.fit_checkpointed(
+            model, params, X, y, var,
+            svtrainer.SVTrainConfig(num_epochs=5, batch_size=10,
+                                    learning_rate=0.05),
+            str(tmp_path / "b"), checkpoint_every=5,
+        )
+        resumed = svtrainer.fit_checkpointed(
+            model, params, X, y, var, cfg, str(tmp_path / "b"),
+            checkpoint_every=5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.history),
+            np.asarray(straight.history)[5:],
+            rtol=1e-12,
+        )
+
     def test_svtrainer_minibatch_fit_improves_elbo(self, problem):
         from dis_project_tpu.training import svtrainer
 
