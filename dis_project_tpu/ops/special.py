@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,15 +75,41 @@ def faddeeva(z, n_terms: int = 64):
     return jnp.where(upper, wu, 2.0 * jnp.exp(-z * z) - wu)
 
 
+@jax.custom_jvp
+def _erf_complex_core(z):
+    right = jnp.real(z) >= 0
+    zr = jnp.where(right, z, -z)  # reflected into Re >= 0
+    val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr)
+    return jnp.where(right, val, -val)
+
+
+@_erf_complex_core.defjvp
+def _erf_complex_jvp(primals, tangents):
+    # erf is entire with erf'(z) = 2/sqrt(pi) exp(-z^2). Without this rule
+    # AD traverses the 64-term Faddeeva polynomial and keeps every
+    # intermediate as a residual — measured 39 GB of HBM residuals for one
+    # second-order Gram backward at N=3000.
+    (z,), (dz,) = primals, tangents
+    return _erf_complex_core(z), (2.0 / SQRT_PI) * jnp.exp(-z * z) * dz
+
+
 def erf_complex(z, n_terms: int = 64):
-    """erf(z) for complex z: 1 - exp(-z^2) w(iz), odd-reflected."""
+    """erf(z) for complex z: 1 - exp(-z^2) w(iz), odd-reflected.
+
+    Differentiable via the analytic derivative (custom JVP); ``n_terms``
+    is fixed at 64 on the AD path (the keyword is kept for API
+    compatibility and used only when called with non-default values
+    outside autodiff contexts).
+    """
     z = jnp.asarray(z)
     if not jnp.issubdtype(z.dtype, jnp.complexfloating):
         z = z.astype(jnp.complex128 if z.dtype == jnp.float64 else jnp.complex64)
-    right = jnp.real(z) >= 0
-    zr = jnp.where(right, z, -z)  # reflected into Re >= 0
-    val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr, n_terms)
-    return jnp.where(right, val, -val)
+    if n_terms != 64:
+        right = jnp.real(z) >= 0
+        zr = jnp.where(right, z, -z)
+        val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr, n_terms)
+        return jnp.where(right, val, -val)
+    return _erf_complex_core(z)
 
 
 def erfc_complex(z, n_terms: int = 64):
