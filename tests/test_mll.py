@@ -2,6 +2,7 @@
 finite differences."""
 
 import jax
+import jax.flatten_util  # explicit: no lazy attribute on jax>=0.9
 import jax.numpy as jnp
 import numpy as np
 import pytest
