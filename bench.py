@@ -155,11 +155,13 @@ def bench_reference_pattern(X, y, num_iters=150):
     return _time_fit(_make_fit(loss_fn, num_iters), raw0, X)
 
 
-def bench_gram_chol(n=4096, genes=50, dtype=jnp.float32):
-    """Gram build (Pallas vs XLA) + Cholesky throughput at stress scale."""
+def bench_gram_chol(n=8192, genes=50, dtype=jnp.float32):
+    """Gram build (Pallas vs XLA) + Cholesky throughput at the BASELINE.json
+    north-star point (N=8192, f32)."""
     import numpy as np
 
     from dis_project_tpu.ops import gram as gram_ops
+    from dis_project_tpu.ops import pallas_cholesky as pc
     from dis_project_tpu.ops import pallas_gram as pg
     from dis_project_tpu.utils.benchmarking import time_op
 
@@ -185,7 +187,15 @@ def bench_gram_chol(n=4096, genes=50, dtype=jnp.float32):
 
     A = rng.standard_normal((n, n)).astype(np.float32)
     A = jnp.asarray(A @ A.T + n * np.eye(n, dtype=np.float32), dtype)
-    chol_s = time_op(lambda eps, A: jnp.linalg.cholesky(A + eps), A, iters=4)
+    # What the model dispatch actually runs at this scale (left-looking
+    # blocked factoriser on TPU f32), plus XLA's native op for reference.
+    chol_s = time_op(
+        lambda eps, A: pc.blocked_cholesky(A + eps), A, iters=3
+    )
+    chol_xla_s = time_op(lambda eps, A: jnp.linalg.cholesky(A + eps), A, iters=3)
+    inv_s = time_op(
+        lambda eps, A: pc.inv_from_factor(jnp.tril(A) + eps), A, iters=3
+    )
 
     best_gram = min(gram_s.values())
     return {
@@ -193,8 +203,10 @@ def bench_gram_chol(n=4096, genes=50, dtype=jnp.float32):
         "gram_s": {k: round(v, 6) for k, v in gram_s.items()},
         "gram_gelems": round(n * n / best_gram / 1e9, 2),
         "chol_s": round(chol_s, 6),
+        "chol_xla_s": round(chol_xla_s, 6),
         "chol_gflops": round(n**3 / 3 / chol_s / 1e9, 1),
         "chol_peak_frac": round(n**3 / 3 / chol_s / V5E_PEAK_FLOPS, 4),
+        "sigma_inv_s": round(inv_s, 6),
     }
 
 
@@ -244,11 +256,12 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
     grid_s = time_op(one_step_gridded, raw0, opt_state, iters=4)
     report = flop_report(n)
     # forward + backward ~ 3x the forward O(N^3) work (chol + tri-inv + syrk)
+    suffix = "" if n <= 4096 else f"_{n}"
     return {
-        "train_step_n": n,
-        "train_step_s": round(step_s, 6),
-        "train_step_gridded_s": round(grid_s, 6),
-        "train_step_roofline_frac": round(
+        f"train_step_n{suffix}": n,
+        f"train_step_s{suffix}": round(step_s, 6),
+        f"train_step_gridded_s{suffix}": round(grid_s, 6),
+        f"train_step_roofline_frac{suffix}": round(
             3 * report.seconds_at_peak() / grid_s, 4
         ),
     }
@@ -262,6 +275,7 @@ def main():
     ref_s, ref_hist = bench_reference_pattern(X, y)
     probes = bench_gram_chol()
     probes.update(bench_train_step_at_scale())
+    probes.update(bench_train_step_at_scale(n=8192, genes=64))
 
     result = {
         "metric": "p53_train_150iter_wall_clock",
