@@ -313,7 +313,7 @@ def blocked_chol_solve(L, b, *, block: int = DEFAULT_BLOCK):
     return Li.T @ z
 
 
-def _tril_t_tril(Li, *, base: int = 2048):
+def _tril_t_tril(Li, *, base: int = 1024):
     """``Li.T @ Li`` for lower-triangular ``Li``, skipping structural zeros.
 
     With Li = [[A, 0], [B, C]] (A, C lower-triangular):

@@ -46,23 +46,16 @@ def ensemble_shardings(mesh: Mesh):
     return batched, replicated
 
 
-def make_ensemble_train_step(
+def _make_ensemble_step_core(
     model: ExactSIMM,
     mesh: Mesh,
     optimizer: optax.GradientTransformation,
     fix_params: bool = True,
     clamp_gene: int = 3,
 ) -> Callable:
-    """Build the jitted SPMD training step.
-
-    Signature of the returned step:
-        (raw_batch, opt_state, X, y_batch, step) ->
-            (raw_batch, opt_state, losses)
-
-    ``raw_batch``: unconstrained SIMMParams with leading ensemble dim E
-    (sharded over "data"); ``X``: (N, 3) rows, replicated; ``y_batch``:
-    (E, N) per-member targets (sharded over "data"); ``losses``: (E,).
-    """
+    """The un-jitted SPMD step body — shared by the one-off jitted step
+    (:func:`make_ensemble_train_step`) and the scanned whole-fit program
+    (:func:`fit_ensemble`)."""
     gram_spec = NamedSharding(mesh, P("data", "model", None))
 
     def sigma_fn(raw, X):
@@ -85,7 +78,6 @@ def make_ensemble_train_step(
             lambda r: simm.clamp_params(r, gene_index=clamp_gene)
         )(raw_batch)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(raw_batch, opt_state, X, y_batch, step):
         (_, losses), grads = jax.value_and_grad(batched_loss, has_aux=True)(
             raw_batch, X, y_batch
@@ -97,6 +89,35 @@ def make_ensemble_train_step(
         return raw_batch, opt_state, losses
 
     return train_step
+
+
+def make_ensemble_train_step(
+    model: ExactSIMM,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    fix_params: bool = True,
+    clamp_gene: int = 3,
+) -> Callable:
+    """Build the jitted SPMD training step.
+
+    Signature of the returned step:
+        (raw_batch, opt_state, X, y_batch, step) ->
+            (raw_batch, opt_state, losses)
+
+    ``raw_batch``: unconstrained SIMMParams with leading ensemble dim E
+    (sharded over "data"); ``X``: (N, 3) rows, replicated; ``y_batch``:
+    (E, N) per-member targets (sharded over "data"); ``losses``: (E,).
+
+    For a full training run prefer :func:`fit_ensemble`, which compiles the
+    whole loop into ONE ``lax.scan`` program (one dispatch per fit instead
+    of one per step — the per-dispatch round-trip over a tunneled device is
+    ~30 ms, so 150 eager steps would spend more time in flight than in
+    compute).
+    """
+    core = _make_ensemble_step_core(
+        model, mesh, optimizer, fix_params=fix_params, clamp_gene=clamp_gene
+    )
+    return partial(jax.jit, donate_argnums=(0, 1))(core)
 
 
 def fit_ensemble(
@@ -114,6 +135,10 @@ def fit_ensemble(
     single SPMD program over ``mesh``. Returns (constrained param batch,
     (num_iters, E) loss history).
 
+    The entire ``num_iters`` loop is ONE compiled ``lax.scan`` program
+    (same shape as the single-model ``training.trainer.fit``): one device
+    dispatch per fit, with the per-step losses as the scan output.
+
     If E is not divisible by the "data" axis size the batch is padded by
     repeating the final member and the padding is sliced off the results.
     """
@@ -125,7 +150,7 @@ def fit_ensemble(
             [y_batch, jnp.broadcast_to(y_batch[-1:], (pad,) + y_batch.shape[1:])]
         )
     optimizer = optax.adam(learning_rate)
-    step_fn = make_ensemble_train_step(
+    core = _make_ensemble_step_core(
         model, mesh, optimizer, fix_params=fix_params, clamp_gene=clamp_gene
     )
 
@@ -135,19 +160,27 @@ def fit_ensemble(
     )
     X = jax.device_put(X, replicated_sh)
     y_batch = jax.device_put(y_batch, batched_sh)
-    opt_state = optimizer.init(raw)
 
-    history = []
-    for step in range(num_iters):
-        raw, opt_state, losses = step_fn(raw, opt_state, X, y_batch, step)
-        history.append(losses)
+    @partial(jax.jit, donate_argnums=(0,))
+    def fit(raw, X, y_batch):
+        opt_state = optimizer.init(raw)
 
-    trained = jax.vmap(simm.constrain)(raw)
-    if fix_params:
-        trained = jax.vmap(
-            lambda p: simm.clamp_params(p, gene_index=clamp_gene)
-        )(trained)
-    hist = jnp.stack(history)
+        def body(carry, step):
+            raw, opt_state = carry
+            raw, opt_state, losses = core(raw, opt_state, X, y_batch, step)
+            return (raw, opt_state), losses
+
+        (raw, _), hist = jax.lax.scan(
+            body, (raw, opt_state), jnp.arange(num_iters)
+        )
+        trained = jax.vmap(simm.constrain)(raw)
+        if fix_params:
+            trained = jax.vmap(
+                lambda p: simm.clamp_params(p, gene_index=clamp_gene)
+            )(trained)
+        return trained, hist
+
+    trained, hist = fit(raw, X, y_batch)
     if pad:
         trained = jax.tree.map(lambda x: x[:E], trained)
         hist = hist[:, :E]
