@@ -42,8 +42,11 @@ class RunConfig:
     # dense-preset MLL engine: cholesky (exact) | cg (matmul-only BBMM —
     # unbiased stochastic logdet/gradients, O(N^2 * iters))
     mll_engine: str = "cholesky"
-    # model
-    jitter: float = 1e-4
+    # model. None = path default: 1e-4 for the exact paths (reference
+    # src/main.py:41), 1e-6 for the sparse path (tighter; SparseSIMM applies
+    # its own f32 Kuu floor). A user-passed --jitter is honored by BOTH —
+    # the old sentinel-compare silently remapped an explicit 1e-4 (ADVICE r1).
+    jitter: Optional[float] = None
     legacy_block_mean: bool = False
     # tie B/S/D across genes (shared-vs-per-gene kinetics ablation)
     shared_kinetics: bool = False
@@ -72,6 +75,16 @@ class RunConfig:
     resume: bool = False
     metrics_path: Optional[str] = None  # JSONL per-step metrics
 
+    @property
+    def exact_jitter(self) -> float:
+        """--jitter, or the exact-path default 1e-4 when not given."""
+        return self.jitter if self.jitter is not None else 1e-4
+
+    @property
+    def sparse_jitter(self) -> float:
+        """--jitter, or the sparse-path default 1e-6 when not given."""
+        return self.jitter if self.jitter is not None else 1e-6
+
 
 def add_cli_args(parser: argparse.ArgumentParser) -> None:
     d = RunConfig()
@@ -81,9 +94,14 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         help="one of the five BASELINE configs")
     parser.add_argument("--model", default=d.model, choices=["simm", "simm2"],
                         help="model family: first- or second-order ODE LFM")
-    parser.add_argument("--synth-genes", type=int, default=d.synth_genes)
-    parser.add_argument("--synth-timepoints", type=int,
-                        default=d.synth_timepoints)
+    # Default None so presets can pick their own shape: sparse100k alone
+    # must reproduce BASELINE config 5 (100x1000 -> N=1e5; ADVICE r1).
+    parser.add_argument("--synth-genes", type=int, default=None,
+                        help=f"synthetic gene count (default {d.synth_genes}; "
+                        "sparse100k preset: 100)")
+    parser.add_argument("--synth-timepoints", type=int, default=None,
+                        help=f"synthetic timepoint count (default "
+                        f"{d.synth_timepoints}; sparse100k preset: 1000)")
     parser.add_argument("--num-inducing", type=int, default=d.num_inducing)
     parser.add_argument("--batch-size", type=int, default=d.batch_size)
     parser.add_argument("--num-epochs", type=int, default=d.num_epochs)
@@ -102,7 +120,9 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--data-source", default=d.data_source,
                         choices=["auto", "csv", "synthetic"])
     parser.add_argument("--seed", type=int, default=d.seed)
-    parser.add_argument("--jitter", type=float, default=d.jitter)
+    parser.add_argument("--jitter", type=float, default=d.jitter,
+                        help="diagonal jitter (default: 1e-4 exact paths, "
+                        "1e-6 sparse path)")
     parser.add_argument("--num-iters", type=int, default=d.num_iters)
     parser.add_argument("--learning-rate", type=float, default=d.learning_rate)
     parser.add_argument("--optimizer", default=d.optimizer,
@@ -134,8 +154,20 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     return RunConfig(
         preset=args.preset,
         model=args.model,
-        synth_genes=args.synth_genes,
-        synth_timepoints=args.synth_timepoints,
+        synth_genes=(
+            args.synth_genes
+            if args.synth_genes is not None
+            else (100 if args.preset == "sparse100k" else RunConfig.synth_genes)
+        ),
+        synth_timepoints=(
+            args.synth_timepoints
+            if args.synth_timepoints is not None
+            else (
+                1000
+                if args.preset == "sparse100k"
+                else RunConfig.synth_timepoints
+            )
+        ),
         num_inducing=args.num_inducing,
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,

@@ -63,29 +63,13 @@ def run(config: cfg.RunConfig):
     X, y, var = dataset_3d(data)
     model = simm.ExactSIMM(
         num_genes=data.num_genes,
-        jitter=config.jitter,
+        jitter=config.exact_jitter,
         legacy_block_mean=config.legacy_block_mean,
         shared_kinetics=config.shared_kinetics,
     )
     params0 = simm.init_params(
         data.num_genes, shared_kinetics=config.shared_kinetics
     )
-    start_step = 0
-    if config.resume and config.checkpoint_dir:
-        from dis_project_tpu.training import checkpoint as ckpt
-
-        latest = ckpt.latest_step(config.checkpoint_dir)
-        if latest is not None:
-            restored = ckpt.restore(
-                config.checkpoint_dir,
-                latest,
-                template={"params": params0, "step": 0},
-            )
-            params0 = restored["params"]
-            start_step = int(restored["step"])
-            print(f"Resumed from checkpoint step {start_step} "
-                  f"({config.checkpoint_dir})")
-
     # The identifiability clamp targets p21 BY NAME: with gene-subset
     # ablations its index moves (or it is absent), and a hard-coded index 3
     # would clamp the wrong gene / silently no-op.
@@ -103,12 +87,42 @@ def run(config: cfg.RunConfig):
         optimizer=config.optimizer,
     )
 
+    # Resume restores the FULL training state — unconstrained params,
+    # optimizer state (Adam moments / L-BFGS memory) and step — so a
+    # resumed run continues bit-exactly, matching the --resume help text
+    # (ADVICE r1: the old path restored params only, a silent warm start).
+    optimizer = tr.make_optimizer(train_cfg)
+    raw0 = simm.unconstrain(params0)
+    init_state = None
+    start_step = 0
+    if config.resume and config.checkpoint_dir:
+        from dis_project_tpu.training import checkpoint as ckpt
+
+        latest = ckpt.latest_step(config.checkpoint_dir)
+        if latest is not None:
+            restored = ckpt.restore(
+                config.checkpoint_dir,
+                latest,
+                template={
+                    "raw": raw0,
+                    "opt_state": optimizer.init(raw0),
+                    "step": 0,
+                },
+            )
+            init_state = (restored["raw"], restored["opt_state"])
+            start_step = int(restored["step"])
+            print(f"Resumed from checkpoint step {start_step} "
+                  f"({config.checkpoint_dir})")
+
     print("Training model...")
     t0 = time.perf_counter()
     # dataset_3d rows are canonical gene-major grid blocks -> the
     # Kronecker/table fast path applies exactly (parity 1e-12).
     result = tr.fit(
         model, params0, X, y, train_cfg,
+        optimizer=optimizer,
+        init_state=init_state,
+        step_offset=start_step,
         gridded=(data.timepoints, data.num_replicates),
     )
     jax.block_until_ready(result.history)
@@ -130,7 +144,11 @@ def run(config: cfg.RunConfig):
 
         ckpt.save(
             config.checkpoint_dir,
-            {"params": result.params, "step": start_step + config.num_iters},
+            {
+                "raw": result.raw_params,
+                "opt_state": result.opt_state,
+                "step": start_step + config.num_iters,
+            },
             step=start_step + config.num_iters,
         )
 
@@ -213,7 +231,7 @@ def run_replicate_ensemble(config: cfg.RunConfig):
     print(f"Training {data.num_replicates} per-replicate models as one "
           f"SPMD program over mesh {dict(mesh.shape)}...")
     t0 = time.perf_counter()
-    model = simm.ExactSIMM(num_genes=data.num_genes, jitter=config.jitter)
+    model = simm.ExactSIMM(num_genes=data.num_genes, jitter=config.exact_jitter)
     has_p21 = "p21" in data.gene_names
     params_batch, hist = fit_ensemble(
         model,
@@ -246,6 +264,22 @@ def run_second_order(config: cfg.RunConfig):
     import jax
     import optax
 
+    # Fail-loudly policy: this route has its own compact fit loop and does
+    # not implement these flags — reject rather than silently ignore
+    # (ADVICE r1).
+    for flag, name in (
+        (config.checkpoint_dir, "--checkpoint-dir"),
+        (config.resume, "--resume"),
+        (config.metrics_path, "--metrics-path"),
+        (not config.fix_params, "--no-fix-params"),
+        (config.track_parameters, "--track-parameters"),
+        (config.optimizer != "adam", "--optimizer " + config.optimizer),
+    ):
+        if flag:
+            raise SystemExit(
+                f"{name} is not supported by the --model simm2 route"
+            )
+
     _setup_backend(config)
 
     from dis_project_tpu.data.dataset import P53Data, train_arrays
@@ -261,7 +295,7 @@ def run_second_order(config: cfg.RunConfig):
         seed=config.seed,
     )
     X, y, var = train_arrays(data)
-    model = simm2.SecondOrderSIMM(num_genes=data.num_genes, jitter=config.jitter)
+    model = simm2.SecondOrderSIMM(num_genes=data.num_genes, jitter=config.exact_jitter)
     raw = simm2.unconstrain(simm2.init_params(data.num_genes))
 
     def loss(raw):
@@ -342,7 +376,7 @@ def run_alfi_parity(config: cfg.RunConfig):
     X, y, var = train_arrays(data)
 
     print("Training JAX stack...")
-    model = simm.ExactSIMM(num_genes=data.num_genes, jitter=config.jitter)
+    model = simm.ExactSIMM(num_genes=data.num_genes, jitter=config.exact_jitter)
     res = tr.fit(
         model,
         simm.init_params(data.num_genes),
@@ -357,7 +391,7 @@ def run_alfi_parity(config: cfg.RunConfig):
         num_genes=data.num_genes,
         timepoints=torch.tensor(np.asarray(data.timepoints)),
         variances=torch.tensor(np.asarray(var)),
-        jitter=config.jitter,
+        jitter=config.exact_jitter,
         num_replicates=data.num_replicates,
     )
     tm.set_train_targets(torch.tensor(np.asarray(y)))
@@ -411,7 +445,7 @@ def run_dense(config: cfg.RunConfig):
     X, y, var = train_arrays(data)
 
     model = simm.ExactSIMM(
-        num_genes=scfg.num_genes, jitter=config.jitter, canonical_rows=True
+        num_genes=scfg.num_genes, jitter=config.exact_jitter, canonical_rows=True
     )
     t0 = time.perf_counter()
     if config.mll_engine == "cg":
@@ -532,7 +566,7 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     )
     X, y, var = train_arrays(data)
     model = simm2.SecondOrderSIMM(num_genes=scfg.num_genes,
-                                  jitter=config.jitter)
+                                  jitter=config.exact_jitter)
     raw0 = simm2.unconstrain(simm2.init_params(scfg.num_genes, dtype=X.dtype))
     opt = optax.adam(config.learning_rate)
 
@@ -611,7 +645,7 @@ def run_sparse(config: cfg.RunConfig):
 
     # Honor --jitter (SparseSIMM applies its own f32 floor for Kuu);
     # the sparse default is tighter than the exact path's 1e-4.
-    sparse_jitter = config.jitter if config.jitter != 1e-4 else 1e-6
+    sparse_jitter = config.sparse_jitter
     model = svlfm.SparseSIMM(
         num_genes=scfg.num_genes,
         num_inducing=config.num_inducing,

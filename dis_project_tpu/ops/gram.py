@@ -24,6 +24,7 @@ masked-out force rows (gene index -1) in-bounds.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dis_project_tpu.ops import lfm_kernels as lfk
@@ -83,9 +84,13 @@ def gram(x, decay, sens, lengthscale):
 def gram_xx_blocked_fast(timepoints, decay, sens, lengthscale):
     r"""Table-based (G*T, G*T) gene-gene Gram for UNIFORMLY-gridded
     timepoints (the delta table is indexed by the row/col index
-    difference; irregular shared grids would be silently wrong — callers
-    with concrete timepoints should check spacing, as ``trainer.fit``
-    does, and fall back to :func:`k_xx_block`).
+    difference; an irregular shared grid would be silently wrong).
+
+    Misuse guard: when ``timepoints`` is concrete (not a tracer) the op
+    validates the spacing on the host and raises ``ValueError`` on an
+    irregular grid.  Inside a jit trace the values are unavailable, so
+    callers that jit over traced timepoints must check spacing themselves
+    (``trainer.fit`` does, and falls back to the row path).
 
     On a shared time grid every transcendental argument in the k_xx
     closed form lives on a small index set — time differences take only
@@ -104,6 +109,18 @@ def gram_xx_blocked_fast(timepoints, decay, sens, lengthscale):
     canonical and all synthetic stress configs).
     """
     t = timepoints
+    if not isinstance(t, jax.core.Tracer):
+        import numpy as np
+
+        t_host = np.asarray(t)
+        diffs = np.diff(t_host)
+        if diffs.size and not np.allclose(diffs, diffs[0], rtol=1e-6):
+            raise ValueError(
+                "gram_xx_blocked_fast requires a UNIFORM time grid (its "
+                "delta table is indexed by row-col index difference); got "
+                "irregular spacing. Use ops.lfm_kernels.k_xx_block / "
+                "ops.gram.gram for shared-but-irregular grids."
+            )
     T = t.shape[0]
     G = decay.shape[0]
     l = lengthscale

@@ -1,4 +1,10 @@
-"""Training loop, objectives, checkpointing."""
+"""Training loop and checkpointing.
+
+The training objectives live with their owners: the exact conjugate MLL on
+``models.simm.ExactSIMM`` (over ``ops.mll``'s custom-VJP MVN log-density —
+the reference's ``CustomConjMLL``, ``src/objectives.py:19-78``) and the
+sparse-variational ELBOs on ``models.svlfm.SparseLFM``.
+"""
 
 from dis_project_tpu.training.trainer import (
     TrainConfig,
@@ -6,6 +12,6 @@ from dis_project_tpu.training.trainer import (
     fit,
     fit_checkpointed,
 )
-from dis_project_tpu.training import objectives, svtrainer
+from dis_project_tpu.training import svtrainer
 
-__all__ = ["TrainConfig", "TrainResult", "fit", "fit_checkpointed", "objectives", "svtrainer"]
+__all__ = ["TrainConfig", "TrainResult", "fit", "fit_checkpointed", "svtrainer"]

@@ -66,11 +66,29 @@ def checked_mvn_logpdf(y, mean, sigma):
 
 
 def enable_deterministic() -> None:
-    """Bitwise-reproducible execution: deterministic XLA reductions/scatter
-    ordering. Call before the first compilation."""
+    """Run-to-run-reproducible execution knobs.
+
+    Scope (be precise about what each control buys):
+
+    - ``jax_default_matmul_precision='highest'`` — disables the TPU's
+      bf16-passes matmul strategy selection, the main source of run-to-run
+      and version-to-version drift on TPU/CPU.
+    - ``--xla_gpu_deterministic_ops`` — GPU-ONLY: forces deterministic
+      reduction/scatter kernels. No effect on TPU or CPU, where XLA's
+      reductions are already deterministic for a fixed executable.
+
+    XLA_FLAGS is only read at backend initialisation, so calling this
+    after JAX has initialised would be a silent no-op for the flag part —
+    we raise instead. Each flag is appended independently.
+    """
+    if getattr(jax._src.xla_bridge, "_backends", None):  # already initialised
+        raise RuntimeError(
+            "enable_deterministic() must run before the first JAX "
+            "operation: XLA_FLAGS is only read at backend initialisation"
+        )
     flags = os.environ.get("XLA_FLAGS", "")
-    extra = " --xla_gpu_deterministic_ops=true"
-    tpu = " --xla_tpu_detect_nan=false"
-    if "--xla_gpu_deterministic_ops" not in flags:
-        os.environ["XLA_FLAGS"] = flags + extra + tpu
+    for extra in ("--xla_gpu_deterministic_ops=true",):
+        if extra.split("=")[0] not in flags:
+            flags = (flags + " " + extra).strip()
+    os.environ["XLA_FLAGS"] = flags
     jax.config.update("jax_default_matmul_precision", "highest")

@@ -115,3 +115,33 @@ class TestGriddedMLL:
         a = float(model.mll(p, X, y))
         b = float(model.mll_gridded(p, data.timepoints, y))
         assert b == pytest.approx(a, rel=1e-12)
+
+
+class TestUniformGridGuard:
+    """gram_xx_blocked_fast must reject concrete irregular grids (its delta
+    table is indexed by a - b; VERDICT r1 hazard #5)."""
+
+    def test_irregular_concrete_grid_raises(self):
+        t_bad = jnp.asarray([0.0, 1.0, 2.5, 3.0])
+        d = jnp.full(2, 0.5)
+        s = jnp.ones(2)
+        with pytest.raises(ValueError, match="UNIFORM"):
+            gram_ops.gram_xx_blocked_fast(t_bad, d, s, jnp.asarray(2.5))
+
+    def test_uniform_concrete_grid_ok(self):
+        t = jnp.linspace(0.0, 12.0, 7)
+        d = jnp.full(2, 0.5)
+        s = jnp.ones(2)
+        K = gram_ops.gram_xx_blocked_fast(t, d, s, jnp.asarray(2.5))
+        assert K.shape == (14, 14)
+
+    def test_traced_timepoints_still_jit(self):
+        # Inside jit the values are unavailable — the op must stay traceable
+        # (callers like trainer.fit guard spacing themselves).
+        t = jnp.linspace(0.0, 12.0, 7)
+        d = jnp.full(2, 0.5)
+        s = jnp.ones(2)
+        K = jax.jit(
+            lambda tt: gram_ops.gram_xx_blocked_fast(tt, d, s, jnp.asarray(2.5))
+        )(t)
+        assert bool(jnp.all(jnp.isfinite(K)))
