@@ -161,6 +161,47 @@ def plot_comparison(
     return fig
 
 
+def plot_param_trace(
+    trace,
+    gene_names,
+    save: bool = True,
+    save_name: Optional[str] = None,
+    out_dir: str = "plots",
+):
+    """Per-step trajectories of the constrained kinetics during training.
+
+    ``trace``: dict with keys ``basal`` / ``sensitivity`` / ``decay``, each a
+    (steps, G) array — what ``TrainConfig(track_parameters=True)`` (stacked
+    pytree) or the torch trainer's by-name trace (reference
+    ``trainer_alfi.py:79-84,186-190``) record. The reference tracks this
+    trace but only ever consumes it in the torch comparison chart
+    (``plotter_alfi.py:226-241``); here it is a first-class artifact for
+    both stacks.
+    """
+    plt = _plt()
+    titles = ["Basal rates", "Sensitivities", "Decay rates"]
+    keys = ["basal", "sensitivity", "decay"]
+
+    fig, axes = plt.subplots(1, 3, figsize=(7.5, 2.5), dpi=150, sharex=True)
+    for ax, key, title in zip(axes, keys, titles):
+        values = np.asarray(trace[key])
+        if values.ndim == 1:
+            values = values[:, None]
+        for g in range(values.shape[1]):
+            label = gene_names[g] if g < len(gene_names) else f"g{g}"
+            ax.plot(values[:, g], label=label, linewidth=1)
+        ax.set_title(title)
+        ax.set_xlabel("Step")
+    axes[0].legend(fontsize="x-small")
+    fig.tight_layout()
+    if save:
+        name = f"param_trace_{save_name}.png" if save_name else "param_trace.png"
+        path = save_plot(fig, name, out_dir)
+        plt.close(fig)
+        return path
+    return fig
+
+
 def _dedupe_legend(ax):
     handles, labels = ax.get_legend_handles_labels()
     by_label = dict(zip(labels, handles))

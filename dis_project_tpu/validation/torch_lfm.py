@@ -213,12 +213,22 @@ class TorchSIMM(torch.nn.Module):
 
     # -- objective & training -----------------------------------------------
 
-    def mll(self, y: torch.Tensor) -> torch.Tensor:
-        """Exact MLL with the torch-side noise convention: Sigma includes
-        the fixed measurement variances (in-kernel) + jitter + obs_noise^2."""
+    def mll(self, y: torch.Tensor, include_meas_var: bool = True) -> torch.Tensor:
+        """Exact MLL. With ``include_meas_var`` (default), Sigma includes the
+        fixed measurement variances (in-kernel) + jitter + obs_noise^2 — the
+        torch reference convention (model_alfi.py:295-299). With False the
+        Sigma convention matches the GPJax side's MLL (jitter + obs_noise^2
+        only, reference src/objectives.py:70-73) — the like-for-like setting
+        for cross-framework MLL deltas at fixed parameters."""
         y = y.reshape(-1)
         n = y.shape[0]
-        sigma = self.gram() + (self.obs_stddev ** 2) * torch.eye(
+        if include_meas_var:
+            base = self.gram()
+        else:
+            base = self.gram(add_noise_diag=False) + self.jitter * torch.eye(
+                n, dtype=torch.float64
+            )
+        sigma = base + (self.obs_stddev ** 2) * torch.eye(
             n, dtype=torch.float64
         )
         mu = self.mean()
@@ -237,11 +247,20 @@ class TorchSIMM(torch.nn.Module):
         lr: float = 0.01,
         fix_params: bool = True,
         clamp_gene: int = 3,
+        track_parameters: bool = False,
     ):
         """Eager Adam loop with the per-epoch p21 clamp (applied to the raw
-        parameters under no_grad, reference trainer_alfi.py:192-199)."""
+        parameters under no_grad, reference trainer_alfi.py:192-199).
+
+        With ``track_parameters`` the constrained kinetics are recorded each
+        epoch into ``self.param_trace`` (list of dicts of numpy arrays) —
+        the reference torch trainer's by-name parameter tracing
+        (trainer_alfi.py:79-84,186-190), consumed by
+        ``validation.torch_report.plot_comparison_torch`` and
+        ``plot_param_trace_torch``."""
         opt = torch.optim.Adam(self.parameters(), lr=lr)
         history = []
+        self.param_trace = [] if track_parameters else None
         for _ in range(epochs):
             opt.zero_grad()
             loss = -self.mll(y)
@@ -253,7 +272,17 @@ class TorchSIMM(torch.nn.Module):
                     d08 = torch.tensor(0.8, dtype=torch.float64)
                     self.raw_sensitivity[clamp_gene] = _softplus_inv(one)
                     self.raw_decay[clamp_gene] = _softplus_inv(d08)
-            history.append(float(loss))
+            history.append(float(loss.detach()))
+            if track_parameters:
+                with torch.no_grad():
+                    self.param_trace.append(
+                        {
+                            "basal": self.basal.numpy().copy(),
+                            "sensitivity": self.sensitivity.numpy().copy(),
+                            "decay": self.decay.numpy().copy(),
+                            "lengthscale": float(self.lengthscale),
+                        }
+                    )
         return history
 
     # -- posteriors ----------------------------------------------------------

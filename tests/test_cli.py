@@ -17,7 +17,11 @@ class TestConfigParsing:
         c = _parse([])
         assert c.num_iters == 150
         assert c.learning_rate == 0.01
-        assert c.jitter == 1e-4
+        # --jitter defaults to None and resolves per path: 1e-4 for the
+        # exact pipelines (reference src/main.py:41), 1e-6 sparse.
+        assert c.jitter is None
+        assert c.exact_jitter == 1e-4
+        assert c.sparse_jitter == 1e-6
         assert c.fix_params is True
         assert c.x64 is True
         assert c.replicate == 0

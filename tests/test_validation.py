@@ -151,3 +151,90 @@ class TestTrainedParity:
         y_blocks = np.asarray(y).reshape(5, 7)
         resid = means.numpy()[:, idx] - y_blocks
         assert np.abs(resid).mean() < 0.5
+
+
+def _fresh_tm(data, var, y):
+    """Untrained TorchSIMM at the shared inits (the module fixture's model
+    is trained in place by the TrainedParity tests)."""
+    tm = TorchSIMM(
+        num_genes=data.num_genes,
+        timepoints=torch.tensor(np.asarray(data.timepoints)),
+        variances=torch.tensor(np.asarray(var)),
+        jitter=1e-4,
+        num_replicates=1,
+    )
+    tm.set_train_targets(torch.tensor(np.asarray(y)))
+    return tm
+
+
+class TestLikeForLikeAndReporting:
+    def test_mll_like_for_like_at_init(self, problem):
+        """include_meas_var=False makes the torch Sigma convention match
+        the GPJax-side MLL exactly — the r2 parity gate (<= 1e-6; two f64
+        implementations of identical math land ~1e-12)."""
+        data, X, y, var, _ = problem
+        tm = _fresh_tm(data, var, y)
+        params = simm.init_params(5)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        got_t = float(tm.mll(torch.tensor(np.asarray(y)),
+                             include_meas_var=False).detach())
+        got_j = float(model.mll(params, X, y))
+        assert abs(got_t - got_j) <= 1e-6
+
+    def test_fixed_params_latent_posterior_matches(self, problem):
+        data, X, y, var, _ = problem
+        tm = _fresh_tm(data, var, y)
+        params = simm.init_params(5)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        t_test = np.linspace(0.0, 13.0, 40)
+        rows = jnp.stack(
+            [jnp.asarray(t_test), -jnp.ones(40), jnp.zeros(40)], axis=-1
+        )
+        f_jax = np.asarray(model.latent_predict(params, rows, X, y, var).mean)
+        f_torch, _ = tm.predict_f(torch.tensor(t_test))
+        np.testing.assert_allclose(f_torch.numpy(), f_jax, atol=1e-9)
+
+    def test_param_trace_and_plots(self, problem, tmp_path):
+        """The torch trainer records the by-name parameter trace and the
+        reference plotter surface consumes it (plotter_alfi.py:201-316)."""
+        from dis_project_tpu.validation import torch_report
+
+        data, X, y, var, tm = problem
+        hist = tm.fit(torch.tensor(np.asarray(y)), epochs=3,
+                      track_parameters=True)
+        assert len(tm.param_trace) == 3
+        assert tm.param_trace[-1]["decay"].shape == (5,)
+        # p21 clamp visible in the trace
+        assert tm.param_trace[-1]["sensitivity"][3] == pytest.approx(1.0)
+        out = str(tmp_path)
+        p1 = torch_report.plot_comparison_torch(tm.param_trace, data, out_dir=out)
+        p2 = torch_report.plot_param_trace_torch(tm.param_trace, data, out_dir=out)
+        t_test = np.linspace(0.0, 13.0, 20)
+        mean, v = tm.predict_f(torch.tensor(t_test))
+        p3 = torch_report.plot_lf_torch(t_test, mean.numpy(), v.numpy(),
+                                        data, out_dir=out)
+        means, vars_ = tm.predict_m(torch.tensor(t_test))
+        p4 = torch_report.plot_gxpred_torch(t_test, means.numpy(),
+                                            vars_.numpy(), data, out_dir=out)
+        import os
+        for p in (p1, p2, p3, p4):
+            assert os.path.exists(p)
+
+    def test_make_loaders_splits(self, problem):
+        from dis_project_tpu.validation.torch_lfm import TorchP53Dataset
+        from dis_project_tpu.validation import torch_report
+
+        data, X, y, var, tm = problem
+        tds = TorchP53Dataset.from_p53(data)
+        train, valid, test = torch_report.make_loaders(
+            tds, valid_split=0.2, test_split=0.2, seed=0
+        )
+        n = len(tds)
+        n_items = sum(len(l.dataset) for l in (train, valid, test))
+        assert n_items == n
+        assert len(valid.dataset) == round(0.2 * n)
+        # reference defaults: no splits -> single train loader
+        train_only, v0, t0 = torch_report.make_loaders(tds)
+        assert v0 is None and t0 is None and len(train_only.dataset) == n
+        with pytest.raises(ValueError, match="no training data"):
+            torch_report.make_loaders(tds, valid_split=0.6, test_split=0.6)
