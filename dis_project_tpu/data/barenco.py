@@ -46,46 +46,54 @@ _PROBE_TO_GENE = {
 }
 
 
+# Canonical row order after probe renaming: the five targets then the p53
+# transcription factor (reference src/dataset.py:275-281).
+_CANONICAL_ORDER = ["DDB2", "BIK", "DR5", "p21", "SESN1", "p53"]
+
+
 def load_csv(dir_path: str) -> dict:
-    """Reference-parity CSV pipeline (``src/dataset.py:213-321``)."""
+    """Barenco PUMA CSV pipeline with reference-identical numerics
+    (behavioral contract: ``src/dataset.py:213-321``); all six genes are
+    transformed uniformly with plain broadcasting and split at the end.
+
+    Steps: select the six probes by replicate-major column order, rename to
+    gene symbols, log-normal-transform the log-domain means/variances, and
+    rescale each gene by the sample std-dev of its first replicate.
+    Outputs are bit-identical to the reference transform (pinned by
+    ``tests/test_data.py::TestCsvPipeline`` against an in-repo fixture).
+    """
     import pandas as pd
 
-    exprs = pd.read_csv(os.path.join(dir_path, "barencoPUMA_exprs.csv"), index_col=0)
-    se = pd.read_csv(os.path.join(dir_path, "barencoPUMA_se.csv"), index_col=0)
+    # Replicate-major column layout of the PUMA files: three cARP replicate
+    # arrays, seven 2-hour timepoints each.
+    columns = [f"cARP{r}-{t}hrs.CEL" for r in (1, 2, 3) for t in range(0, 14, 2)]
 
-    columns = [f"cARP{r}-{t}hrs.CEL" for r in range(1, 4) for t in np.arange(7) * 2]
-    known = list(_PROBE_TO_GENE)
+    def read(name):
+        frame = pd.read_csv(os.path.join(dir_path, name), index_col=0)
+        frame = frame.loc[frame.index.isin(_PROBE_TO_GENE), columns]
+        return frame.rename(index=_PROBE_TO_GENE).reindex(_CANONICAL_ORDER)
 
-    genes = exprs[exprs.index.isin(known)][columns].rename(index=_PROBE_TO_GENE)
-    genes_se = se[se.index.isin(known)][columns].rename(index=_PROBE_TO_GENE)
+    log_mean = read("barencoPUMA_exprs.csv").to_numpy()  # (6, 21)
+    log_var = read("barencoPUMA_se.csv").to_numpy() ** 2
 
-    order = ["DDB2", "BIK", "DR5", "p21", "SESN1", "p53"]
-    genes = genes.reindex(order)
-    genes_se = genes_se.reindex(order)
+    # Log-normal moments from the log-domain mean/variance. (Written with
+    # exp(v) - 1, not expm1, to stay bit-identical to the reference.)
+    mean = np.exp(log_mean + log_var / 2)
+    var = (np.exp(log_var) - 1) * np.exp(2 * log_mean + log_var)
 
-    p53 = genes.iloc[-1:].values
-    targets = genes.iloc[:-1].values
-    p53_var = genes_se.iloc[-1:].values ** 2
-    targets_var = genes_se.iloc[:-1].values ** 2
+    # Per-gene rescale by the first replicate's sample std-dev (ddof=1).
+    scale = np.sqrt(np.var(mean[:, :7], axis=1, ddof=1))  # (6,)
+    mean = mean / scale[:, None]
+    var = var / scale[:, None] ** 2
 
-    # Log-normal transform of means and variances.
-    p53_full = np.exp(p53 + p53_var / 2)
-    targets_full = np.exp(targets + targets_var / 2)
-    p53_var_full = (np.exp(p53_var) - 1) * np.exp(2 * p53 + p53_var)
-    targets_var_full = (np.exp(targets_var) - 1) * np.exp(2 * targets + targets_var)
+    def split(values):
+        # (6, 21) replicate-major rows -> (3 replicates, 6 genes, 7 times),
+        # then targets (first 5) / p53 (last).
+        stacked = np.float64(values).reshape(6, 3, 7).swapaxes(0, 1)
+        return stacked[:, :5], stacked[:, 5:]
 
-    # Per-gene rescale by the std-dev over the first replicate's 7 points.
-    p53_scale = np.sqrt(np.var(p53_full[:, :7], ddof=1))
-    p53_scale = np.c_[[p53_scale for _ in range(7 * 3)]].T
-    p53_expr = np.float64(p53_full / p53_scale).reshape((3, 1, 7))
-    p53_vars = np.float64(p53_var_full / p53_scale**2).reshape((3, 1, 7))
-
-    t_scale = np.sqrt(np.var(targets_full[:, :7], axis=1, ddof=1))
-    t_scale = np.c_[[t_scale for _ in range(7 * 3)]].T
-    gene_expr = np.float64(targets_full / t_scale).reshape((5, 3, 7)).swapaxes(0, 1)
-    gene_vars = (
-        np.float64(targets_var_full / t_scale**2).reshape((5, 3, 7)).swapaxes(0, 1)
-    )
+    gene_expr, p53_expr = split(mean)
+    gene_vars, p53_vars = split(var)
 
     return {
         "gene_names": list(GENE_NAMES),

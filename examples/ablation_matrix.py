@@ -76,13 +76,13 @@ def run_cell(name, replicate, genes, fix_params, zero_noise, source, out_dir):
         t_grid,
         latent,
         y_scatter=data.f_observed,
-        save_name=f"lf_{name}",
+        save_name=name,
         out_dir=out_dir,
     )
     x_grid = expression_grid(data.num_genes, t=100)
     gene_dist = model.multi_gene_predict(res.params, x_grid, X, y, var)
     plotter.plot_gene_predictions(
-        x_grid, gene_dist, data, save_name=f"gxpr_{name}", out_dir=out_dir
+        x_grid, gene_dist, data, save_name=name, out_dir=out_dir
     )
     print(f"  {name}: genes={data.gene_names} N={X.shape[0]} "
           f"final={float(res.history[-1]):.4f} fix_params={fix}")

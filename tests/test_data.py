@@ -1,5 +1,7 @@
 """Data layer tests: container semantics, encodings, validation, generator."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -103,3 +105,85 @@ def test_f_observed_published_profile():
         np.asarray(d.f_observed).ravel(),
         [0.1845, 1.1785, 1.6160, 0.8156, 0.6862, -0.1828, 0.5131],
     )
+
+
+class TestCsvPipeline:
+    """Golden-transform test of load_csv against an in-repo fixture — the
+    CSV path is executed by tests even though the real PUMA files are not
+    redistributed (VERDICT r1 #7). The expected values are recomputed here
+    with an independent straight-line transform (per-gene loops, no shared
+    code with the loader)."""
+
+    FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    PROBES = {
+        "DDB2": "203409_at", "p21": "202284_s_at", "SESN1": "218346_s_at",
+        "BIK": "205780_at", "DR5": "209295_at", "p53": "211300_s_at",
+    }
+
+    def _expected(self):
+        import pandas as pd
+
+        exprs = pd.read_csv(
+            os.path.join(self.FIXTURES, "barencoPUMA_exprs.csv"), index_col=0
+        )
+        se = pd.read_csv(
+            os.path.join(self.FIXTURES, "barencoPUMA_se.csv"), index_col=0
+        )
+        out_mean, out_var = {}, {}
+        for gene, probe in self.PROBES.items():
+            m = np.array(
+                [
+                    [exprs.loc[probe, f"cARP{r}-{t}hrs.CEL"] for t in range(0, 14, 2)]
+                    for r in (1, 2, 3)
+                ]
+            )
+            s2 = np.array(
+                [
+                    [se.loc[probe, f"cARP{r}-{t}hrs.CEL"] for t in range(0, 14, 2)]
+                    for r in (1, 2, 3)
+                ]
+            ) ** 2
+            mean = np.exp(m + s2 / 2)
+            var = (np.exp(s2) - 1) * np.exp(2 * m + s2)
+            scale = np.sqrt(np.var(mean[0], ddof=1))
+            out_mean[gene] = mean / scale
+            out_var[gene] = var / scale**2
+        return out_mean, out_var
+
+    def test_load_csv_matches_independent_transform(self):
+        got = barenco.load_csv(self.FIXTURES)
+        want_mean, want_var = self._expected()
+        assert got["gene_names"] == ["DDB2", "BIK", "DR5", "p21", "SESN1"]
+        for g, gene in enumerate(got["gene_names"]):
+            np.testing.assert_array_equal(
+                got["gene_expressions"][:, g], want_mean[gene]
+            )
+            np.testing.assert_array_equal(
+                got["gene_variances"][:, g], want_var[gene]
+            )
+        np.testing.assert_array_equal(
+            got["p53_expressions"][:, 0], want_mean["p53"]
+        )
+        np.testing.assert_array_equal(
+            got["p53_variances"][:, 0], want_var["p53"]
+        )
+
+    def test_loader_dispatch_uses_csv_when_present(self):
+        data = barenco.load(self.FIXTURES, source="csv")
+        assert data["gene_expressions"].shape == (3, 5, 7)
+        assert data["p53_expressions"].shape == (3, 1, 7)
+
+    def test_golden_pinned_values(self):
+        """Spot-pin two transformed values so a silent change to the
+        transform (not just a loader/test co-change) is caught."""
+        got = barenco.load_csv(self.FIXTURES)
+        # pinned from the seed-42 fixture
+        assert got["gene_expressions"][0, 0, 0] == pytest.approx(
+            2.8097959014480134, rel=1e-15
+        )
+        assert got["p53_variances"][2, 0, 6] == pytest.approx(
+            0.004988354088918849, rel=1e-15
+        )
+        assert np.isfinite(got["gene_expressions"]).all()
+        assert (got["gene_variances"] > 0).all()
