@@ -55,33 +55,34 @@ DEFAULT_BLOCK = 512
 # ---------------------------------------------------------------------------
 
 
-def _chol_kernel(a_ref, o_ref):
-    """Cholesky of one (B, B) SPD block, entirely in VMEM.
+def _rank1_chol(M):
+    """Cholesky of a small (SB, SB) SPD *value* via SB masked rank-1 updates.
 
-    B rank-1 updates; column selection and the L write-back are done with
-    iota masks (full-tile VPU ops) instead of dynamic lane indexing, which
-    the TPU vector unit handles poorly.
+    Column selection, pivot extraction and the L write-back all go through
+    full-tile iota masks (VPU ops) instead of dynamic lane indexing, which
+    the TPU vector unit handles poorly.  All arithmetic is exact f32 VPU —
+    no MXU involvement, so no bf16-product rounding.
     """
-    B = a_ref.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    SB = M.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
 
     def body(j, carry):
         M, L = carry
         is_j = cols == j
-        # Pivot d = M[j, j] extracted via mask-reduce (scalar).
         d = jnp.sum(jnp.where(is_j & (rows == j), M, 0.0))
-        inv_sqrt = jax.lax.rsqrt(d)
-        # Column j of M, zeroed above the diagonal, scaled to a unit pivot.
-        c = jnp.sum(jnp.where(is_j & (rows >= j), M, 0.0), axis=1) * inv_sqrt
+        c = jnp.sum(jnp.where(is_j & (rows >= j), M, 0.0), axis=1) * jax.lax.rsqrt(d)
         L = L + c[:, None] * is_j.astype(M.dtype)
         M = M - c[:, None] * c[None, :]
         return M, L
 
-    M0 = a_ref[:]
-    L0 = jnp.zeros_like(M0)
-    _, L = jax.lax.fori_loop(0, B, body, (M0, L0))
-    o_ref[:] = L
+    _, L = jax.lax.fori_loop(0, SB, body, (M, jnp.zeros_like(M)))
+    return L
+
+
+def _chol_kernel(a_ref, o_ref):
+    """Cholesky of one (B, B) SPD block, entirely in VMEM."""
+    o_ref[:] = _rank1_chol(a_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -95,6 +96,124 @@ def chol_unblocked(a, *, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * B * B, bytes_accessed=8 * B * B, transcendentals=B
+        ),
+        interpret=interpret,
+    )(a)
+
+
+# ---------------------------------------------------------------------------
+# Combined (B, B) Cholesky + triangular inverse in one VMEM program.
+# ---------------------------------------------------------------------------
+
+# Sub-block size for the in-VMEM left-looking panels of _chol_inv_vmem.
+_SUB = 128
+
+
+def _hdot(a, b):
+    """MXU dot with true-f32 products (3-pass) — these dots are dispatch-
+    overhead-bound, not rate-bound, so HIGHEST costs ~nothing and keeps the
+    factor at f32 accuracy (measured 2.9e-7 vs 5.1e-4 rel. error at B=512
+    for +20% kernel time inside the noise floor)."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=a.dtype,
+    )
+
+
+def _tri_inv_doubling(L):
+    """Inverse of a lower-triangular (SB, SB) value by nilpotent doubling.
+
+    L = D (I + M) with M strictly lower => M^SB = 0 and
+    (I + M)^{-1} = (I - M)(I + M^2)(I + M^4)...(I + M^{SB/2}): log2(SB)
+    MXU matmul pairs, no substitution loop.  Exact for the nilpotent part
+    in exact arithmetic; in f32 the powers of a Cholesky-factor M decay
+    (diagonally-dominant factors of jittered SPD Grams), keeping the error
+    at roundoff level.
+    """
+    SB = L.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+    eye = (rows == cols).astype(L.dtype)
+    dinv = 1.0 / jnp.sum(jnp.where(rows == cols, L, 0.0), axis=1)
+    M = L * dinv[:, None] - eye  # strictly lower
+    P = eye - M
+    S = _hdot(M, M)
+    steps = max(SB.bit_length() - 2, 0)  # SB=128 -> 6 more doublings
+    for _ in range(steps):
+        P = P + _hdot(P, S)
+        S = _hdot(S, S)
+    return P * dinv[None, :]
+
+
+def _chol_inv_vmem(C, l_ref, li_ref, m_ref, sub=_SUB):
+    """Write L (lower factor of value ``C``) into ``l_ref`` and L^{-1} into
+    ``li_ref``, entirely in VMEM.
+
+    Left-looking over ``sub``-wide panels (static, unrolled): rank-1 f32
+    diagonal factor, doubling inverse, TRSM panel as matmul, MXU trailing
+    update in the ``m_ref`` workspace.  The full-block inverse is assembled
+    blockwise from the panel inverses:
+    ``Li[p, :off] = -dinv @ L[p, :off] @ Li[:off, :off]``.
+    """
+    B = C.shape[0]
+    nb = B // sub
+    dt = C.dtype
+    m_ref[:] = C
+    l_ref[:] = jnp.zeros((B, B), dt)
+    li_ref[:] = jnp.zeros((B, B), dt)
+    for p in range(nb):
+        off = p * sub
+        d = _rank1_chol(m_ref[off : off + sub, off : off + sub])
+        dinv = _tri_inv_doubling(d)
+        l_ref[off : off + sub, off : off + sub] = d
+        if off + sub < B:
+            below = _hdot(m_ref[off + sub :, off : off + sub], dinv.T)
+            l_ref[off + sub :, off : off + sub] = below
+            m_ref[off + sub :, off + sub :] = m_ref[
+                off + sub :, off + sub :
+            ] - _hdot(below, below.T)
+        if p == 0:
+            li_ref[:sub, :sub] = dinv
+        else:
+            corr = -_hdot(
+                _hdot(dinv, l_ref[off : off + sub, :off]), li_ref[:off, :off]
+            )
+            li_ref[off : off + sub, :off] = corr
+            li_ref[off : off + sub, off : off + sub] = dinv
+
+
+def _chol_inv_kernel(a_ref, l_ref, li_ref, m_ref):
+    _chol_inv_vmem(a_ref[:], l_ref, li_ref, m_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_inv_unblocked(a, *, interpret: bool = False):
+    """L and L^{-1} of a single (B, B) SPD block in ONE Pallas program.
+
+    Replaces the per-column XLA ``cholesky`` + ``tri_inv`` dispatch pair in
+    :func:`blocked_cholesky` (measured: one 0.21 ms kernel at B=512 vs
+    ~0.12 ms for XLA's cholesky alone plus the multi-dispatch triangular
+    inverse).  f32 only; f32-accurate (all matmuls 3-pass HIGHEST, rank-1
+    pivots on the VPU).
+    """
+    B = a.shape[0]
+    return pl.pallas_call(
+        _chol_inv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, B), a.dtype),
+            jax.ShapeDtypeStruct((B, B), a.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, B), a.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * B * B, bytes_accessed=16 * B * B, transcendentals=B
         ),
         interpret=interpret,
     )(a)
@@ -219,7 +338,15 @@ def blocked_cholesky(
     Cholesky of ``blkdiag(A, I)`` is ``blkdiag(L, I)``) and sliced back.
     """
     n = a.shape[0]
+    if diag == "pallas_inv" and (
+        a.dtype == jnp.float64 or block % _SUB or block > _PALLAS_CHOL_MAX_B
+    ):
+        diag = "xla"  # VMEM kernel is f32-only and sub-blocked at 128
     if n <= block:
+        if diag == "pallas_inv" and n % _SUB == 0:
+            return jnp.tril(chol_inv_unblocked(a, interpret=interpret)[0])
+        if diag == "pallas_inv":
+            diag = "xla"
         return jnp.tril(_diag_chol(a, diag, interpret))
     nb = -(-n // block)
     npad = nb * block
@@ -246,9 +373,15 @@ def blocked_cholesky(
                 # pick its fast f32-at-bf16-rate MXU strategy — forcing
                 # f32 accumulation here measured ~25% slower end to end.
                 col = col - left @ left[:block].T
-        lkk = jnp.tril(_diag_chol(col[:block], diag, interpret))
+        if diag == "pallas_inv":
+            lkk, linv = chol_inv_unblocked(col[:block], interpret=interpret)
+        else:
+            lkk = jnp.tril(_diag_chol(col[:block], diag, interpret))
         if off + block < npad:
-            linv_t = tri_inv(lkk, base=min(block, 256)).T
+            if diag == "pallas_inv":
+                linv_t = linv.T
+            else:
+                linv_t = tri_inv(lkk, base=min(block, 256)).T
             panel = col[block:]
             if matmul_dtype is not None:
                 panel = panel.astype(matmul_dtype)

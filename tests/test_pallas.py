@@ -163,6 +163,37 @@ class TestBlockedCholesky:
         np.testing.assert_allclose(np.asarray(g_b[0]), np.asarray(g_x[0]), atol=1e-10)
         np.testing.assert_allclose(np.asarray(g_b[1]), np.asarray(g_x[1]), atol=1e-10)
 
+    def test_chol_inv_unblocked_f32(self):
+        """One VMEM program returns both L and L^{-1} (f32, sub-blocked)."""
+        A = self._spd(256, jnp.float32)
+        L, Li = pc.chol_inv_unblocked(A, interpret=True)
+        ref = np.linalg.cholesky(np.asarray(A, np.float64))
+        np.testing.assert_allclose(np.asarray(L), ref, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(Li) @ np.asarray(L), np.eye(256), atol=5e-5
+        )
+
+    def test_blocked_cholesky_pallas_inv_diag(self):
+        A = self._spd(640, jnp.float32)
+        Lref = np.linalg.cholesky(np.asarray(A, np.float64))
+        L = pc.blocked_cholesky(A, block=256, diag="pallas_inv", interpret=True)
+        np.testing.assert_allclose(np.asarray(L), Lref, rtol=2e-4, atol=2e-4)
+
+    def test_fused_cholesky_interpret(self):
+        """Experimental manual-DMA kernels (v1 2-D grid, v2 1-D active-only
+        grid) against the f64 factor; includes a non-multiple-of-quantum
+        size to exercise the identity-tail padding."""
+        from dis_project_tpu.ops import pallas_cholesky_fused as pcf
+
+        for n, kw in ((1024, {}), (768, {})):
+            A = self._spd(n, jnp.float32)
+            ref = np.linalg.cholesky(np.asarray(A, np.float64))
+            L1 = pcf.fused_cholesky(A, block=256, interpret=True, **kw)
+            np.testing.assert_allclose(np.asarray(L1), ref, rtol=2e-3, atol=6e-3)
+            L2 = pcf.fused_cholesky2(A, block=256, chunk=2, interpret=True)
+            np.testing.assert_allclose(np.asarray(L2), ref, rtol=2e-3, atol=6e-3)
+            assert float(np.abs(np.triu(np.asarray(L2), 1)).max()) == 0.0
+
     def test_blocked_solve_and_inverse(self):
         A = self._spd(300)
         L = jnp.linalg.cholesky(A)
