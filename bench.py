@@ -37,7 +37,11 @@ import jax.numpy as jnp
 import optax
 
 # v5e single-chip peak: ~197 TFLOP/s bf16; f32 matmuls lower to the MXU at
-# near-bf16 rate under --xla_allow_excess_precision (measured ~190 TF/s).
+# near-bf16 rate under --xla_allow_excess_precision (measured ~190 TF/s at
+# the XLA level; 170 TF/s sustained for bf16 dots inside a Pallas kernel —
+# see ops/pallas_cholesky_fused.py for the full measured-floor analysis:
+# DMA 380-660 GB/s, no MXU/VPU co-issue, serial diag chain ~1.9 ms, which
+# bounds ANY N=8192 f32 Cholesky on this chip at >= ~3.2 ms = frac 0.29).
 V5E_PEAK_FLOPS = 197e12
 
 
