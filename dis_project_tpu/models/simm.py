@@ -103,12 +103,15 @@ class ExactSIMM:
     Backend dispatch (all resolved at **trace time** from static shape,
     dtype and the default JAX backend — nothing dynamic enters the jit):
 
-    - ``gram_impl``: ``'auto' | 'xla' | 'pallas'``. ``'auto'`` picks the
-      fused Pallas tile kernel (``ops.pallas_gram``) for f32 row counts in
-      [``PALLAS_GRAM_MIN_N``, ``PALLAS_GRAM_MAX_N``) on TPU — measured on
-      v5e: Pallas 1.9x faster at N=2048, XLA's fused build 1.5x faster by
-      N=8192 (the tile kernel is VPU-transcendental-bound and XLA's erf
-      codegen wins at scale) — else the XLA-fused block formulas.
+    - ``gram_impl``: ``'auto' | 'xla' | 'pallas'``. ``'auto'`` routes
+      *square* Grams through the lower-triangle symmetric Pallas kernel
+      (``ops.pallas_gram.gram_sym`` — half the transcendentals, mirrored
+      by DMA; v5e r2: 1.92 vs 2.39 ms against XLA at N=8192) for f32
+      N >= ``PALLAS_GRAM_MIN_N`` on TPU with no upper cutoff, and
+      *rectangular* cross-covariances through the dense tile kernel only
+      inside [``PALLAS_GRAM_MIN_N``, ``PALLAS_GRAM_MAX_N``) — beyond that
+      XLA's fused erf codegen wins (1.5x at N=8192) — else the XLA-fused
+      block formulas.
     - ``chol_impl``: ``'auto' | 'xla' | 'blocked'``. ``'auto'`` picks the
       left-looking blocked factoriser (``ops.pallas_cholesky``) for f32
       N >= ``BLOCKED_CHOL_MIN_N`` on TPU — measured on v5e r2: 1.13x
@@ -193,6 +196,29 @@ class ExactSIMM:
         return mean * flags
 
     def gram(self, params: SIMMParams, x: jnp.ndarray, kind: str = "mixed") -> jnp.ndarray:
+        n = x.shape[0]
+        use_sym = (
+            self.gram_impl == "pallas"
+            or (
+                self.gram_impl == "auto"
+                and n >= self.PALLAS_GRAM_MIN_N
+                and x.dtype == jnp.float32
+                and _on_tpu()
+            )
+        )
+        if use_sym:
+            from dis_project_tpu.ops import pallas_gram
+
+            # Square Gram: lower-triangle kernel — half the transcendentals
+            # of the rectangular tile kernel, mirrored by DMA.  Unlike the
+            # rectangular kernel there is no upper N cutoff: the symmetric
+            # kernel beats XLA's fused build at every measured size (v5e
+            # r2: 1.92 vs 2.39 ms at N=8192, kind='xx').
+            params_e = self._expand(params)
+            return pallas_gram.gram_sym(
+                x, params_e.decay, params_e.sensitivity, params_e.lengthscale,
+                kind=kind,
+            )
         return self.cross_covariance(params, x, x, kind)
 
     def cross_covariance(

@@ -224,7 +224,48 @@ def chol_inv_unblocked(a, *, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def tri_inv(L, *, base: int = 256):
+def tri_inv_panels(L, *, panel: int = 2048, base: int = 256,
+                   leaf: str = "doubling"):
+    """Two-level triangular inverse: batched panel-diagonal inverses + a
+    row-panel sweep.
+
+    The bottom-up doubling form (:func:`tri_inv`) spends most of its wall
+    clock in level-gather copies and small batched matmuls (measured 3.85 ms
+    at N=8192 f32 on v5e against a ~1.0 ms matmul-FLOP bound).  This form
+    has only ``nb = N/panel`` sequential steps: all ``panel``-sized diagonal
+    inverses are ONE vmapped :func:`tri_inv` call, and each row-panel
+    correction ``Li[i, :i] = -Dinv_i (L[i, :i] Li[:i, :i])`` is two
+    full-width MXU matmuls.  Measured 3.81 ms at N=8192 (p=2048; p=1024 is
+    4.67) — the win over the doubling form is small single-problem, but the
+    shape is far friendlier under vmap/sharding (no O(log N) gather levels).
+    """
+    n = L.shape[0]
+    if n <= panel:
+        return tri_inv(L, base=base, leaf=leaf)
+    nbp = -(-n // panel)
+    npad = nbp * panel
+    X = _pad_identity(L, npad) if npad != n else L
+    diag = jnp.stack(
+        [X[i * panel : (i + 1) * panel, i * panel : (i + 1) * panel]
+         for i in range(nbp)]
+    )
+    dinv = jax.vmap(lambda Lb: tri_inv(Lb, base=base, leaf=leaf))(diag)
+    rows = [dinv[0]]  # row-panel i: (panel, (i+1)*panel)
+    for i in range(1, nbp):
+        off = i * panel
+        top = jnp.concatenate(
+            [jnp.pad(r, ((0, 0), (0, off - r.shape[1]))) for r in rows]
+        )  # (off, off) — finished prefix of Li
+        Lrow = X[off : off + panel, :off]
+        Xi = -dinv[i] @ _mul_dense_tril(Lrow, top, base=panel // 2)
+        rows.append(jnp.concatenate([Xi, dinv[i]], axis=1))
+    full = jnp.concatenate(
+        [jnp.pad(r, ((0, 0), (0, npad - r.shape[1]))) for r in rows]
+    )
+    return full[:n, :n] if npad != n else full
+
+
+def tri_inv(L, *, base: int = 256, leaf: str = "solve"):
     """Inverse of a lower-triangular matrix via bottom-up block doubling.
 
     [[A, 0], [B, C]]^{-1} = [[A^{-1}, 0], [-C^{-1} B A^{-1}, C^{-1}]]
@@ -236,10 +277,17 @@ def tri_inv(L, *, base: int = 256):
     threaded buffer means zero concatenates; per level the traffic is one
     gather + one scatter of the touched blocks only.  O(n^3/3) FLOPs, ~all
     on the MXU.
+
+    ``leaf`` selects the base-block inverter: ``'solve'`` (XLA batched
+    ``triangular_solve`` — exact substitution, the f64/CPU default) or
+    ``'doubling'`` (batched nilpotent-doubling, all MXU matmuls — measured
+    faster on TPU, roundoff-exact for the diagonally-dominant factors of
+    jittered SPD Grams).
     """
     n = L.shape[0]
+    leaf_inv = _tri_inv_base if leaf == "solve" else _tri_inv_doubling
     if n <= base:
-        return _tri_inv_base(L)
+        return leaf_inv(L)
     # Pad to base * 2^m with an identity tail (inverse of blkdiag(L, I) is
     # blkdiag(L^{-1}, I)).
     levels = max(1, math.ceil(math.log2(n / base)))
@@ -253,7 +301,7 @@ def tri_inv(L, *, base: int = 256):
     diag_blocks = jnp.stack(
         [X[i * base : (i + 1) * base, i * base : (i + 1) * base] for i in range(nb)]
     )
-    dinv = jax.vmap(_tri_inv_base)(diag_blocks)
+    dinv = jax.vmap(leaf_inv)(diag_blocks)
     for i in range(nb):
         X = jax.lax.dynamic_update_slice(X, dinv[i], (i * base, i * base))
 
@@ -277,9 +325,10 @@ def tri_inv(L, *, base: int = 256):
         Ai = _gather(0, 0)
         Ci = _gather(s, s)
         Bo = _gather(s, 0)
-        off = -jnp.einsum(
-            "pij,pjk->pik", Ci, jnp.einsum("pij,pjk->pik", Bo, Ai)
-        )
+        # Both outer operands are triangular: triangle-aware batched
+        # products cost ~2 s^3 per pair instead of the dense 4 s^3, taking
+        # the whole inverse to the substitution-algorithm N^3/3 FLOPs.
+        off = -_mul_tril_dense(Ci, _mul_dense_tril(Bo, Ai))
         for p in range(P):
             X = jax.lax.dynamic_update_slice(
                 X, off[p], (p * 2 * s + s, p * 2 * s)
@@ -292,6 +341,39 @@ def _tri_inv_base(L):
     """Leaf inverse of a small lower-triangular block (one solve op)."""
     eye = jnp.eye(L.shape[0], dtype=L.dtype)
     return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+def _mul_dense_tril(X, T, base: int = 512):
+    """``X @ T`` for lower-triangular ``T`` (batched), skipping the
+    structural zeros: [X1 X2] @ [[A,0],[B,C]] = [X1 A + X2 B, X2 C].
+    ~half the FLOPs of the dense product."""
+    n = T.shape[-1]
+    if n <= base or n % 2:
+        return X @ T
+    h = n // 2
+    X1, X2 = X[..., :, :h], X[..., :, h:]
+    A = T[..., :h, :h]
+    B = T[..., h:, :h]
+    C = T[..., h:, h:]
+    left = _mul_dense_tril(X1, A, base) + X2 @ B
+    right = _mul_dense_tril(X2, C, base)
+    return jnp.concatenate([left, right], axis=-1)
+
+
+def _mul_tril_dense(T, X, base: int = 512):
+    """``T @ X`` for lower-triangular ``T`` (batched), skipping the
+    structural zeros: [[A,0],[B,C]] @ [X1; X2] = [A X1; B X1 + C X2]."""
+    n = T.shape[-1]
+    if n <= base or n % 2:
+        return T @ X
+    h = n // 2
+    X1, X2 = X[..., :h, :], X[..., h:, :]
+    A = T[..., :h, :h]
+    B = T[..., h:, :h]
+    C = T[..., h:, h:]
+    top = _mul_tril_dense(A, X1, base)
+    bot = B @ X1 + _mul_tril_dense(C, X2, base)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -446,7 +528,7 @@ def blocked_chol_solve(L, b, *, block: int = DEFAULT_BLOCK):
     return Li.T @ z
 
 
-def _tril_t_tril(Li, *, base: int = 1024):
+def _tril_t_tril(Li, *, base: int = 2048):
     """``Li.T @ Li`` for lower-triangular ``Li``, skipping structural zeros.
 
     With Li = [[A, 0], [B, C]] (A, C lower-triangular):
@@ -475,6 +557,15 @@ def _tril_t_tril(Li, *, base: int = 1024):
 
 def inv_from_factor(L, *, block: int = DEFAULT_BLOCK):
     """Σ^{-1} = L^{-T} L^{-1} from the Cholesky factor — the quantity the
-    custom-VJP MLL backward pass consumes (``ops.mll._mvn_bwd``)."""
-    Li = tri_inv(L, base=min(block, 256))
+    custom-VJP MLL backward pass consumes (``ops.mll._mvn_bwd``).
+
+    f32 above N=2048 takes the TPU-tuned route (panel trtri with batched
+    doubling leaves + base-2048 triangle-aware SYRK — v5e r2: 6.40 vs
+    7.21 ms at N=8192, 0.44 of the bf16 peak for the 3 N^3/3 FLOP total);
+    f64 keeps the exact substitution leaves for the CPU parity oracle.
+    """
+    if L.dtype == jnp.float32 and L.shape[0] > 2048:
+        Li = tri_inv_panels(L)
+    else:
+        Li = tri_inv(L, base=min(block, 256))
     return _tril_t_tril(Li)

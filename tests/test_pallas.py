@@ -103,6 +103,43 @@ def test_pallas_gram_differentiable():
                                    atol=1e-4)
 
 
+@pytest.mark.parametrize("kind,flags,n", [("mixed", None, 35), ("xx", 1, 70),
+                                          ("ff", 0, 40), ("xx", 1, 64)])
+def test_gram_sym_matches_dense(kind, flags, n):
+    """Lower-triangle symmetric kernel == dense Pallas kernel (same erf)."""
+    decay, sens, ell = _params()
+    x = _rows(n, flag=flags)
+    dense = pg.gram(x, decay, sens, ell, kind=kind, interpret=True,
+                    tile_m=32, tile_n=32)
+    sym = pg.gram_sym(x, decay, sens, ell, kind=kind, interpret=True, tile=32)
+    np.testing.assert_allclose(np.asarray(sym), np.asarray(dense), atol=2e-6)
+    # mirrored writes produce an exactly-symmetric matrix
+    np.testing.assert_allclose(np.asarray(sym), np.asarray(sym.T), atol=0)
+    ref = gram_ops.gram(x, decay, sens, ell)
+    np.testing.assert_allclose(np.asarray(sym), np.asarray(ref), atol=5e-5)
+
+
+def test_gram_sym_differentiable():
+    import jax
+
+    decay, sens, ell = _params()
+    x = _rows(40, flag=1)
+
+    def loss_sym(d, s, l):
+        K = pg.gram_sym(x, d, s, l, kind="xx", interpret=True, tile=32)
+        return jnp.sum(K * jnp.cos(K))
+
+    def loss_xla(d, s, l):
+        K = gram_ops.gram(x, d, s, l)
+        return jnp.sum(K * jnp.cos(K))
+
+    gp = jax.grad(loss_sym, argnums=(0, 1, 2))(decay, sens, ell)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(decay, sens, ell)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
 def test_pallas_gram_symmetric_psd():
     decay, sens, ell = _params()
     x = _rows(64, flag=1)
