@@ -45,12 +45,14 @@ try:
 except Exception:
     pass
 
-# v5e single-chip peak: ~197 TFLOP/s bf16; f32 matmuls lower to the MXU at
-# near-bf16 rate under --xla_allow_excess_precision (measured ~190 TF/s at
-# the XLA level; 170 TF/s sustained for bf16 dots inside a Pallas kernel —
-# see ops/pallas_cholesky_fused.py for the full measured-floor analysis:
-# DMA 380-660 GB/s, no MXU/VPU co-issue, serial diag chain ~1.9 ms, which
-# bounds ANY N=8192 f32 Cholesky on this chip at >= ~3.2 ms = frac 0.29).
+# v5e single-chip peak: ~197 TFLOP/s bf16. Single-pass-bf16 f32 matmuls
+# run at ~190 TF/s but are only ~4e-3 accurate — enough to NaN the real
+# Gram's factorization (r2 finding; see ops/pallas_cholesky.MATMUL_PRECISION)
+# — so the O(N^3) chain is pinned to 3-pass bf16 (~63 TF/s effective for
+# f32-faithful products). Peak fractions below are quoted against the raw
+# bf16 peak anyway: the honest ceiling for an f32-accurate Cholesky on this
+# chip is therefore ~1/3 of it before the serial-diag-chain bound
+# (ops/pallas_cholesky_fused.py) even enters.
 V5E_PEAK_FLOPS = 197e12
 
 
@@ -200,16 +202,20 @@ def bench_gram_chol(n=8192, genes=50, dtype=jnp.float32):
             iters=4,
         )
 
-    A = rng.standard_normal((n, n)).astype(np.float32)
-    A = jnp.asarray(A @ A.T + n * np.eye(n, dtype=np.float32), dtype)
-    # What the model dispatch actually runs at this scale (left-looking
-    # blocked factoriser on TPU f32), plus XLA's native op for reference.
+    # Factor the REAL Sigma (Gram + jitter + unit obs noise), not a random
+    # diagonally-dominant SPD stand-in: the r2 NaN regression (single-pass
+    # bf16 matmul products corrupting the Schur complements at cond ~1e3)
+    # was invisible on A A^T + N I (cond ~4). The probe doubles as a
+    # correctness canary.
+    A = gram_ops.gram(x, decay, sens, ell) + 1.0001 * jnp.eye(n, dtype=dtype)
+    L = pc.blocked_cholesky(A)
+    assert bool(jnp.all(jnp.isfinite(L))), "blocked_cholesky produced NaN"
     chol_s = time_op(
         lambda eps, A: pc.blocked_cholesky(A + eps), A, iters=3
     )
     chol_xla_s = time_op(lambda eps, A: jnp.linalg.cholesky(A + eps), A, iters=3)
     inv_s = time_op(
-        lambda eps, A: pc.inv_from_factor(jnp.tril(A) + eps), A, iters=3
+        lambda eps, L: pc.inv_from_factor(jnp.tril(L) + eps), L, iters=3
     )
 
     best_gram = min(gram_s.values())

@@ -114,10 +114,11 @@ class ExactSIMM:
       block formulas.
     - ``chol_impl``: ``'auto' | 'xla' | 'blocked'``. ``'auto'`` picks the
       left-looking blocked factoriser (``ops.pallas_cholesky``) for f32
-      N >= ``BLOCKED_CHOL_MIN_N`` on TPU — measured on v5e r2: 1.13x
-      faster at N=2048, 1.6x at 4096, 3.0x at 8192 (42 vs 14 TFLOP/s) —
-      else XLA's native ``cholesky``.  It is also the building block of
-      the *distributed* factoriser, which XLA's op cannot shard.
+      N >= ``BLOCKED_CHOL_MIN_N`` on TPU — v5e r2, real-Gram, at the
+      mandatory f32-faithful matmul precision: 0.39 vs 0.41 ms at N=2048,
+      1.59 vs 2.35 at 4096, 7.8 vs 12.5 at 8192 against XLA's native
+      ``cholesky``.  It is also the building block of the *distributed*
+      factoriser, which XLA's op cannot shard.
     - ``canonical_rows``: promise that inputs follow the canonical row
       population — training rows all gene-expression, latent grids all
       force rows — letting the Pallas path specialise its branch ``kind``
@@ -137,8 +138,7 @@ class ExactSIMM:
     PALLAS_GRAM_MIN_N = 512
     PALLAS_GRAM_MAX_N = 6144
     # Left-looking blocked factoriser beats XLA's native cholesky on v5e
-    # f32 from N=2048 up (r2 measurements: 0.53 vs 0.60 ms at 2048, 1.47 vs
-    # 2.30 ms at 4096, 4.3 vs 12.7 ms at 8192).
+    # f32 from N=2048 up (see chol_impl note for the measured table).
     BLOCKED_CHOL_MIN_N = 2048
 
     # -- backend resolution ------------------------------------------------

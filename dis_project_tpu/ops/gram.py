@@ -114,7 +114,13 @@ def gram_xx_blocked_fast(timepoints, decay, sens, lengthscale):
 
         t_host = np.asarray(t)
         diffs = np.diff(t_host)
-        if diffs.size and not np.allclose(diffs, diffs[0], rtol=1e-6):
+        # Tolerance must scale with the dtype: an f32 linspace grid is
+        # uniform only to ~|t|*eps per diff (7e-7 at t_max=12), which a
+        # fixed rtol=1e-6 on the ~0.06 spacing falsely rejected (r2 bug:
+        # the dense10k preset's own grid failed the check).  Truly
+        # irregular grids differ at the percent level and are still caught.
+        tol = 32 * np.finfo(t_host.dtype).eps * max(1.0, float(np.abs(t_host).max())) if diffs.size else 0.0
+        if diffs.size and not np.allclose(diffs, diffs[0], rtol=0.0, atol=tol):
             raise ValueError(
                 "gram_xx_blocked_fast requires a UNIFORM time grid (its "
                 "delta table is indexed by row-col index difference); got "

@@ -46,9 +46,15 @@ def cholesky(sigma, impl: str = "xla"):
 
 
 def chol_solve(L, b):
-    """Solve Sigma x = b given lower Cholesky factor L."""
-    z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+    """Solve Sigma x = b given lower Cholesky factor L.
+
+    Pinned to f32-faithful matmul precision: alpha feeds the loss value
+    directly, and TPU's default single-pass-bf16 products are only ~4e-3
+    accurate (see ``ops.pallas_cholesky.MATMUL_PRECISION``).
+    """
+    with jax.default_matmul_precision("high"):
+        z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
 
 # Above this size, Sigma^{-1} = L^{-T} L^{-1} goes through the recursive

@@ -11,12 +11,14 @@ compilation model:
   block column is corrected by ONE large matmul against the already-computed
   left factor and written exactly once.  Unlike the textbook right-looking
   form, the trailing matrix is never rewritten, so HBM traffic is O(N^2)
-  writes total instead of O(N^3/B) — the difference between ~20 ms and
-  ~4.3 ms at N=8192 on a v5e (the FLOPs are identical, N^3/3; XLA's native
-  cholesky takes 12.7 ms).  The remaining gap to peak is the serial
-  diagonal-factor chain: 16 x chol(512) ~= 1.9 ms cannot overlap with the
-  MXU panels under XLA's sequential execution model at any block size
-  (measured: 16x0.116 / 8x0.173 / 4x0.547 ms for B=512/1024/2048).
+  writes total instead of O(N^3/B).  v5e r2, N=8192 f32 real-Gram, with
+  the mandatory 3-pass-bf16 matmul precision (see ``MATMUL_PRECISION``):
+  7.8 ms vs 12.5 ms for XLA's native cholesky (single-pass products ran
+  4.3 ms but produce NaN on real conditioning).  Beyond the matmul passes
+  the gap to peak is the serial diagonal-factor chain: 16 x chol(512)
+  ~= 1.9 ms cannot overlap with the MXU panels under XLA's sequential
+  execution model at any block size (measured: 16x0.116 / 8x0.173 /
+  4x0.547 ms for B=512/1024/2048).
 - :func:`tri_inv` inverts a lower-triangular matrix **bottom-up and
   batched**: all 2^k same-level off-diagonal corrections are one batched
   matmul pair, and results are written in place into a single threaded
@@ -45,9 +47,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Measured best on v5e at N=8192: 4.3 ms (block=512) vs 5.0 ms (1024) vs
-# 12.7 ms for XLA's native cholesky; see bench.py's n8192 probe.
+# Measured best on v5e at N=8192: block=512 beats 1024 and XLA's native
+# cholesky (12.7 ms); see bench.py's n8192 probe.
 DEFAULT_BLOCK = 512
+
+# f32 matmuls on TPU default to a SINGLE bf16 pass per product (~4e-3
+# relative error).  The factorization chain amplifies that quadratically: a
+# 5e-3-wrong TRSM panel corrupts every later Schur complement, and the real
+# dense10k Gram (N=10^4, cond ~1e3) factorizes to NaN by block column 1
+# (r2 bug — the random ``A A^T + N I`` benchmark matrix, cond ~4, never
+# exposed it; XLA's native cholesky is accurate and was fine).  Every
+# matmul in this module therefore runs at 3-pass-bf16 precision
+# (~1.5e-5 relative — f32-class): correctness, not an option.  The VMEM
+# kernels already pin HIGHEST explicitly (``_hdot``).
+MATMUL_PRECISION = "high"  # = 3-pass bf16 on TPU (BF16_BF16_F32_X3)
+
+
+def _f32_faithful(fn):
+    """Trace ``fn`` with f32-faithful default matmul precision."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision(MATMUL_PRECISION):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -129,9 +153,15 @@ def _tri_inv_doubling(L):
     L = D (I + M) with M strictly lower => M^SB = 0 and
     (I + M)^{-1} = (I - M)(I + M^2)(I + M^4)...(I + M^{SB/2}): log2(SB)
     MXU matmul pairs, no substitution loop.  Exact for the nilpotent part
-    in exact arithmetic; in f32 the powers of a Cholesky-factor M decay
-    (diagonally-dominant factors of jittered SPD Grams), keeping the error
-    at roundoff level.
+    in exact arithmetic.
+
+    .. warning:: floating-point hazard — the intermediate powers ``M^2,
+       M^4, ...`` can grow before the nilpotent cancellation kicks in.
+       Safe at the 128-sub-block scale of the VMEM kernels for
+       jittered-SPD factors; measured to DIVERGE (|LiL-I| ~ 1e2) as a
+       512-leaf inverter on real LFM Gram factors at N=10^4.  Not used on
+       any default path for that reason — prefer the exact substitution
+       leaf (``_tri_inv_base``).
     """
     SB = L.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
@@ -224,20 +254,21 @@ def chol_inv_unblocked(a, *, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
+@_f32_faithful
 def tri_inv_panels(L, *, panel: int = 2048, base: int = 256,
-                   leaf: str = "doubling"):
+                   leaf: str = "solve"):
     """Two-level triangular inverse: batched panel-diagonal inverses + a
     row-panel sweep.
 
-    The bottom-up doubling form (:func:`tri_inv`) spends most of its wall
-    clock in level-gather copies and small batched matmuls (measured 3.85 ms
-    at N=8192 f32 on v5e against a ~1.0 ms matmul-FLOP bound).  This form
-    has only ``nb = N/panel`` sequential steps: all ``panel``-sized diagonal
+    The bottom-up doubling form (:func:`tri_inv`) spends much of its wall
+    clock in level-gather copies and small batched matmuls.  This form has
+    only ``nb = N/panel`` sequential steps: all ``panel``-sized diagonal
     inverses are ONE vmapped :func:`tri_inv` call, and each row-panel
     correction ``Li[i, :i] = -Dinv_i (L[i, :i] Li[:i, :i])`` is two
-    full-width MXU matmuls.  Measured 3.81 ms at N=8192 (p=2048; p=1024 is
-    4.67) — the win over the doubling form is small single-problem, but the
-    shape is far friendlier under vmap/sharding (no O(log N) gather levels).
+    full-width MXU matmuls.  At the mandatory 3-pass matmul precision the
+    two forms measure the same (6.6 ms at N=8192 f32, v5e r2); this shape
+    is kept because it is friendlier under vmap/sharding (no O(log N)
+    gather levels).
     """
     n = L.shape[0]
     if n <= panel:
@@ -265,6 +296,7 @@ def tri_inv_panels(L, *, panel: int = 2048, base: int = 256,
     return full[:n, :n] if npad != n else full
 
 
+@_f32_faithful
 def tri_inv(L, *, base: int = 256, leaf: str = "solve"):
     """Inverse of a lower-triangular matrix via bottom-up block doubling.
 
@@ -381,6 +413,7 @@ def _mul_tril_dense(T, X, base: int = 512):
 # ---------------------------------------------------------------------------
 
 
+@_f32_faithful
 def blocked_cholesky(
     a,
     *,
@@ -451,9 +484,9 @@ def blocked_cholesky(
                     left, left[:block].T, preferred_element_type=acc
                 )
             else:
-                # Plain @ (no explicit preferred_element_type): lets XLA
-                # pick its fast f32-at-bf16-rate MXU strategy — forcing
-                # f32 accumulation here measured ~25% slower end to end.
+                # Runs at MATMUL_PRECISION (module note): single-pass-bf16
+                # products here made the real dense10k Schur complements
+                # indefinite (NaN factor) — 3-pass is the correctness floor.
                 col = col - left @ left[:block].T
         if diag == "pallas_inv":
             lkk, linv = chol_inv_unblocked(col[:block], interpret=interpret)
@@ -515,6 +548,7 @@ def _pad_identity(a, npad):
 # ---------------------------------------------------------------------------
 
 
+@_f32_faithful
 def blocked_chol_solve(L, b, *, block: int = DEFAULT_BLOCK):
     """Solve (L Lᵀ) x = b via the explicit blocked triangular inverse.
 
@@ -528,6 +562,7 @@ def blocked_chol_solve(L, b, *, block: int = DEFAULT_BLOCK):
     return Li.T @ z
 
 
+@_f32_faithful
 def _tril_t_tril(Li, *, base: int = 2048):
     """``Li.T @ Li`` for lower-triangular ``Li``, skipping structural zeros.
 
@@ -555,14 +590,15 @@ def _tril_t_tril(Li, *, base: int = 2048):
     return jnp.concatenate([top, bot], axis=0)
 
 
+@_f32_faithful
 def inv_from_factor(L, *, block: int = DEFAULT_BLOCK):
     """Σ^{-1} = L^{-T} L^{-1} from the Cholesky factor — the quantity the
     custom-VJP MLL backward pass consumes (``ops.mll._mvn_bwd``).
 
-    f32 above N=2048 takes the TPU-tuned route (panel trtri with batched
-    doubling leaves + base-2048 triangle-aware SYRK — v5e r2: 6.40 vs
-    7.21 ms at N=8192, 0.44 of the bf16 peak for the 3 N^3/3 FLOP total);
-    f64 keeps the exact substitution leaves for the CPU parity oracle.
+    f32 above N=2048 takes the panel-trtri route with the base-2048
+    triangle-aware SYRK (v5e r2: 13.8 ms at N=8192 at the mandatory 3-pass
+    matmul precision — 0.20 of the bf16 peak for the 3 N^3/3 FLOP total);
+    f64 keeps the substitution path for the CPU parity oracle.
     """
     if L.dtype == jnp.float32 and L.shape[0] > 2048:
         Li = tri_inv_panels(L)

@@ -3,6 +3,16 @@ r"""Single-kernel fused blocked Cholesky for TPU (Pallas, manual DMA).
 **Status: experimental — measured SLOWER than the XLA-level blocked path on
 v5e, kept as the scaffold + measurement record for the fusion approach.**
 
+.. warning:: numerics — this kernel's correction dots use single-pass bf16
+   operand staging, which the r2 precision study showed corrupts the Schur
+   complements of *real* (cond ~1e3) LFM Grams to the point of a NaN
+   factor (``pallas_cholesky.MATMUL_PRECISION``).  A production fused
+   kernel would need 3-pass split-bf16 products (~3x the dot time), which
+   also shifts this module's bound analysis: dots 1.25 -> ~3.7 ms, total
+   single-kernel floor ~5.6 ms — no longer competitive with the XLA-level
+   path (7.8 ms measured, of which only ~3 ms is dots).  Another reason it
+   stays experimental.
+
 The XLA-level blocked factoriser (:mod:`ops.pallas_cholesky`) is limited by
 XLA's copy semantics: every left-looking correction either concatenates the
 finished factor (O(N^3/B) extra HBM copy traffic) or dispatches O(nb^2)

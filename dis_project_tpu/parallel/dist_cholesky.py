@@ -40,6 +40,7 @@ def _row_spec(mesh: Mesh, axis: str):
     return NamedSharding(mesh, P(axis, None))
 
 
+@pc._f32_faithful
 def sharded_cholesky(
     a: jnp.ndarray,
     mesh: Mesh,
@@ -85,6 +86,7 @@ def sharded_cholesky(
     return L[:n, :n]
 
 
+@pc._f32_faithful
 def sharded_tri_inv(
     L: jnp.ndarray,
     mesh: Mesh,
@@ -115,6 +117,7 @@ def sharded_tri_inv(
     return jax.lax.with_sharding_constraint(out, spec)
 
 
+@pc._f32_faithful
 def _logpdf_pieces(y_centered, sigma, mesh, axis, block):
     L = sharded_cholesky(sigma, mesh, axis, block)
     Li = sharded_tri_inv(L, mesh, axis, base=min(block, 256))

@@ -135,6 +135,17 @@ class TestUniformGridGuard:
         K = gram_ops.gram_xx_blocked_fast(t, d, s, jnp.asarray(2.5))
         assert K.shape == (14, 14)
 
+    def test_f32_linspace_grid_ok(self):
+        # An f32 linspace grid is uniform only to ~|t|*eps per diff (7e-7
+        # at t_max=12).  The r2 hardening's fixed rtol=1e-6 falsely
+        # rejected it — which broke the dense10k preset's own grid.  The
+        # tolerance must scale with the dtype.
+        t = jnp.asarray(np.linspace(0.0, 12.0, 200), jnp.float32)
+        d = jnp.full(2, jnp.float32(0.5))
+        s = jnp.ones(2, jnp.float32)
+        K = gram_ops.gram_xx_blocked_fast(t, d, s, jnp.float32(2.5))
+        assert K.shape == (400, 400)
+
     def test_traced_timepoints_still_jit(self):
         # Inside jit the values are unavailable — the op must stay traceable
         # (callers like trainer.fit guard spacing themselves).

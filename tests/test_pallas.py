@@ -165,6 +165,44 @@ class TestBlockedCholesky:
         L = pc.blocked_cholesky(A, block=128, interpret=True)
         np.testing.assert_allclose(np.asarray(L), np.asarray(Lref), atol=1e-10)
 
+    def test_real_gram_factor_and_inverse_f32(self):
+        """Regression (r2): factorisation + triangular inverse on a REAL
+        SIMM Gram (cond ~1e3), not a diagonally-dominant random SPD.
+
+        Two real bugs hid behind well-conditioned test matrices: TPU's
+        default single-pass-bf16 matmuls corrupted the Schur complements
+        (NaN factor at N=1e4 — fixed by the module-wide 'high' precision
+        pin, only observable on TPU), and the nilpotent-doubling leaf
+        inverter diverges on real factors (|LiL-I| ~ 0.6 at N=3000 even on
+        CPU — fixed by defaulting every leaf to exact substitution)."""
+        import jax
+
+        from dis_project_tpu.data import synthetic
+        from dis_project_tpu.models import simm
+        from dis_project_tpu.ops import gram as gram_ops
+
+        scfg = synthetic.SyntheticConfig(
+            num_genes=50, num_timepoints=60, num_replicates=1, noise_std=0.1
+        )
+        data = synthetic.sample_prior(jax.random.PRNGKey(0), scfg)
+        t = jnp.asarray(data.timepoints, jnp.float32)
+        params = simm.init_params(50, dtype=jnp.float32)
+        K = gram_ops.gram_xx_blocked_fast(
+            t, params.decay, params.sensitivity, params.lengthscale
+        )
+        n = K.shape[0]
+        sigma = K + 1.0001 * jnp.eye(n, dtype=K.dtype)
+        L = pc.blocked_cholesky(sigma)
+        assert bool(jnp.all(jnp.isfinite(L)))
+        np.testing.assert_allclose(
+            np.asarray(jnp.tril(L) @ jnp.tril(L).T), np.asarray(sigma),
+            atol=5e-5,
+        )
+        eye = np.eye(n, dtype=np.float32)
+        for Li in (pc.tri_inv(L), pc.tri_inv_panels(L, panel=1024)):
+            err = float(jnp.max(jnp.abs(Li @ L - eye)))
+            assert err < 1e-4, err
+
     def test_unblocked_pallas_kernel_f32(self):
         A = self._spd(96, jnp.float32)
         L = pc.chol_unblocked(A, interpret=True)
