@@ -94,7 +94,17 @@ class SecondOrderSIMM:
         g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
         return ratio[g] * x[:, 2]
 
+    # Above this row count the square Gram build is row-chunked and
+    # rematerialised: the complex-erf closed forms otherwise hold ~20
+    # (N, N) intermediates through the VJP and OOM a 16 GB chip at N=1e4.
+    CHUNKED_GRAM_MIN_N = 4096
+
     def gram(self, params: SIMM2Params, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[0] >= self.CHUNKED_GRAM_MIN_N:
+            return lfk2.cross_covariance2_chunked(
+                x, x, params.alpha, params.omega, params.sensitivity,
+                params.lengthscale,
+            )
         return self.cross_covariance(params, x, x)
 
     def cross_covariance(

@@ -43,6 +43,7 @@ integrals in ``tests/test_kernels2.py``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dis_project_tpu.ops import lfm_kernels as lfk
@@ -145,3 +146,35 @@ def cross_covariance2(x1, x2, alpha, omega, sens, lengthscale):
         + F1 * (1.0 - F2) * kxf
         + (1.0 - F1) * F2 * kfx
     )
+
+
+def cross_covariance2_chunked(
+    x1, x2, alpha, omega, sens, lengthscale, *, chunk: int = 1024
+):
+    """Row-chunked, rematerialised :func:`cross_covariance2`.
+
+    The second-order closed forms hold ~20 (N, M) complex-erf
+    intermediates through the VJP — at N=M=1e4 that is ~8 GB of live f32
+    temps and the backward pass OOMs a 16 GB v5e (r2 finding on the
+    ``dense10k --model simm2`` route).  This form maps a
+    ``jax.checkpoint``-ed row-chunk build under ``lax.map``: the forward
+    stores only the (N, M) output, and the backward recomputes each
+    chunk's intermediates (elementwise work, ~2x the forward build —
+    noise next to the O(N^3) factorisation).
+    """
+    n, m = x1.shape[0], x2.shape[0]
+    nc = -(-n // chunk)
+    npad = nc * chunk
+    if npad != n:
+        # Benign padding rows: t=0, gene 0, output flag — finite entries,
+        # sliced off below.
+        pad = jnp.zeros((npad - n, 3), x1.dtype).at[:, 2].set(1.0)
+        x1 = jnp.concatenate([x1, pad], axis=0)
+    xc = x1.reshape(nc, chunk, 3)
+
+    @jax.checkpoint
+    def body(rows):
+        return cross_covariance2(rows, x2, alpha, omega, sens, lengthscale)
+
+    K = jax.lax.map(body, xc).reshape(npad, m)
+    return K[:n]
