@@ -619,6 +619,8 @@ def run_dense(config: cfg.RunConfig):
 def _run_dense_second_order(config: cfg.RunConfig, scfg):
     """Dense exact second-order stress run: full-batch MLL on quadrature-
     generated spring-damper data, with alpha/omega recovery metrics."""
+    import functools
+
     import numpy as np
 
     import jax
@@ -640,25 +642,43 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     raw0 = simm2.unconstrain(simm2.init_params(scfg.num_genes, dtype=X.dtype))
     opt = optax.adam(config.learning_rate)
 
-    @jax.jit
-    def fit(raw):
-        state = opt.init(raw)
+    # Segmented dispatch: at N=1e4 a single 150-step scan is minutes of
+    # device time in ONE call, which the remote-TPU transport kills
+    # (observed as "TPU worker process crashed"); 10-step scans complete
+    # fine (r2 isolation). ~25-step segments keep each dispatch well under
+    # the transport's patience at every supported N.
+    seg_len = min(config.num_iters, 25)
 
+    # The data sits on one uniform grid, so the per-step Gram build goes
+    # through the order-2 table Gram (milliseconds at N=1e4 vs ~2.4 s for
+    # the direct complex-erf build).
+    tgrid = jnp.asarray(data.timepoints, X.dtype)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def fit_segment(raw, state, length):
         def step(carry, _):
             raw, state = carry
             l, g = jax.value_and_grad(
-                lambda r: -model.mll(simm2.constrain(r), X, y)
+                lambda r: -model.mll_gridded(simm2.constrain(r), tgrid, y)
             )(raw)
             upd, state = opt.update(g, state)
             return (optax.apply_updates(raw, upd), state), l
 
-        (raw, _), hist = jax.lax.scan(step, (raw, state), None,
-                                      length=config.num_iters)
-        return raw, hist
+        (raw, state), hist = jax.lax.scan(step, (raw, state), None,
+                                          length=length)
+        return raw, state, hist
 
     print("Training (full-batch exact second-order MLL)...")
     t0 = time.perf_counter()
-    raw_f, hist = fit(raw0)
+    raw_f, state = raw0, opt.init(raw0)
+    chunks = []
+    done = 0
+    while done < config.num_iters:
+        n_seg = min(seg_len, config.num_iters - done)
+        raw_f, state, h = fit_segment(raw_f, state, n_seg)
+        chunks.append(np.asarray(h))  # host fetch = segment sync point
+        done += n_seg
+    hist = jnp.asarray(np.concatenate(chunks))
     final = float(hist[-1])
     print(f"Trained {config.num_iters} iters in "
           f"{time.perf_counter() - t0:.2f}s (final loss {final:.4f}, "

@@ -121,7 +121,40 @@ class SecondOrderSIMM:
         mx = self.mean_function(params, x)
         K = self.gram(params, x)
         sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
-        return mll_ops.mvn_logpdf(y, mx, sigma)
+        return mll_ops.mvn_logpdf(y, mx, sigma, impl=self._chol_impl(y))
+
+    def mll_gridded(
+        self, params: SIMM2Params, timepoints: jnp.ndarray, y: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Exact MLL for gene-major gridded outputs via the table Gram.
+
+        Same value as :meth:`mll` on the corresponding rows (tested), but
+        the Gram build is :func:`~.lfm_kernels2.gram_xx2_blocked_fast` —
+        O(T*G) complex-erf evaluations instead of ~24 per entry, the
+        difference between ~2.4 s and milliseconds per build at N=1e4.
+        """
+        y = y.reshape(-1)
+        T = timepoints.shape[0]
+        ratio = params.basal / spring(params)
+        mx = jnp.repeat(ratio, T)
+        K = lfk2.gram_xx2_blocked_fast(
+            timepoints, params.alpha, params.omega, params.sensitivity,
+            params.lengthscale,
+        )
+        sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
+        return mll_ops.mvn_logpdf(y, mx, sigma, impl=self._chol_impl(y))
+
+    def _chol_impl(self, y: jnp.ndarray) -> str:
+        from dis_project_tpu.models import simm as _simm
+
+        n = y.shape[0]
+        if (
+            n >= _simm.ExactSIMM.BLOCKED_CHOL_MIN_N
+            and y.dtype == jnp.float32
+            and _simm._on_tpu()
+        ):
+            return "blocked"
+        return "xla"
 
     def latent_predict(
         self,

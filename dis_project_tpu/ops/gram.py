@@ -81,6 +81,36 @@ def gram(x, decay, sens, lengthscale):
     return cross_covariance(x, x, decay, sens, lengthscale)
 
 
+def _check_uniform_grid(t):
+    """Host-side uniform-spacing guard shared by the table Grams.
+
+    Raises ``ValueError`` on a concrete irregular grid; silently passes
+    tracers (callers that jit over traced timepoints must check spacing
+    themselves — ``trainer.fit`` does, and falls back to the row path).
+    Tolerance scales with the dtype: an f32 linspace grid is uniform only
+    to ~|t|*eps per diff (7e-7 at t_max=12), which a fixed rtol=1e-6 on
+    the ~0.06 spacing falsely rejected (r2 bug: the dense10k preset's own
+    grid failed the check).  Truly irregular grids differ at the percent
+    level and are still caught.
+    """
+    if isinstance(t, jax.core.Tracer):
+        return
+    import numpy as np
+
+    t_host = np.asarray(t)
+    diffs = np.diff(t_host)
+    if not diffs.size:
+        return
+    tol = 32 * np.finfo(t_host.dtype).eps * max(1.0, float(np.abs(t_host).max()))
+    if not np.allclose(diffs, diffs[0], rtol=0.0, atol=tol):
+        raise ValueError(
+            "the table Gram requires a UNIFORM time grid (its "
+            "delta table is indexed by row-col index difference); got "
+            "irregular spacing. Use ops.lfm_kernels.k_xx_block / "
+            "ops.gram.gram for shared-but-irregular grids."
+        )
+
+
 def gram_xx_blocked_fast(timepoints, decay, sens, lengthscale):
     r"""Table-based (G*T, G*T) gene-gene Gram for UNIFORMLY-gridded
     timepoints (the delta table is indexed by the row/col index
@@ -109,24 +139,7 @@ def gram_xx_blocked_fast(timepoints, decay, sens, lengthscale):
     canonical and all synthetic stress configs).
     """
     t = timepoints
-    if not isinstance(t, jax.core.Tracer):
-        import numpy as np
-
-        t_host = np.asarray(t)
-        diffs = np.diff(t_host)
-        # Tolerance must scale with the dtype: an f32 linspace grid is
-        # uniform only to ~|t|*eps per diff (7e-7 at t_max=12), which a
-        # fixed rtol=1e-6 on the ~0.06 spacing falsely rejected (r2 bug:
-        # the dense10k preset's own grid failed the check).  Truly
-        # irregular grids differ at the percent level and are still caught.
-        tol = 32 * np.finfo(t_host.dtype).eps * max(1.0, float(np.abs(t_host).max())) if diffs.size else 0.0
-        if diffs.size and not np.allclose(diffs, diffs[0], rtol=0.0, atol=tol):
-            raise ValueError(
-                "gram_xx_blocked_fast requires a UNIFORM time grid (its "
-                "delta table is indexed by row-col index difference); got "
-                "irregular spacing. Use ops.lfm_kernels.k_xx_block / "
-                "ops.gram.gram for shared-but-irregular grids."
-            )
+    _check_uniform_grid(t)
     T = t.shape[0]
     G = decay.shape[0]
     l = lengthscale

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from dis_project_tpu.models import simm2
 from dis_project_tpu.ops import lfm_kernels2 as lfk2
@@ -128,3 +129,60 @@ def test_output_predict_reproduces_training_data():
     )
     resid = np.asarray(post.mean) - np.asarray(y)
     assert np.abs(resid).max() < 0.05
+
+
+class TestGriddedSecondOrder:
+    """The order-2 table Gram and mll_gridded (r2): exact parity with the
+    direct complex-erf build, which is what makes dense10k --model simm2
+    tractable on the TPU."""
+
+    def _setup(self):
+        rng = np.random.default_rng(3)
+        G, T = 4, 13
+        t = jnp.linspace(0.0, 12.0, T)
+        a = jnp.asarray(rng.uniform(0.3, 1.0, G))
+        w = jnp.asarray(rng.uniform(0.5, 2.0, G))
+        s = jnp.asarray(rng.uniform(0.5, 1.5, G))
+        return G, T, t, a, w, s, jnp.asarray(1.5)
+
+    def test_table_gram_matches_block(self):
+        G, T, t, a, w, s, l = self._setup()
+        Kref = lfk2.k_xx2_block(t, t, a, w, s, l)
+        Kfast = lfk2.gram_xx2_blocked_fast(t, a, w, s, l)
+        np.testing.assert_allclose(np.asarray(Kfast), np.asarray(Kref),
+                                   atol=1e-13)
+
+    def test_table_gram_grad_parity(self):
+        G, T, t, a, w, s, l = self._setup()
+
+        def loss(fn):
+            return lambda a, w, s, l: jnp.sum(jnp.sin(fn(a, w, s, l)))
+
+        g1 = jax.grad(loss(lambda a, w, s, l: lfk2.k_xx2_block(t, t, a, w, s, l)),
+                      (0, 1, 2, 3))(a, w, s, l)
+        g2 = jax.grad(loss(lambda a, w, s, l: lfk2.gram_xx2_blocked_fast(t, a, w, s, l)),
+                      (0, 1, 2, 3))(a, w, s, l)
+        for u, v in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(v), np.asarray(u), atol=1e-11)
+
+    def test_table_gram_rejects_irregular_grid(self):
+        G, T, t, a, w, s, l = self._setup()
+        t_bad = t.at[3].add(0.5)
+        with pytest.raises(ValueError, match="UNIFORM"):
+            lfk2.gram_xx2_blocked_fast(t_bad, a, w, s, l)
+
+    def test_mll_gridded_matches_row_path(self):
+        from dis_project_tpu.data import synthetic
+        from dis_project_tpu.data.dataset import train_arrays
+
+        scfg = synthetic.SyntheticConfig(
+            num_genes=5, num_timepoints=11, num_replicates=1, noise_std=0.1
+        )
+        data = synthetic.generate_ode2(jax.random.PRNGKey(0), scfg, oversample=4)
+        X, y, _ = train_arrays(data)
+        model = simm2.SecondOrderSIMM(num_genes=5, jitter=1e-6)
+        p = simm2.constrain(simm2.unconstrain(simm2.init_params(5)))
+        a = float(model.mll(p, jnp.asarray(X), jnp.asarray(y)))
+        b = float(model.mll_gridded(p, jnp.asarray(data.timepoints),
+                                    jnp.asarray(y)))
+        assert b == pytest.approx(a, rel=1e-12)
