@@ -646,8 +646,12 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     # device time in ONE call, which the remote-TPU transport kills
     # (observed as "TPU worker process crashed"); 10-step scans complete
     # fine (r2 isolation). ~25-step segments keep each dispatch well under
-    # the transport's patience at every supported N.
-    seg_len = min(config.num_iters, 25)
+    # the transport's patience at every supported N.  Segments are sized
+    # as num_iters split into ceil(num_iters/25) near-equal parts so that
+    # round counts like 150/100/40 compile ONE program; only iteration
+    # counts with a remainder pay a second (q+1-length) compile.
+    n_segs = -(-config.num_iters // 25)
+    seg_q, seg_r = divmod(config.num_iters, n_segs)
 
     # The data sits on one uniform grid, so the per-step Gram build goes
     # through the order-2 table Gram (milliseconds at N=1e4 vs ~2.4 s for
@@ -672,12 +676,10 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     t0 = time.perf_counter()
     raw_f, state = raw0, opt.init(raw0)
     chunks = []
-    done = 0
-    while done < config.num_iters:
-        n_seg = min(seg_len, config.num_iters - done)
+    for i in range(n_segs):
+        n_seg = seg_q + (1 if i < seg_r else 0)
         raw_f, state, h = fit_segment(raw_f, state, n_seg)
         chunks.append(np.asarray(h))  # host fetch = segment sync point
-        done += n_seg
     hist = jnp.asarray(np.concatenate(chunks))
     final = float(hist[-1])
     print(f"Trained {config.num_iters} iters in "

@@ -96,6 +96,19 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+def _is_batched(*vals) -> bool:
+    """True when any value is mid-``vmap`` (a BatchTracer).
+
+    The symmetric Gram kernel's manual-DMA output (memory space ANY) has
+    no working Pallas vmap lowering on TPU (r2 regression: vmapped
+    ensemble fits crashed at compile) — batched calls must take the
+    vmap-safe dense kernel / XLA closed forms instead.
+    """
+    from jax._src.interpreters import batching
+
+    return any(isinstance(v, batching.BatchTracer) for v in vals)
+
+
 @dataclasses.dataclass(frozen=True)
 class ExactSIMM:
     """Static configuration + pure methods for the exact SIMM LFM.
@@ -139,7 +152,8 @@ class ExactSIMM:
     PALLAS_GRAM_MAX_N = 6144
     # Left-looking blocked factoriser beats XLA's native cholesky on v5e
     # f32 from N=2048 up (see chol_impl note for the measured table).
-    BLOCKED_CHOL_MIN_N = 2048
+    # Canonical threshold lives in ops.mll (shared with SecondOrderSIMM).
+    BLOCKED_CHOL_MIN_N = mll_ops.BLOCKED_CHOL_MIN_N
 
     # -- backend resolution ------------------------------------------------
 
@@ -157,9 +171,7 @@ class ExactSIMM:
     def _resolve_chol(self, n: int, dtype) -> str:
         if self.chol_impl != "auto":
             return self.chol_impl
-        if n >= self.BLOCKED_CHOL_MIN_N and dtype == jnp.float32 and _on_tpu():
-            return "blocked"
-        return "xla"
+        return mll_ops.resolve_chol_impl(n, dtype)
 
     def _kind(self, default: str) -> str:
         return default if self.canonical_rows else "mixed"
@@ -205,7 +217,8 @@ class ExactSIMM:
                 and x.dtype == jnp.float32
                 and _on_tpu()
             )
-        )
+        ) and not _is_batched(x, params.decay, params.sensitivity,
+                              params.lengthscale)
         if use_sym:
             from dis_project_tpu.ops import pallas_gram
 

@@ -145,16 +145,7 @@ class SecondOrderSIMM:
         return mll_ops.mvn_logpdf(y, mx, sigma, impl=self._chol_impl(y))
 
     def _chol_impl(self, y: jnp.ndarray) -> str:
-        from dis_project_tpu.models import simm as _simm
-
-        n = y.shape[0]
-        if (
-            n >= _simm.ExactSIMM.BLOCKED_CHOL_MIN_N
-            and y.dtype == jnp.float32
-            and _simm._on_tpu()
-        ):
-            return "blocked"
-        return "xla"
+        return mll_ops.resolve_chol_impl(y.shape[0], y.dtype)
 
     def latent_predict(
         self,

@@ -36,6 +36,21 @@ import jax.numpy as jnp
 LOG_2PI = 1.8378770664093453  # log(2*pi)
 
 
+# The blocked factoriser beats XLA's native cholesky on v5e f32 from
+# N=2048 up (see ops.pallas_cholesky's measured table). Shared by every
+# model family's dispatch (ExactSIMM, SecondOrderSIMM).
+BLOCKED_CHOL_MIN_N = 2048
+
+
+def resolve_chol_impl(n: int, dtype) -> str:
+    """Trace-time O(N^3) backend choice: ``'blocked'`` for f32
+    ``n >= BLOCKED_CHOL_MIN_N`` on TPU, else ``'xla'``."""
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if n >= BLOCKED_CHOL_MIN_N and dtype == jnp.float32 and on_tpu:
+        return "blocked"
+    return "xla"
+
+
 def cholesky(sigma, impl: str = "xla"):
     """Lower Cholesky factor via the selected backend."""
     if impl == "blocked":
@@ -48,13 +63,13 @@ def cholesky(sigma, impl: str = "xla"):
 def chol_solve(L, b):
     """Solve Sigma x = b given lower Cholesky factor L.
 
-    Pinned to f32-faithful matmul precision: alpha feeds the loss value
-    directly, and TPU's default single-pass-bf16 products are only ~4e-3
-    accurate (see ``ops.pallas_cholesky.MATMUL_PRECISION``).
+    XLA's ``triangular_solve`` primitive is already f32-accurate on TPU
+    (measured ~2.6e-7 rel err; the matmul-precision config does not govern
+    this primitive, so there is nothing to pin here — unlike the explicit
+    matmul chains in ``ops.pallas_cholesky``, see ``MATMUL_PRECISION``).
     """
-    with jax.default_matmul_precision("high"):
-        z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+    z = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
 
 # Above this size, Sigma^{-1} = L^{-T} L^{-1} goes through the recursive

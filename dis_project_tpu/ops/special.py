@@ -75,13 +75,19 @@ def faddeeva(z, n_terms: int = 64):
     return jnp.where(upper, wu, 2.0 * jnp.exp(-z * z) - wu)
 
 
+# Weideman term count by input dtype. c64 inputs (the f32 TPU path) use
+# N=40: measured max abs err vs the N=64 oracle over the order-2 kernels'
+# full working domain (|Re| <= 26 — lengthscale lower bound 0.5 puts
+# t/l at 24 — and |Im| = w*l/2 <= 5) is 8.6e-6, and the error is
+# concentrated where |erf| itself is huge (the exp(gamma^2)-compensated
+# h-term products see far better relative accuracy).  N=32 degrades to
+# 2.5e-3 by Im=5 — rejected.
+_N_TERMS_BY_DTYPE = {jnp.dtype(jnp.complex64): 40, jnp.dtype(jnp.complex128): 64}
+
+
 @jax.custom_jvp
 def _erf_complex_core(z):
-    # Term count by dtype (trace-time): c64 inputs (the f32 TPU path) use
-    # N=32 — measured max abs err 3.4e-7 vs N=64 over the kernels' working
-    # domain (|Re| <= 12, |Im| <= 4), i.e. at the f32 ulp — for half the
-    # polynomial cost of the c128 default.
-    n_terms = 32 if z.dtype == jnp.complex64 else 64
+    n_terms = _N_TERMS_BY_DTYPE.get(jnp.dtype(z.dtype), 64)
     right = jnp.real(z) >= 0
     zr = jnp.where(right, z, -z)  # reflected into Re >= 0
     val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr, n_terms)
@@ -101,10 +107,12 @@ def _erf_complex_jvp(primals, tangents):
 def erf_complex(z, n_terms: int = 64):
     """erf(z) for complex z: 1 - exp(-z^2) w(iz), odd-reflected.
 
-    Differentiable via the analytic derivative (custom JVP); ``n_terms``
-    is fixed at 64 on the AD path (the keyword is kept for API
-    compatibility and used only when called with non-default values
-    outside autodiff contexts).
+    Differentiable via the analytic derivative (custom JVP). On the AD
+    path (``n_terms`` left at its default) the term count is resolved from
+    the input dtype via ``_N_TERMS_BY_DTYPE`` (64 for c128, 40 for c64 —
+    see the accuracy note there); passing a non-default ``n_terms``
+    bypasses the custom-JVP core and honours the request exactly, at the
+    cost of AD tracing through the polynomial.
     """
     z = jnp.asarray(z)
     if not jnp.issubdtype(z.dtype, jnp.complexfloating):

@@ -119,6 +119,34 @@ def test_gram_sym_matches_dense(kind, flags, n):
     np.testing.assert_allclose(np.asarray(sym), np.asarray(ref), atol=5e-5)
 
 
+def test_gram_dispatch_falls_back_under_vmap(monkeypatch):
+    """r2 regression: the symmetric Gram kernel (manual-DMA output) has no
+    Pallas vmap lowering on TPU, so vmapped ensemble fits crashed at
+    compile. Batched calls must take the vmap-safe XLA/dense route — here
+    simulated on CPU by forcing the TPU dispatch predicate."""
+    import jax
+
+    from dis_project_tpu.models import simm
+
+    monkeypatch.setattr(simm, "_on_tpu", lambda: True)
+    n = simm.ExactSIMM.PALLAS_GRAM_MAX_N  # above the dense-kernel window
+    decay, sens, ell = _params()
+    x = jnp.asarray(
+        np.stack([RNG.uniform(0, 12, n), RNG.integers(0, 5, n), np.ones(n)], 1),
+        jnp.float32,
+    )
+    model = simm.ExactSIMM(num_genes=5)
+    params = simm.init_params(5, dtype=jnp.float32)
+    decays = jnp.stack([params.decay, params.decay * 1.1])
+    out = jax.vmap(
+        lambda d: model.gram(params._replace(decay=d), x, "xx")
+    )(decays)
+    ref = jax.vmap(
+        lambda d: gram_ops.gram(x, d, params.sensitivity, params.lengthscale)
+    )(decays)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_gram_sym_differentiable():
     import jax
 
