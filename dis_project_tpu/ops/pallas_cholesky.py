@@ -563,7 +563,9 @@ def blocked_chol_solve(L, b, *, block: int = DEFAULT_BLOCK):
 
 
 @_f32_faithful
-def _tril_t_tril(Li, *, base: int = 2048):
+def _tril_t_tril(Li, *, base: int = 1024):
+    # base retuned under the mandatory 'high' matmul precision (v5e r2,
+    # N=8192 f32: 8.06 / 8.43 / 10.5 ms for base 1024 / 2048 / 4096).
     """``Li.T @ Li`` for lower-triangular ``Li``, skipping structural zeros.
 
     With Li = [[A, 0], [B, C]] (A, C lower-triangular):
