@@ -61,7 +61,8 @@ def _build_problem(dtype=jnp.float32):
 
     data = P53Data(replicate=0, source="synthetic")
     X, y, _ = dataset_3d(data)
-    return jnp.asarray(X, dtype), jnp.asarray(y.reshape(-1), dtype)
+    t = jnp.asarray(data.timepoints, dtype)
+    return jnp.asarray(X, dtype), jnp.asarray(y.reshape(-1), dtype), t
 
 
 def _time_fit(fit_fn, raw0, X, repeats=3):
@@ -108,16 +109,19 @@ def _make_fit(loss_fn, num_iters=150):
     return fit
 
 
-def bench_ours(X, y, num_iters=150):
+def bench_ours(X, y, t, num_iters=150):
+    """Our canonical-path trainer: the table-Gram gridded MLL — the same
+    route ``main.py`` takes for the canonical run (bit-identical to the
+    row-path MLL on the shared grid, see tests/test_gridded.py)."""
     from dis_project_tpu.models import simm
 
     model = simm.ExactSIMM(num_genes=5, jitter=1e-4, canonical_rows=True)
     raw0 = simm.unconstrain(simm.init_params(5, dtype=X.dtype))
 
-    def loss_fn(raw, X):
-        return -model.mll(simm.constrain(raw), X, y)
+    def loss_fn(raw, tg):
+        return -model.mll_gridded(simm.constrain(raw), tg, y)
 
-    return _time_fit(_make_fit(loss_fn, num_iters), raw0, X)
+    return _time_fit(_make_fit(loss_fn, num_iters), raw0, t)
 
 
 def bench_reference_pattern(X, y, num_iters=150):
@@ -292,9 +296,9 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
 
 def main():
     dtype = jnp.float32
-    X, y = _build_problem(dtype)
+    X, y, t = _build_problem(dtype)
 
-    ours_s, ours_hist = bench_ours(X, y)
+    ours_s, ours_hist = bench_ours(X, y, t)
     ref_s, ref_hist = bench_reference_pattern(X, y)
     probes = bench_gram_chol()
     probes.update(bench_train_step_at_scale())
