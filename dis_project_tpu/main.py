@@ -573,10 +573,17 @@ def run_dense(config: cfg.RunConfig):
         raw0 = simm.unconstrain(simm.init_params(scfg.num_genes, dtype=X.dtype))
         optimizer = optax.adam(config.learning_rate)
 
-        @jax.jit
-        def fit_gridded(raw):
-            opt_state = optimizer.init(raw)
+        # Segmented like the second-order route: a single 150-step scan is
+        # ~1 min of device time at N=1e4 (fine), but grows past the remote
+        # worker's dispatch patience at larger N — near-equal <= 50-step
+        # segments bound every dispatch (round counts compile one program).
+        import functools as _ft
 
+        n_segs = -(-config.num_iters // 50)
+        seg_q, seg_r = divmod(config.num_iters, n_segs)
+
+        @_ft.partial(jax.jit, static_argnames=("length",))
+        def fit_gridded(raw, opt_state, length):
             def step(carry, _):
                 raw, opt_state = carry
                 loss, grads = jax.value_and_grad(
@@ -587,12 +594,19 @@ def run_dense(config: cfg.RunConfig):
                 updates, opt_state = optimizer.update(grads, opt_state)
                 return (optax.apply_updates(raw, updates), opt_state), loss
 
-            (raw, _), hist = jax.lax.scan(
-                step, (raw, opt_state), None, length=config.num_iters
+            (raw, opt_state), hist = jax.lax.scan(
+                step, (raw, opt_state), None, length=length
             )
-            return raw, hist
+            return raw, opt_state, hist
 
-        raw_f, history = fit_gridded(raw0)
+        raw_f, opt_state = raw0, optimizer.init(raw0)
+        seg_hists = []
+        for i in range(n_segs):
+            raw_f, opt_state, h = fit_gridded(
+                raw_f, opt_state, seg_q + (1 if i < seg_r else 0)
+            )
+            seg_hists.append(np.asarray(h))  # host fetch = sync point
+        history = jnp.asarray(np.concatenate(seg_hists))
         res = tr.TrainResult(
             params=simm.constrain(raw_f),
             history=history,
