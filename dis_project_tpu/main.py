@@ -100,19 +100,36 @@ def run(config: cfg.RunConfig):
 
         latest = ckpt.latest_step(config.checkpoint_dir)
         if latest is not None:
-            restored = ckpt.restore(
-                config.checkpoint_dir,
-                latest,
-                template={
-                    "raw": raw0,
-                    "opt_state": optimizer.init(raw0),
-                    "step": 0,
-                },
-            )
-            init_state = (restored["raw"], restored["opt_state"])
-            start_step = int(restored["step"])
-            print(f"Resumed from checkpoint step {start_step} "
-                  f"({config.checkpoint_dir})")
+            try:
+                restored = ckpt.restore(
+                    config.checkpoint_dir,
+                    latest,
+                    template={
+                        "raw": raw0,
+                        "opt_state": optimizer.init(raw0),
+                        "step": 0,
+                    },
+                )
+                init_state = (restored["raw"], restored["opt_state"])
+                start_step = int(restored["step"])
+                print(f"Resumed from checkpoint step {start_step} "
+                      f"({config.checkpoint_dir})")
+            except Exception:
+                # Pre-r2 checkpoints hold {params, step} only (no optimizer
+                # state): restore what exists and warm-start Adam fresh
+                # rather than failing on the tree-structure mismatch.
+                restored = ckpt.restore(
+                    config.checkpoint_dir, latest,
+                    template={"params": params0, "step": 0},
+                )
+                init_state = (
+                    simm.unconstrain(restored["params"]),
+                    optimizer.init(raw0),
+                )
+                start_step = int(restored["step"])
+                print(f"Resumed PARAMETERS from legacy checkpoint step "
+                      f"{start_step} ({config.checkpoint_dir}); optimizer "
+                      "state not in checkpoint — warm start")
 
     print("Training model...")
     t0 = time.perf_counter()

@@ -171,7 +171,11 @@ def _tri_inv_doubling(L):
     M = L * dinv[:, None] - eye  # strictly lower
     P = eye - M
     S = _hdot(M, M)
-    steps = max(SB.bit_length() - 2, 0)  # SB=128 -> 6 more doublings
+    # After k doublings P covers series exponents < 2^(k+1); nilpotency
+    # needs exponents up to SB-1, so k = ceil(log2(SB)) - 1.  (The old
+    # `SB.bit_length() - 2` was only correct for power-of-two SB —
+    # truncated, silently wrong series otherwise.)
+    steps = max((SB - 1).bit_length() - 1, 0)  # SB=128 -> 6 more doublings
     for _ in range(steps):
         P = P + _hdot(P, S)
         S = _hdot(S, S)
@@ -320,11 +324,26 @@ def tri_inv(L, *, base: int = 256, leaf: str = "solve"):
     leaf_inv = _tri_inv_base if leaf == "solve" else _tri_inv_doubling
     if n <= base:
         return leaf_inv(L)
-    # Pad to base * 2^m with an identity tail (inverse of blkdiag(L, I) is
-    # blkdiag(L^{-1}, I)).
-    levels = max(1, math.ceil(math.log2(n / base)))
-    npad = base << levels
-    X = _pad_identity(L, npad) if npad != n else L
+    # The doubling levels need size base * 2^m.  Padding up to the next
+    # such size costs up to ~8x the FLOPs near a power-of-two boundary
+    # (r2 review finding: N=10000 f64 padded to 16384 in the MLL backward)
+    # — so non-conforming sizes instead SPLIT at the largest base * 2^k
+    # <= n and recurse on the remainder, with one triangle-aware
+    # correction: [[A,0],[B,C]]^{-1} = [[Ai,0],[-Ci (B Ai), Ci]].
+    levels = int(math.log2(n / base))  # floor
+    m = base << levels
+    if m != n:
+        A = L[:m, :m]
+        C = L[m:, m:]
+        B = L[m:, :m]
+        Ai = tri_inv(A, base=base, leaf=leaf)
+        Ci = tri_inv(C, base=base, leaf=leaf)
+        X21 = -_mul_tril_dense(Ci, _mul_dense_tril(B, Ai))
+        top = jnp.concatenate([Ai, jnp.zeros((m, n - m), L.dtype)], axis=1)
+        bot = jnp.concatenate([X21, Ci], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+    npad = n
+    X = L
     nb = npad // base
 
     # Leaf level: batched inverse of all diagonal base blocks.  All block

@@ -88,11 +88,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dis_project_tpu.ops.pallas_cholesky import (  # noqa: E402
-    _chol_inv_vmem,
-    _rank1_chol,
-    _tri_inv_doubling,
-)
+from dis_project_tpu.ops.pallas_cholesky import _chol_inv_vmem  # noqa: E402
 
 # Column width (B) and row-tile height (R).  R == B keeps the diagonal
 # handling trivial (diag block == first active tile of the column).

@@ -70,6 +70,29 @@ class TestConfigParsing:
 
 
 class TestPipelineEntry:
+    def test_resume_from_legacy_checkpoint(self, tmp_path, capsys):
+        """--resume against a pre-r2 checkpoint ({params, step} only, no
+        optimizer state) must warm-start instead of failing on the orbax
+        tree-structure mismatch (r2 review finding)."""
+        from dis_project_tpu import main as entry
+        from dis_project_tpu.models import simm
+        from dis_project_tpu.training import checkpoint as ckpt
+
+        ckdir = str(tmp_path / "ck")
+        legacy_params = simm.init_params(5)
+        ckpt.save(ckdir, {"params": legacy_params, "step": 3}, 3)
+        c = cfg.RunConfig(
+            replicate=0,
+            data_source="synthetic",
+            num_iters=4,
+            out_dir=str(tmp_path / "plots"),
+            checkpoint_dir=ckdir,
+            resume=True,
+        )
+        entry.run(c)
+        out = capsys.readouterr().out
+        assert "legacy checkpoint step 3" in out
+
     def test_canonical_run_smoke(self, tmp_path):
         """The full run() path end-to-end on synthetic data: trains, writes
         metrics JSONL, hyperparams CSV and the three plots."""

@@ -231,6 +231,31 @@ class TestBlockedCholesky:
             err = float(jnp.max(jnp.abs(Li @ L - eye)))
             assert err < 1e-4, err
 
+    @pytest.mark.parametrize("sb", [3, 100, 200])
+    def test_doubling_inverse_non_power_of_two(self, sb):
+        """r2 review finding: the doubling step count only covered the
+        nilpotent series for power-of-two sizes; other sizes returned a
+        silently truncated (garbage) inverse."""
+        A = self._spd(sb)
+        Lb = jnp.linalg.cholesky(A)
+        Li = pc._tri_inv_doubling(Lb)
+        np.testing.assert_allclose(
+            np.asarray(Li @ Lb), np.eye(sb), atol=1e-9
+        )
+
+    @pytest.mark.parametrize("n", [300, 1000, 2100])
+    def test_tri_inv_awkward_sizes(self, n):
+        """r2 review finding: tri_inv padded up to base*2^m (up to ~8x the
+        FLOPs near a boundary); it now splits at the largest conforming
+        size instead — exactness at non-conforming n, both leaves."""
+        A = self._spd(n)
+        Lb = jnp.linalg.cholesky(A)
+        for leaf in ("solve", "doubling"):
+            Li = pc.tri_inv(Lb, leaf=leaf)
+            np.testing.assert_allclose(
+                np.asarray(Li @ Lb), np.eye(n), atol=1e-8
+            )
+
     def test_unblocked_pallas_kernel_f32(self):
         A = self._spd(96, jnp.float32)
         L = pc.chol_unblocked(A, interpret=True)
