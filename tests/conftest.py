@@ -43,6 +43,8 @@ SLOW_NODEID_PATTERNS = (
     "test_svlfm.py::TestPredictions::test_gene_predict_shapes",
     # trained cross-framework parity
     "test_validation.py::TestTrainedParity",
+    # full-pipeline CLI integration (r2): legacy-checkpoint warm start
+    "test_cli.py::TestPipelineEntry::test_resume_from_legacy_checkpoint",
     # checkpoint/resume end-to-end
     "test_observability.py::TestCheckpointResume",
     # gridded/table-Gram heavy parity sweeps
