@@ -637,10 +637,16 @@ def _syrk_kernel(i_arr, j_arr, k_arr, a_ref, b_ref, o_ref):
     a_lo = (a - a_hi.astype(f32)).astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(f32)).astype(jnp.bfloat16)
+    # precision is pinned to DEFAULT: the split-bf16 passes ARE the
+    # precision mechanism here, and the caller's ambient
+    # default_matmul_precision('high') context (``_f32_faithful``) would
+    # otherwise leak into these bf16 dots — Mosaic cannot lower
+    # precision=HIGH and fails at pallas_call lowering time.
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     acc = dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
