@@ -81,6 +81,43 @@ def gram(x, decay, sens, lengthscale):
     return cross_covariance(x, x, decay, sens, lengthscale)
 
 
+def cross_covariance_kind(x1, x2, decay, sens, lengthscale, kind="mixed"):
+    """Branch-specialised dense covariance.
+
+    When the row population is statically known (``kind`` in
+    ``{'xx','ff','xf','fx'}`` — the same trace-time contract as
+    ``pallas_gram.cross_covariance``), only that branch's closed form is
+    evaluated: ~4x less transcendental work than the flag-weighted
+    combination, which matters most in the *backward* pass where this
+    function is the AD route for the Pallas kernels.
+
+    Semantics: identical values to :func:`cross_covariance` whenever the
+    flags actually match the declared kind.  The flag columns are treated
+    as static labels under a declared kind — they carry no gradient
+    (flags are population markers from ``dataset_3d``, never trainable;
+    reference ``src/dataset.py:384-391``).
+    """
+    if kind == "mixed":
+        return cross_covariance(x1, x2, decay, sens, lengthscale)
+    G = decay.shape[0]
+    t1, g1, _ = split_rows(x1)
+    t2, g2, _ = split_rows(x2)
+    T1, T2 = t1[:, None], t2[None, :]
+    if kind == "ff":
+        return lfk.k_ff(T1, T2, lengthscale)
+    g1 = jnp.clip(g1, 0, G - 1)
+    g2 = jnp.clip(g2, 0, G - 1)
+    d1, s1 = decay[g1][:, None], sens[g1][:, None]
+    d2, s2 = decay[g2][None, :], sens[g2][None, :]
+    if kind == "xx":
+        return lfk.k_xx(T1, T2, d1, d2, s1, s2, lengthscale)
+    if kind == "xf":
+        return lfk.k_xf(T1, T2, d1, s1, lengthscale)
+    if kind == "fx":
+        return lfk.k_xf(T2, T1, d2, s2, lengthscale)
+    raise ValueError(f"unknown kind {kind!r}")
+
+
 def _check_uniform_grid(t):
     """Host-side uniform-spacing guard shared by the table Grams.
 

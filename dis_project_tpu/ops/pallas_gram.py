@@ -195,11 +195,21 @@ def _ccov_bwd(kind, tile_m, tile_n, interpret, res, g):
     # pallas_call has no autodiff rule; the backward pass differentiates
     # the XLA-fused closed-form implementation instead (identical math to
     # float tolerance — verified in tests/test_pallas.py). Forward keeps
-    # the hand-tiled kernel, backward costs one fused elementwise VJP.
+    # the hand-tiled kernel, backward costs one fused elementwise VJP —
+    # branch-specialised by ``kind`` (a declared population differentiates
+    # only its own closed form: ~4x less transcendental work than the
+    # 4-branch mixed combination; flag columns carry no gradient then,
+    # see ``ops.gram.cross_covariance_kind``).
     from dis_project_tpu.ops import gram as gram_ops
 
-    _, vjp = jax.vjp(gram_ops.cross_covariance, *res)
-    return vjp(g.astype(res[2].dtype))
+    x1, x2, decay, sens, lengthscale = res
+    _, vjp = jax.vjp(
+        lambda x1, x2, d, s, l: gram_ops.cross_covariance_kind(
+            x1, x2, d, s, l, kind
+        ),
+        x1, x2, decay, sens, lengthscale,
+    )
+    return vjp(g.astype(decay.dtype))
 
 
 _cross_covariance_diffable.defvjp(_ccov_fwd, _ccov_bwd)
@@ -399,12 +409,13 @@ def _gram_sym_fwd(x, decay, sens, lengthscale, kind, tile, interpret):
 
 def _gram_sym_bwd(kind, tile, interpret, res, g):
     # Backward through the XLA-fused closed forms (pallas_call has no AD
-    # rule) — same route as the rectangular kernel's ``_ccov_bwd``.
+    # rule) — same route as the rectangular kernel's ``_ccov_bwd``,
+    # branch-specialised by ``kind``.
     from dis_project_tpu.ops import gram as gram_ops
 
     x, decay, sens, lengthscale = res
     _, vjp = jax.vjp(
-        lambda x, d, s, l: gram_ops.cross_covariance(x, x, d, s, l),
+        lambda x, d, s, l: gram_ops.cross_covariance_kind(x, x, d, s, l, kind),
         x, decay, sens, lengthscale,
     )
     return vjp(g.astype(decay.dtype))

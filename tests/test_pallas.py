@@ -79,6 +79,40 @@ def test_pallas_xf_kind():
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=5e-5)
 
 
+@pytest.mark.parametrize(
+    "kind,f1,f2", [("xx", 1, 1), ("ff", 0, 0), ("xf", 1, 0), ("fx", 0, 1)]
+)
+def test_cross_covariance_kind_matches_mixed(kind, f1, f2):
+    """Branch-specialised closed form == flag-weighted combination whenever
+    the flags match the declared kind (values AND parameter gradients —
+    this is the AD route of the Pallas kernels' backward pass)."""
+    import jax
+
+    decay, sens, ell = _params()
+    x1, x2 = _rows(40, flag=f1), _rows(50, flag=f2)
+    ref = gram_ops.cross_covariance(x1, x2, decay, sens, ell)
+    out = gram_ops.cross_covariance_kind(x1, x2, decay, sens, ell, kind)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+    def loss(fn):
+        def inner(d, s, l):
+            K = fn(x1, x2, d, s, l)
+            return jnp.sum(K * jnp.cos(K))
+
+        return inner
+
+    g_ref = jax.grad(loss(gram_ops.cross_covariance), argnums=(0, 1, 2))(
+        decay, sens, ell
+    )
+    g_kind = jax.grad(
+        loss(lambda *a: gram_ops.cross_covariance_kind(*a, kind)),
+        argnums=(0, 1, 2),
+    )(decay, sens, ell)
+    for a, b in zip(g_kind, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
+                                   atol=1e-12)
+
+
 def test_pallas_gram_differentiable():
     """pallas_call has no AD rule; the custom VJP must route gradients
     through the XLA closed forms — parity with differentiating the XLA
