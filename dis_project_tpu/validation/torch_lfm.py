@@ -40,6 +40,27 @@ def _softplus_inv(y: torch.Tensor) -> torch.Tensor:
     return y + torch.log(-torch.expm1(-y))
 
 
+def split_indices(
+    n: int, valid_size: float = 0.0, test_size: float = 0.0, seed: int = 0
+):
+    """Permutation split of ``n`` observation rows into (train, valid, test).
+
+    The reference torch trainer's dataset-splitting scaffolding
+    (``src/gpytorch_alfi/trainer_alfi.py:68-82``): one permutation, the
+    first ``floor(valid_size*n)`` rows are validation, the next
+    ``floor(test_size*n)`` are test, the remainder train.  Defaults (0, 0)
+    put every row in train, matching the reference's default loaders.
+    """
+    g = torch.Generator().manual_seed(seed)
+    perm = torch.randperm(n, generator=g)
+    n_valid = int(math.floor(valid_size * n))
+    n_test = int(math.floor(test_size * n))
+    valid = perm[:n_valid]
+    test = perm[n_valid : n_valid + n_test]
+    train = perm[n_valid + n_test :]
+    return train, valid, test
+
+
 class TorchP53Dataset(torch.utils.data.Dataset):
     """torch ``Dataset`` view of a loaded p53 dataset (the role of the
     reference's ``PyTorchDataset``, ``src/gpytorch_alfi/dataset_alfi.py``):
@@ -213,31 +234,86 @@ class TorchSIMM(torch.nn.Module):
 
     # -- objective & training -----------------------------------------------
 
-    def mll(self, y: torch.Tensor, include_meas_var: bool = True) -> torch.Tensor:
-        """Exact MLL. With ``include_meas_var`` (default), Sigma includes the
-        fixed measurement variances (in-kernel) + jitter + obs_noise^2 — the
-        torch reference convention (model_alfi.py:295-299). With False the
-        Sigma convention matches the GPJax side's MLL (jitter + obs_noise^2
-        only, reference src/objectives.py:70-73) — the like-for-like setting
-        for cross-framework MLL deltas at fixed parameters."""
-        y = y.reshape(-1)
-        n = y.shape[0]
+    def _sigma_full(self, include_meas_var: bool) -> torch.Tensor:
+        """Training Sigma = Gram [+ meas var] + jitter + obs_noise^2."""
+        n = self.num_genes * self.timepoints.shape[0] * self.num_replicates
         if include_meas_var:
             base = self.gram()
         else:
             base = self.gram(add_noise_diag=False) + self.jitter * torch.eye(
                 n, dtype=torch.float64
             )
-        sigma = base + (self.obs_stddev ** 2) * torch.eye(
-            n, dtype=torch.float64
-        )
+        return base + (self.obs_stddev ** 2) * torch.eye(n, dtype=torch.float64)
+
+    def mll(
+        self,
+        y: torch.Tensor,
+        include_meas_var: bool = True,
+        rows: Optional[torch.Tensor] = None,
+    ) -> torch.Tensor:
+        """Exact MLL. With ``include_meas_var`` (default), Sigma includes the
+        fixed measurement variances (in-kernel) + jitter + obs_noise^2 — the
+        torch reference convention (model_alfi.py:295-299). With False the
+        Sigma convention matches the GPJax side's MLL (jitter + obs_noise^2
+        only, reference src/objectives.py:70-73) — the like-for-like setting
+        for cross-framework MLL deltas at fixed parameters.
+
+        ``rows`` restricts the objective to a row subset (the marginal of
+        the same MVN) — the train-rows objective under a validation/test
+        split (:func:`split_indices`)."""
+        y = y.reshape(-1)
+        sigma = self._sigma_full(include_meas_var)
         mu = self.mean()
+        if rows is not None:
+            y, mu = y[rows], mu[rows]
+            sigma = sigma[rows][:, rows]
+        n = y.shape[0]
         L = torch.linalg.cholesky(sigma)
         alpha = torch.cholesky_solve((y - mu).unsqueeze(-1), L).squeeze(-1)
         return (
             -0.5 * torch.dot(y - mu, alpha)
             - torch.log(torch.diagonal(L)).sum()
             - 0.5 * n * math.log(2 * math.pi)
+        )
+
+    @torch.no_grad()
+    def heldout_logpdf(
+        self,
+        y: torch.Tensor,
+        train_rows: torch.Tensor,
+        heldout_rows: torch.Tensor,
+        include_meas_var: bool = True,
+    ) -> torch.Tensor:
+        """Conditional log-density of held-out observations given the train
+        rows, under the same joint MVN as :meth:`mll`.
+
+        Satisfies the exact MVN chain rule
+        ``mll(all rows) = mll(rows=train) + heldout_logpdf(heldout | train)``
+        (tested), so the valid/test numbers are directly comparable to
+        training MLLs.  This is the live consumer the reference's split
+        scaffolding never had (its valid/test loaders are built at
+        ``trainer_alfi.py:86-99`` but nothing evaluates on them).
+        """
+        y = y.reshape(-1)
+        sigma = self._sigma_full(include_meas_var)
+        mu = self.mean()
+        s_tt = sigma[train_rows][:, train_rows]
+        s_ht = sigma[heldout_rows][:, train_rows]
+        s_hh = sigma[heldout_rows][:, heldout_rows]
+        L = torch.linalg.cholesky(s_tt)
+        solved = torch.cholesky_solve(s_ht.T, L)  # s_tt^{-1} s_th
+        resid = (y[train_rows] - mu[train_rows]).unsqueeze(-1)
+        mean_c = mu[heldout_rows] + (solved.T @ resid).squeeze(-1)
+        cov_c = s_hh - s_ht @ solved
+        Lc = torch.linalg.cholesky(cov_c)
+        alpha = torch.cholesky_solve(
+            (y[heldout_rows] - mean_c).unsqueeze(-1), Lc
+        ).squeeze(-1)
+        m = heldout_rows.shape[0]
+        return (
+            -0.5 * torch.dot(y[heldout_rows] - mean_c, alpha)
+            - torch.log(torch.diagonal(Lc)).sum()
+            - 0.5 * m * math.log(2 * math.pi)
         )
 
     def fit(
@@ -248,6 +324,9 @@ class TorchSIMM(torch.nn.Module):
         fix_params: bool = True,
         clamp_gene: int = 3,
         track_parameters: bool = False,
+        valid_size: float = 0.0,
+        test_size: float = 0.0,
+        split_seed: int = 0,
     ):
         """Eager Adam loop with the per-epoch p21 clamp (applied to the raw
         parameters under no_grad, reference trainer_alfi.py:192-199).
@@ -257,13 +336,28 @@ class TorchSIMM(torch.nn.Module):
         the reference torch trainer's by-name parameter tracing
         (trainer_alfi.py:79-84,186-190), consumed by
         ``validation.torch_report.plot_comparison_torch`` and
-        ``plot_param_trace_torch``."""
+        ``plot_param_trace_torch``.
+
+        ``valid_size`` / ``test_size`` enable the reference trainer's
+        dataset-split scaffolding (``trainer_alfi.py:68-99``) at observation-
+        row granularity: the objective becomes the train-row marginal MLL and
+        ``self.valid_history`` records the per-epoch held-out log-density of
+        the validation rows (:meth:`heldout_logpdf`); the split lives in
+        ``self.train_rows`` / ``self.valid_rows`` / ``self.test_rows``.
+        Defaults (0, 0) train on every row — bit-identical to the unsplit
+        loop, like the reference's default loaders."""
+        n = self.num_genes * self.timepoints.shape[0] * self.num_replicates
+        self.train_rows, self.valid_rows, self.test_rows = split_indices(
+            n, valid_size, test_size, seed=split_seed
+        )
+        rows = None if valid_size == 0.0 and test_size == 0.0 else self.train_rows
         opt = torch.optim.Adam(self.parameters(), lr=lr)
         history = []
+        self.valid_history = []
         self.param_trace = [] if track_parameters else None
         for _ in range(epochs):
             opt.zero_grad()
-            loss = -self.mll(y)
+            loss = -self.mll(y, rows=rows)
             loss.backward()
             opt.step()
             if fix_params:
@@ -273,6 +367,10 @@ class TorchSIMM(torch.nn.Module):
                     self.raw_sensitivity[clamp_gene] = _softplus_inv(one)
                     self.raw_decay[clamp_gene] = _softplus_inv(d08)
             history.append(float(loss.detach()))
+            if len(self.valid_rows):
+                self.valid_history.append(
+                    float(self.heldout_logpdf(y, self.train_rows, self.valid_rows))
+                )
             if track_parameters:
                 with torch.no_grad():
                     self.param_trace.append(

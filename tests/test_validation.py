@@ -220,6 +220,37 @@ class TestLikeForLikeAndReporting:
         for p in (p1, p2, p3, p4):
             assert os.path.exists(p)
 
+    def test_heldout_logpdf_chain_rule(self, problem):
+        """mll(all) == mll(train marginal) + logp(heldout | train): the
+        exact MVN chain rule pins the split objective AND the held-out
+        conditional density to the unsplit MLL."""
+        from dis_project_tpu.validation.torch_lfm import split_indices
+
+        data, X, y, var, _ = problem
+        tm = _fresh_tm(data, var, y)
+        yt = torch.tensor(np.asarray(y))
+        n = 35
+        train, valid, test = split_indices(n, 0.2, 0.1, seed=3)
+        assert sorted(torch.cat([train, valid, test]).tolist()) == list(range(n))
+        heldout = torch.cat([valid, test])
+        full = float(tm.mll(yt).detach())
+        marg = float(tm.mll(yt, rows=train).detach())
+        cond = float(tm.heldout_logpdf(yt, train, heldout))
+        assert abs(full - (marg + cond)) < 1e-8
+
+    def test_fit_with_validation_split(self, problem):
+        data, X, y, var, _ = problem
+        tm = _fresh_tm(data, var, y)
+        yt = torch.tensor(np.asarray(y))
+        hist = tm.fit(yt, epochs=3, valid_size=0.2, test_size=0.1)
+        assert len(hist) == 3 and len(tm.valid_history) == 3
+        assert len(tm.train_rows) + len(tm.valid_rows) + len(tm.test_rows) == 35
+        assert all(np.isfinite(v) for v in tm.valid_history)
+        # unsplit fit leaves every row in train and records no valid curve
+        tm2 = _fresh_tm(data, var, y)
+        tm2.fit(yt, epochs=1)
+        assert len(tm2.train_rows) == 35 and tm2.valid_history == []
+
     def test_make_loaders_splits(self, problem):
         from dis_project_tpu.validation.torch_lfm import TorchP53Dataset
         from dis_project_tpu.validation import torch_report
