@@ -41,7 +41,11 @@ import optax
 # the ~90 s of actual measurement.
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # 0.0: over the remote-compile tunnel even one-op programs cost ~0.37 s
+    # of HTTP round trip each — persist everything (TPU-only process; the
+    # CPU cross-compile SIGILL hazard documented in main._setup_backend does
+    # not apply here).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
 
@@ -231,6 +235,12 @@ def bench_gram_chol(n=8192, genes=50, dtype=jnp.float32):
         "chol_xla_s": round(chol_xla_s, 6),
         "chol_gflops": round(n**3 / 3 / chol_s / 1e9, 1),
         "chol_peak_frac": round(n**3 / 3 / chol_s / V5E_PEAK_FLOPS, 4),
+        # Fraction of the f32-FAITHFUL ceiling: correctness pins every
+        # O(N^3) product to 3-pass bf16 (see module header), so the honest
+        # MXU rate limit for this factorisation is V5E_PEAK/3.
+        "chol_f32_ceiling_frac": round(
+            n**3 / 3 / chol_s / (V5E_PEAK_FLOPS / 3), 4
+        ),
         "sigma_inv_s": round(inv_s, 6),
     }
 

@@ -111,6 +111,31 @@ class P53Data:
         return barenco.B_EXACT[idx], barenco.S_EXACT[idx], barenco.D_EXACT[idx]
 
 
+def _encode_3d_host(data: P53Data):
+    """3-column encoding assembled in HOST numpy (bit-identical to the
+    device ops it replaces: tile/repeat/ones/stack are exact).
+
+    These encoders run at pipeline top level, never under jit, and the
+    remote-TPU tunnel charges ~0.37 s of executable-load round trip per
+    device program — tiny tile/stack programs included.  Building the rows
+    on host and device_put-ting the result costs zero programs.
+    """
+    import numpy as np
+
+    T = int(data.timepoints.shape[0])
+    G, R = data.num_genes, data.num_replicates
+    t_host = np.asarray(data.timepoints)
+
+    times = np.tile(t_host, G * R)
+    gene_idx = np.tile(np.repeat(np.arange(G), T), R).astype(t_host.dtype)
+    flags = np.ones(R * G * T, dtype=t_host.dtype)
+    X = np.stack([times, gene_idx, flags], axis=-1)
+
+    y = np.asarray(data.gene_expressions).reshape(-1, 1)
+    variances = np.asarray(data.gene_variances).reshape(-1, 1)
+    return X, y, variances
+
+
 def dataset_3d(data: P53Data):
     """Reference 3-column encoding (``src/dataset.py:358-399``).
 
@@ -118,32 +143,28 @@ def dataset_3d(data: P53Data):
     ``(t, gene_index, 1)``, replicate-major then gene-major, and y/variances
     of shape (R*G*T, 1).
     """
-    T = int(data.timepoints.shape[0])
-    G, R = data.num_genes, data.num_replicates
-
-    times = jnp.tile(data.timepoints, G * R)
-    gene_idx = jnp.tile(jnp.repeat(jnp.arange(G), T), R).astype(times.dtype)
-    flags = jnp.ones(R * G * T, dtype=times.dtype)
-    X = jnp.stack([times, gene_idx, flags], axis=-1)
-
-    y = data.gene_expressions.reshape(-1, 1)
-    variances = data.gene_variances.reshape(-1, 1)
-    return X, y, variances
+    X, y, variances = _encode_3d_host(data)
+    return jnp.asarray(X), jnp.asarray(y), jnp.asarray(variances)
 
 
 def flatten_blocked(data: P53Data):
     """Reference ALFI 1-D blocked encoding
     (``src/gpytorch_alfi/model_alfi.py:545-569``): times tiled per
     (replicate, gene) block; gene identity implied by block position."""
-    T = int(data.timepoints.shape[0])
+    import numpy as np
+
     n_blocks = data.num_replicates * data.num_genes
-    train_t = jnp.tile(data.timepoints, n_blocks)
-    train_y = data.gene_expressions.reshape(-1)
-    return train_t, train_y
+    train_t = np.tile(np.asarray(data.timepoints), n_blocks)
+    train_y = np.asarray(data.gene_expressions).reshape(-1)
+    return jnp.asarray(train_t), jnp.asarray(train_y)
 
 
 def train_arrays(data: P53Data):
     """Convenience: the (X, y, variances) triple as flat device arrays with
     y and variances squeezed to 1-D — the shape the trainer consumes."""
-    X, y, var = dataset_3d(data)
-    return X, y.reshape(-1), var.reshape(-1)
+    X, y, var = _encode_3d_host(data)
+    return (
+        jnp.asarray(X),
+        jnp.asarray(y.reshape(-1)),
+        jnp.asarray(var.reshape(-1)),
+    )

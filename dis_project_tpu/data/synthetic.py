@@ -26,6 +26,7 @@ attribute surface), so ``dataset_3d`` / the trainer / the CLI work unchanged.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -168,6 +169,30 @@ def _sample_kinetics(key, cfg: SyntheticConfig, dtype):
     }
 
 
+@functools.partial(
+    jax.jit, static_argnames=("G", "n", "R", "ranges", "dtype")
+)
+def _prior_rng(key, G, n, R, ranges, dtype):
+    """Every random draw of :func:`sample_prior` fused into ONE program.
+
+    Same split structure and draw order as the original inline code, so the
+    streams are bit-identical — this exists purely because the remote-TPU
+    tunnel charges ~0.37 s of executable-load round trip per program, and a
+    dozen tiny threefry/uniform/normal programs dominated the sampling wall.
+    """
+    kp, kx, kn, kf = jax.random.split(key, 4)
+    kb, ks, kd = jax.random.split(kp, 3)
+
+    def u(k, lo_hi):
+        lo, hi = lo_hi
+        return jax.random.uniform(k, (G,), dtype, lo, hi)
+
+    basal, sens, dec = u(kb, ranges[0]), u(ks, ranges[1]), u(kd, ranges[2])
+    eps = jax.random.normal(kx, (n,), jnp.float32)
+    noise = jax.random.normal(kn, (R, n), jnp.float32)
+    return basal, sens, dec, eps, noise
+
+
 def sample_prior(
     key, cfg: Optional[SyntheticConfig] = None, dtype=None
 ) -> SyntheticLFMData:
@@ -180,11 +205,19 @@ def sample_prior(
     cfg = cfg or SyntheticConfig()
     dtype = dtype or default_float()
     t = jnp.linspace(0.0, cfg.t_max, cfg.num_timepoints, dtype=dtype)
-    kp, kx, kn, kf = jax.random.split(key, 4)
-    params = _sample_kinetics(kp, cfg, dtype)
-    d, s, ell = params["decay"], params["sensitivity"], params["lengthscale"]
     G, T, R = cfg.num_genes, cfg.num_timepoints, cfg.num_replicates
     n = G * T
+    ranges = (cfg.basal_range, cfg.sensitivity_range, cfg.decay_range)
+    basal, sens, dec, eps_draw, noise_draw = _prior_rng(
+        key, G, n, R, ranges, dtype
+    )
+    params = {
+        "basal": basal,
+        "sensitivity": sens,
+        "decay": dec,
+        "lengthscale": jnp.asarray(np.asarray(cfg.lengthscale, dtype)),
+    }
+    d, s, ell = params["decay"], params["sensitivity"], params["lengthscale"]
 
     # The prior Gram is near-low-rank (a handful of effective force degrees
     # of freedom), so the build AND factorisation run in HOST float64
@@ -195,7 +228,7 @@ def sample_prior(
     jitter = max(cfg.jitter, 1e-9 * float(np.abs(np.diagonal(Kxx)).max()))
     L = np.linalg.cholesky(Kxx + jitter * np.eye(n))
     mean = np.repeat(np.asarray(params["basal"] / d, np.float64), T)
-    eps = np.asarray(jax.random.normal(kx, (n,), jnp.float32), np.float64)
+    eps = np.asarray(eps_draw, np.float64)
     x_clean = mean + L @ eps
 
     # Conditional mean of f | x on the same grid — the ground-truth force.
@@ -203,12 +236,10 @@ def sample_prior(
     alpha = np.linalg.solve(L.T, np.linalg.solve(L, x_clean - mean))
     f_true = jnp.asarray(Kfx @ alpha, dtype)
 
-    noise = cfg.noise_std * np.asarray(
-        jax.random.normal(kn, (R, n), jnp.float32), np.float64
-    )
+    noise = cfg.noise_std * np.asarray(noise_draw, np.float64)
     y = x_clean[None, :] + noise
-    expressions = jnp.asarray(y.reshape(R, G, T), dtype)
-    variances = jnp.full((R, G, T), cfg.noise_std**2, dtype)
+    expressions = jnp.asarray(y.reshape(R, G, T).astype(np.asarray(0, dtype).dtype))
+    variances = jnp.asarray(np.full((R, G, T), cfg.noise_std**2, np.asarray(0, dtype).dtype))
     return SyntheticLFMData(t, expressions, variances, params, f_true)
 
 

@@ -40,6 +40,27 @@ def _setup_backend(config: cfg.RunConfig):
         jax.config.update("jax_platforms", platform)
     if config.x64:
         jax.config.update("jax_enable_x64", True)
+    # Persistent XLA compile cache for ACCELERATOR runs: the stress configs
+    # compile ~40 s of programs at N=1e4 over the remote-compile tunnel;
+    # caching cuts warm dense10k walls ~62 -> ~19 s. Deliberately NOT
+    # enabled for CPU runs: the axon remote service cross-compiles CPU AOT
+    # with the server's machine features, and reloading such an entry
+    # locally risks SIGILL (observed "+prefer-no-scatter ... could lead to
+    # execution errors"). Opt out with DIS_TPU_COMPILE_CACHE=off.
+    if platform != "cpu":
+        import os
+
+        cache_dir = os.environ.get(
+            "DIS_TPU_COMPILE_CACHE", "/tmp/dis_tpu_xla_cache"
+        )
+        if cache_dir.lower() not in ("off", "0", "none"):
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0
+                )
+            except Exception:
+                pass  # older jax without the knob — harmless
 
 
 def run(config: cfg.RunConfig):
@@ -541,7 +562,7 @@ def run_dense(config: cfg.RunConfig):
         import optax
 
         print("Training (full-batch exact MLL, CG/Lanczos engine)...")
-        raw0 = simm.unconstrain(simm.init_params(scfg.num_genes, dtype=X.dtype))
+        raw0 = simm.unconstrain_jit(simm.init_params(scfg.num_genes, dtype=X.dtype))
         # Clip: the Hutchinson d_sigma estimator's variance grows with N
         # per probe, and an unlucky large sample can kick the unconstrained
         # decay into exp(gamma^2) overflow territory in f32.
@@ -572,7 +593,7 @@ def run_dense(config: cfg.RunConfig):
             return raw, hist
 
         raw_f, history = fit_cg(raw0)
-        params_f = simm.constrain(raw_f)
+        params_f = simm.constrain_jit(raw_f)
         # Exact final loss for reporting (one Cholesky evaluation).
         final = float(-model.mll(params_f, X, y))
         res = tr.TrainResult(
@@ -580,14 +601,21 @@ def run_dense(config: cfg.RunConfig):
             grad_norms=jnp.zeros_like(history),
         )
     else:
-        # Gridded fast path: the synthetic data sits on one time grid, so
-        # the Gram builds from small transcendental tables (11x faster
-        # than the row-metadata build at N=1e4 on v5e).
+        # Exact-MLL dispatch at stress scale: on TPU f32 the row path (the
+        # lower-triangle Pallas Gram + kind-specialised VJP) overtook the
+        # table/gridded Gram for training in r2 — the table assembly's
+        # backward is an N^2-cotangent scatter-add (v5e, N=1e4: 28.2 vs
+        # 36.7 ms per step). The gridded path stays the CPU/f64 choice
+        # (small transcendental tables beat N^2 erf evaluations there).
         import optax
 
-        print("Training (full-batch exact MLL, Cholesky engine, gridded Gram)...")
+        on_tpu_f32 = (
+            jax.default_backend() not in ("cpu", "gpu") and not config.x64
+        )
+        engine = "row Gram" if on_tpu_f32 else "gridded Gram"
+        print(f"Training (full-batch exact MLL, Cholesky engine, {engine})...")
         timepoints = jnp.asarray(data.timepoints, X.dtype)
-        raw0 = simm.unconstrain(simm.init_params(scfg.num_genes, dtype=X.dtype))
+        raw0 = simm.unconstrain_jit(simm.init_params(scfg.num_genes, dtype=X.dtype))
         optimizer = optax.adam(config.learning_rate)
 
         # Segmented like the second-order route: a single 150-step scan is
@@ -599,15 +627,18 @@ def run_dense(config: cfg.RunConfig):
         n_segs = -(-config.num_iters // 50)
         seg_q, seg_r = divmod(config.num_iters, n_segs)
 
+        if on_tpu_f32:
+            objective = lambda r: -model.mll(simm.constrain(r), X, y)
+        else:
+            objective = lambda r: -model.mll_gridded(
+                simm.constrain(r), timepoints, y
+            )
+
         @_ft.partial(jax.jit, static_argnames=("length",))
         def fit_gridded(raw, opt_state, length):
             def step(carry, _):
                 raw, opt_state = carry
-                loss, grads = jax.value_and_grad(
-                    lambda r: -model.mll_gridded(
-                        simm.constrain(r), timepoints, y
-                    )
-                )(raw)
+                loss, grads = jax.value_and_grad(objective)(raw)
                 updates, opt_state = optimizer.update(grads, opt_state)
                 return (optax.apply_updates(raw, updates), opt_state), loss
 
@@ -625,7 +656,7 @@ def run_dense(config: cfg.RunConfig):
             seg_hists.append(np.asarray(h))  # host fetch = sync point
         history = jnp.asarray(np.concatenate(seg_hists))
         res = tr.TrainResult(
-            params=simm.constrain(raw_f),
+            params=simm.constrain_jit(raw_f),
             history=history,
             grad_norms=jnp.zeros_like(history),
         )

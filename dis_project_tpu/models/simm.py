@@ -90,6 +90,15 @@ def unconstrain(params: SIMMParams) -> SIMMParams:
     return bij.unconstrain(params, SIMM_BIJECTORS)
 
 
+# Jitted aliases for PIPELINE-TOP-LEVEL use (outside any jit trace): eager
+# bijector chains dispatch ~7 one-op programs each, and over the remote-TPU
+# tunnel every program costs ~0.37 s of executable-load round trip per
+# process. One fused program per direction instead. Inside jit traces keep
+# calling the plain functions.
+constrain_jit = jax.jit(constrain)
+unconstrain_jit = jax.jit(unconstrain)
+
+
 def _on_tpu() -> bool:
     # The axon tunnel reports platform 'axon'/'TPU v5 lite'; anything that is
     # not cpu/gpu gets the TPU-tuned defaults.
