@@ -348,7 +348,7 @@ def run_second_order(config: cfg.RunConfig):
     )
     X, y, var = train_arrays(data)
     model = simm2.SecondOrderSIMM(num_genes=data.num_genes, jitter=config.exact_jitter)
-    raw = simm2.unconstrain(simm2.init_params(data.num_genes))
+    raw = simm2.unconstrain_jit(simm2.init_params(data.num_genes))
 
     def loss(raw):
         return -model.mll(simm2.constrain(raw), X, y)
@@ -376,7 +376,7 @@ def run_second_order(config: cfg.RunConfig):
     wall = time.perf_counter() - t0
     print(f"Trained {config.num_iters} iters in {wall:.2f}s (final loss {final:.6f})")
 
-    params = simm2.constrain(raw)
+    params = simm2.constrain_jit(raw)
     print("\nGene       Basal     Sensitivity  Alpha     Omega     Damping   Spring")
     import numpy as np
 
@@ -701,7 +701,7 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     X, y, var = train_arrays(data)
     model = simm2.SecondOrderSIMM(num_genes=scfg.num_genes,
                                   jitter=config.exact_jitter)
-    raw0 = simm2.unconstrain(simm2.init_params(scfg.num_genes, dtype=X.dtype))
+    raw0 = simm2.unconstrain_jit(simm2.init_params(scfg.num_genes, dtype=X.dtype))
     opt = optax.adam(config.learning_rate)
 
     # Segmented dispatch: at N=1e4 a single 150-step scan is minutes of
@@ -747,7 +747,7 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     print(f"Trained {config.num_iters} iters in "
           f"{time.perf_counter() - t0:.2f}s (final loss {final:.4f}, "
           f"N={scfg.n_points})")
-    p = simm2.constrain(raw_f)
+    p = simm2.constrain_jit(raw_f)
     b, s, a_true, w_true = data.params_ground_truth()
     corr_a = float(np.corrcoef(np.asarray(p.alpha), a_true)[0, 1])
     corr_w = float(np.corrcoef(np.asarray(p.omega), w_true)[0, 1])

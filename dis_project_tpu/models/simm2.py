@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dis_project_tpu.models.base import Gaussian
@@ -69,6 +70,13 @@ def constrain(raw: SIMM2Params) -> SIMM2Params:
 
 def unconstrain(params: SIMM2Params) -> SIMM2Params:
     return bij.unconstrain(params, SIMM2_BIJECTORS)
+
+
+# Jitted aliases for pipeline-top-level use — one fused program per
+# direction instead of ~7 one-op programs, each ~0.37 s of executable-load
+# round trip over the remote-TPU tunnel (see models.simm for the numbers).
+constrain_jit = jax.jit(constrain)
+unconstrain_jit = jax.jit(unconstrain)
 
 
 def damping(params: SIMM2Params) -> jnp.ndarray:
