@@ -120,8 +120,6 @@ def _encode_3d_host(data: P53Data):
     device program — tiny tile/stack programs included.  Building the rows
     on host and device_put-ting the result costs zero programs.
     """
-    import numpy as np
-
     T = int(data.timepoints.shape[0])
     G, R = data.num_genes, data.num_replicates
     t_host = np.asarray(data.timepoints)
@@ -151,8 +149,6 @@ def flatten_blocked(data: P53Data):
     """Reference ALFI 1-D blocked encoding
     (``src/gpytorch_alfi/model_alfi.py:545-569``): times tiled per
     (replicate, gene) block; gene identity implied by block position."""
-    import numpy as np
-
     n_blocks = data.num_replicates * data.num_genes
     train_t = np.tile(np.asarray(data.timepoints), n_blocks)
     train_y = np.asarray(data.gene_expressions).reshape(-1)

@@ -153,18 +153,28 @@ def _np_kxf_block(t_x, t_f, decay, sens, ell):
     return K.reshape(d.shape[0] * t_x.shape[0], t_f.shape[0])
 
 
-def _sample_kinetics(key, cfg: SyntheticConfig, dtype):
+def _kinetics_draws(key, G, ranges, dtype):
+    """The kinetics uniform draws (basal, sensitivity, decay) — the single
+    source of truth shared by :func:`_sample_kinetics` (eager, used by the
+    ODE generators) and :func:`_prior_rng` (fused program)."""
     kb, ks, kd = jax.random.split(key, 3)
-    G = cfg.num_genes
 
     def u(k, lo_hi):
         lo, hi = lo_hi
         return jax.random.uniform(k, (G,), dtype, lo, hi)
 
+    return u(kb, ranges[0]), u(ks, ranges[1]), u(kd, ranges[2])
+
+
+def _sample_kinetics(key, cfg: SyntheticConfig, dtype):
+    basal, sens, dec = _kinetics_draws(
+        key, cfg.num_genes,
+        (cfg.basal_range, cfg.sensitivity_range, cfg.decay_range), dtype,
+    )
     return {
-        "basal": u(kb, cfg.basal_range),
-        "sensitivity": u(ks, cfg.sensitivity_range),
-        "decay": u(kd, cfg.decay_range),
+        "basal": basal,
+        "sensitivity": sens,
+        "decay": dec,
         "lengthscale": jnp.asarray(cfg.lengthscale, dtype),
     }
 
@@ -181,13 +191,7 @@ def _prior_rng(key, G, n, R, ranges, dtype):
     dozen tiny threefry/uniform/normal programs dominated the sampling wall.
     """
     kp, kx, kn, kf = jax.random.split(key, 4)
-    kb, ks, kd = jax.random.split(kp, 3)
-
-    def u(k, lo_hi):
-        lo, hi = lo_hi
-        return jax.random.uniform(k, (G,), dtype, lo, hi)
-
-    basal, sens, dec = u(kb, ranges[0]), u(ks, ranges[1]), u(kd, ranges[2])
+    basal, sens, dec = _kinetics_draws(kp, G, ranges, dtype)
     eps = jax.random.normal(kx, (n,), jnp.float32)
     noise = jax.random.normal(kn, (R, n), jnp.float32)
     return basal, sens, dec, eps, noise

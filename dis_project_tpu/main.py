@@ -46,10 +46,15 @@ def _setup_backend(config: cfg.RunConfig):
     # enabled for CPU runs: the axon remote service cross-compiles CPU AOT
     # with the server's machine features, and reloading such an entry
     # locally risks SIGILL (observed "+prefer-no-scatter ... could lead to
-    # execution errors"). Opt out with DIS_TPU_COMPILE_CACHE=off.
-    if platform != "cpu":
-        import os
+    # execution errors"). The guard checks the EFFECTIVE platform — the
+    # --platform flag, the x64 CPU fallback above, or the JAX_PLATFORMS
+    # environment — not just the flag. Opt out with DIS_TPU_COMPILE_CACHE=off.
+    import os
 
+    effective = platform or (
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    ).split(",")[0]
+    if effective != "cpu":
         cache_dir = os.environ.get(
             "DIS_TPU_COMPILE_CACHE", "/tmp/dis_tpu_xla_cache"
         )

@@ -250,6 +250,7 @@ class TorchSIMM(torch.nn.Module):
         y: torch.Tensor,
         include_meas_var: bool = True,
         rows: Optional[torch.Tensor] = None,
+        sigma: Optional[torch.Tensor] = None,
     ) -> torch.Tensor:
         """Exact MLL. With ``include_meas_var`` (default), Sigma includes the
         fixed measurement variances (in-kernel) + jitter + obs_noise^2 — the
@@ -260,9 +261,15 @@ class TorchSIMM(torch.nn.Module):
 
         ``rows`` restricts the objective to a row subset (the marginal of
         the same MVN) — the train-rows objective under a validation/test
-        split (:func:`split_indices`)."""
+        split (:func:`split_indices`).
+
+        ``sigma`` optionally reuses a prebuilt full training Sigma (from
+        :meth:`_sigma_full`) — the blockwise Gram assembly dominates this
+        module's cost, and the split training loop evaluates the train and
+        held-out densities at the same parameters."""
         y = y.reshape(-1)
-        sigma = self._sigma_full(include_meas_var)
+        if sigma is None:
+            sigma = self._sigma_full(include_meas_var)
         mu = self.mean()
         if rows is not None:
             y, mu = y[rows], mu[rows]
@@ -283,6 +290,7 @@ class TorchSIMM(torch.nn.Module):
         train_rows: torch.Tensor,
         heldout_rows: torch.Tensor,
         include_meas_var: bool = True,
+        sigma: Optional[torch.Tensor] = None,
     ) -> torch.Tensor:
         """Conditional log-density of held-out observations given the train
         rows, under the same joint MVN as :meth:`mll`.
@@ -295,7 +303,8 @@ class TorchSIMM(torch.nn.Module):
         ``trainer_alfi.py:86-99`` but nothing evaluates on them).
         """
         y = y.reshape(-1)
-        sigma = self._sigma_full(include_meas_var)
+        if sigma is None:
+            sigma = self._sigma_full(include_meas_var)
         mu = self.mean()
         s_tt = sigma[train_rows][:, train_rows]
         s_ht = sigma[heldout_rows][:, train_rows]
@@ -357,7 +366,22 @@ class TorchSIMM(torch.nn.Module):
         self.param_trace = [] if track_parameters else None
         for _ in range(epochs):
             opt.zero_grad()
-            loss = -self.mll(y, rows=rows)
+            if rows is None:
+                loss = -self.mll(y)
+            else:
+                # ONE Gram build per epoch, shared by the train objective
+                # and the held-out density — both evaluated at the params
+                # ENTERING the epoch, so history[e] and valid_history[e]
+                # describe the same parameter vector.
+                sigma = self._sigma_full(True)
+                loss = -self.mll(y, rows=rows, sigma=sigma)
+                if len(self.valid_rows):
+                    self.valid_history.append(
+                        float(self.heldout_logpdf(
+                            y, self.train_rows, self.valid_rows,
+                            sigma=sigma.detach(),
+                        ))
+                    )
             loss.backward()
             opt.step()
             if fix_params:
@@ -367,10 +391,6 @@ class TorchSIMM(torch.nn.Module):
                     self.raw_sensitivity[clamp_gene] = _softplus_inv(one)
                     self.raw_decay[clamp_gene] = _softplus_inv(d08)
             history.append(float(loss.detach()))
-            if len(self.valid_rows):
-                self.valid_history.append(
-                    float(self.heldout_logpdf(y, self.train_rows, self.valid_rows))
-                )
             if track_parameters:
                 with torch.no_grad():
                     self.param_trace.append(
