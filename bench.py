@@ -222,8 +222,11 @@ def bench_gram_chol(n=8192, genes=50, dtype=jnp.float32):
         lambda eps, A: pc.blocked_cholesky(A + eps), A, iters=3
     )
     chol_xla_s = time_op(lambda eps, A: jnp.linalg.cholesky(A + eps), A, iters=3)
+    # The quantity the MLL backward actually consumes: the mirror-free
+    # tril(Sigma^{-1}) (ops.mll._mvn_bwd emits a symmetric-equivalent
+    # cotangent, so the dense mirror never runs on the training path).
     inv_s = time_op(
-        lambda eps, L: pc.inv_from_factor(jnp.tril(L) + eps), L, iters=3
+        lambda eps, L: pc.inv_from_factor_tril(jnp.tril(L) + eps), L, iters=3
     )
 
     best_gram = min(gram_s.values())

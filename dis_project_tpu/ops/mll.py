@@ -81,13 +81,9 @@ def chol_solve(L, b):
 _TRI_INV_MIN_N = 2048
 
 
-def _sigma_inv(L, impl: str):
-    if impl == "blocked" or L.shape[0] >= _TRI_INV_MIN_N:
-        from dis_project_tpu.ops import pallas_cholesky as pc
-
-        return pc.inv_from_factor(L)
-    eye = jnp.eye(L.shape[0], dtype=L.dtype)
-    return chol_solve(L, eye)
+def _use_blocked_inv(L, impl: str) -> bool:
+    """Trace-time choice of the Sigma^{-1} route in the backward pass."""
+    return impl == "blocked" or L.shape[0] >= _TRI_INV_MIN_N
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -112,9 +108,29 @@ def _mvn_fwd(y_centered, sigma, impl):
 def _mvn_bwd(impl, res, g):
     L, alpha = res
     d_y = -g * alpha
-    # Sigma^{-1} reusing the factor — blocked tri-inverse on the MXU path.
-    sigma_inv = _sigma_inv(L, impl)
-    d_sigma = (0.5 * g) * (jnp.outer(alpha, alpha) - sigma_inv)
+    if _use_blocked_inv(L, impl):
+        from dis_project_tpu.ops import pallas_cholesky as pc
+
+        # Sigma^{-1} reusing the factor via the blocked tri-inverse + SYRK.
+        # d_sigma is emitted as a SYMMETRIC-EQUIVALENT cotangent: sigma is
+        # an identically-symmetric function of everything upstream (a
+        # covariance), so its tangent dSigma/dtheta is symmetric and only
+        # sym(d_sigma) contributes to <d_sigma, dSigma/dtheta>.  We build
+        #     d_sigma = g/2 * alpha alpha^T - g * (T - diag(T)/2),
+        # with T = tril(Sigma^{-1}) incl. diagonal, whose symmetrization is
+        # the textbook g/2 (alpha alpha^T - Sigma^{-1}) — skipping the
+        # dense mirror of Sigma^{-1} (~0.7 ms of VPU passes at N=8192; the
+        # minimal-tile SYRK produces the lower triangle natively).
+        t = pc.inv_from_factor_tril(L)
+        d_sigma = (0.5 * g) * jnp.outer(alpha, alpha) - g * t
+        idx = jnp.arange(L.shape[0])
+        d_sigma = d_sigma.at[idx, idx].add((0.5 * g) * jnp.diagonal(t))
+    else:
+        # Small-N / oracle path: dense symmetric cotangent (the textbook
+        # form), so raw-matrix comparisons against other estimators hold.
+        eye = jnp.eye(L.shape[0], dtype=L.dtype)
+        sigma_inv = chol_solve(L, eye)
+        d_sigma = (0.5 * g) * (jnp.outer(alpha, alpha) - sigma_inv)
     return d_y, d_sigma
 
 

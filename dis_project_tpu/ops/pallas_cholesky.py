@@ -669,9 +669,9 @@ def _syrk_kernel(i_arr, j_arr, k_arr, a_ref, b_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def syrk_ltl(Li, *, tile: int = DEFAULT_BLOCK, interpret: bool = False):
-    """``Li.T @ Li`` for lower-triangular f32 ``Li`` as a minimal-tile
-    Pallas SYRK.
+def syrk_ltl_tril(Li, *, tile: int = DEFAULT_BLOCK, interpret: bool = False):
+    """``tril(Li.T @ Li)`` (diagonal included) for lower-triangular f32
+    ``Li`` as a minimal-tile Pallas SYRK.
 
     The recursive :func:`_tril_t_tril` skips structural zeros down to its
     base size but its leaf ``B.T @ B`` products are dense — ~2.1x the
@@ -679,7 +679,8 @@ def syrk_ltl(Li, *, tile: int = DEFAULT_BLOCK, interpret: bool = False):
     tiles the triangular structure requires: one flattened grid step per
     ``(i >= j, k >= i)`` triple (``~nt^3/6`` of the dense ``nt^3``), with
     scalar-prefetch index streams driving the block maps.  Only the lower
-    triangle is computed; the mirror is two VPU passes on the result.
+    triangle is computed; :func:`syrk_ltl` adds the two-VPU-pass mirror for
+    callers that need the dense symmetric matrix.
     """
     n = Li.shape[0]
     np_ = -(-n // tile) * tile
@@ -721,20 +722,29 @@ def syrk_ltl(Li, *, tile: int = DEFAULT_BLOCK, interpret: bool = False):
         interpret=interpret,
     )(i_arr, j_arr, k_arr, X, X)
     C = out[:n, :n]
-    lower = jnp.tril(C)  # strict-upper tiles were never written
-    return lower + jnp.tril(C, -1).T
+    return jnp.tril(C)  # strict-upper tiles were never written
+
+
+def syrk_ltl(Li, *, tile: int = DEFAULT_BLOCK, interpret: bool = False):
+    """``Li.T @ Li`` (dense symmetric) via :func:`syrk_ltl_tril` + mirror."""
+    lower = syrk_ltl_tril(Li, tile=tile, interpret=interpret)
+    return lower + jnp.tril(lower, -1).T
 
 
 @_f32_faithful
 def inv_from_factor(L, *, block: int = DEFAULT_BLOCK):
-    """Σ^{-1} = L^{-T} L^{-1} from the Cholesky factor — the quantity the
-    custom-VJP MLL backward pass consumes (``ops.mll._mvn_bwd``).
+    """Σ^{-1} = L^{-T} L^{-1} from the Cholesky factor.
 
     f32 above N=2048 takes the panel-trtri route, with the SYRK dispatched
     to the minimal-tile Pallas kernel on TPU (:func:`syrk_ltl` — v5e r2,
     N=8192: 6.43 ms vs 8.06 for the recursive :func:`_tril_t_tril`, same
     3-pass-bf16 numerics class at 1.4e-5 rel) and to the recursion
     elsewhere; f64 keeps the substitution path for the CPU parity oracle.
+
+    The custom-VJP MLL backward (``ops.mll._mvn_bwd``) consumes the
+    mirror-free :func:`inv_from_factor_tril` instead — the MLL's Σ
+    cotangent only matters up to symmetrization, so the dense mirror
+    (~0.7 ms of VPU passes at N=8192) is skipped on the hot path.
     """
     if L.dtype == jnp.float32 and L.shape[0] > 2048:
         Li = tri_inv_panels(L)
@@ -743,3 +753,22 @@ def inv_from_factor(L, *, block: int = DEFAULT_BLOCK):
         return _tril_t_tril(Li)
     Li = tri_inv(L, base=min(block, 256))
     return _tril_t_tril(Li)
+
+
+@_f32_faithful
+def inv_from_factor_tril(L, *, block: int = DEFAULT_BLOCK):
+    """``tril(Σ^{-1})`` (diagonal included) from the Cholesky factor.
+
+    Same dispatch as :func:`inv_from_factor` minus the mirror: on the TPU
+    f32 hot path the minimal-tile SYRK already produces the lower triangle
+    natively, so this is strictly cheaper; elsewhere it is a ``tril`` of
+    the recursive product (the small-N / f64 oracle paths, where the extra
+    VPU pass is irrelevant).
+    """
+    if L.dtype == jnp.float32 and L.shape[0] > 2048:
+        Li = tri_inv_panels(L)
+        if jax.default_backend() == "tpu":
+            return syrk_ltl_tril(Li)
+        return jnp.tril(_tril_t_tril(Li))
+    Li = tri_inv(L, base=min(block, 256))
+    return jnp.tril(_tril_t_tril(Li))

@@ -326,7 +326,14 @@ class TestBlockedCholesky:
         v_b, g_b = jax.value_and_grad(f("blocked"), argnums=(0, 1))(mean, A)
         np.testing.assert_allclose(float(v_b), float(v_x), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(g_b[0]), np.asarray(g_x[0]), atol=1e-10)
-        np.testing.assert_allclose(np.asarray(g_b[1]), np.asarray(g_x[1]), atol=1e-10)
+        # The sigma cotangent is defined up to symmetrization (the blocked
+        # backward emits the mirror-free tril form, ops.mll._mvn_bwd):
+        # compare sym parts, which is what any parameter gradient consumes.
+        sb = np.asarray(g_b[1])
+        sx = np.asarray(g_x[1])
+        np.testing.assert_allclose(
+            0.5 * (sb + sb.T), 0.5 * (sx + sx.T), atol=1e-10
+        )
 
     def test_chol_inv_unblocked_f32(self):
         """One VMEM program returns both L and L^{-1} (f32, sub-blocked)."""
@@ -392,3 +399,40 @@ class TestBlockedCholesky:
             np.asarray(jnp.linalg.inv(A)),
             atol=1e-10,
         )
+        # Mirror-free variant: exact lower triangle of the same inverse.
+        np.testing.assert_allclose(
+            np.asarray(pc.inv_from_factor_tril(L)),
+            np.tril(np.asarray(jnp.linalg.inv(A))),
+            atol=1e-10,
+        )
+
+    def test_blocked_param_grads_invariant_to_cotangent_form(self):
+        """End-to-end: hyperparameter gradients must be IDENTICAL between the
+        xla and blocked impls (the tril-form sigma cotangent is equivalent
+        under every symmetric Gram builder)."""
+        import jax
+
+        from dis_project_tpu.data.dataset import P53Data, dataset_3d
+        from dis_project_tpu.models import simm
+        from dis_project_tpu.ops import gram as gram_ops
+        from dis_project_tpu.ops import mll as mll_ops
+
+        data = P53Data(replicate=0, source="synthetic")
+        X, y, _ = dataset_3d(data)
+        y = y.reshape(-1)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        raw0 = simm.unconstrain(simm.init_params(5))
+
+        def loss(raw, impl):
+            p = simm.constrain(raw)
+            K = gram_ops.gram(X, p.decay, p.sensitivity, p.lengthscale)
+            sigma = mll_ops.add_diagonal(K, model.jitter + p.obs_stddev**2)
+            mx = model.mean_function(p, X)
+            return -mll_ops.mvn_logpdf(y, mx, sigma, impl=impl)
+
+        g_x = jax.grad(loss)(raw0, "xla")
+        g_b = jax.grad(loss)(raw0, "blocked")
+        for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_b)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+            )
