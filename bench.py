@@ -297,13 +297,16 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
     # utilisation is quoted for the best exact-MLL path (the row path with
     # the symmetric Pallas Gram overtook the table-Gram gridded path in r2).
     suffix = "" if n <= 4096 else f"_{n}"
+    frac = 3 * report.seconds_at_peak() / min(step_s, grid_s)
     return {
         f"train_step_n{suffix}": n,
         f"train_step_s{suffix}": round(step_s, 6),
         f"train_step_gridded_s{suffix}": round(grid_s, 6),
-        f"train_step_roofline_frac{suffix}": round(
-            3 * report.seconds_at_peak() / min(step_s, grid_s), 4
-        ),
+        f"train_step_roofline_frac{suffix}": round(frac, 4),
+        # Fraction of the f32-FAITHFUL ceiling (see module header: the
+        # correctness-mandated 3-pass matmul precision caps the MXU at
+        # ~V5E_PEAK/3 for the O(N^3) chain that dominates this step).
+        f"train_step_f32_ceiling_frac{suffix}": round(3 * frac, 4),
     }
 
 
