@@ -54,7 +54,11 @@ def _setup_backend(config: cfg.RunConfig):
     effective = platform or (
         jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
     ).split(",")[0]
-    if effective != "cpu":
+    # Fail CLOSED when nothing is configured (effective == ""): an
+    # unconfigured host resolves its backend only at first use, and
+    # enabling the cache before knowing it is not a CPU run would violate
+    # the exclusion above on CPU-only hosts.
+    if effective and effective != "cpu":
         cache_dir = os.environ.get(
             "DIS_TPU_COMPILE_CACHE", "/tmp/dis_tpu_xla_cache"
         )
@@ -629,7 +633,9 @@ def run_dense(config: cfg.RunConfig):
         # segments bound every dispatch (round counts compile one program).
         import functools as _ft
 
-        n_segs = -(-config.num_iters // 50)
+        # max(1, ...): num_iters=0 still runs one (empty) segment instead
+        # of dividing by zero — useful to smoke-test the data/plot plumbing.
+        n_segs = max(1, -(-config.num_iters // 50))
         seg_q, seg_r = divmod(config.num_iters, n_segs)
 
         if on_tpu_f32:
@@ -717,7 +723,7 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     # as num_iters split into ceil(num_iters/25) near-equal parts so that
     # round counts like 150/100/40 compile ONE program; only iteration
     # counts with a remainder pay a second (q+1-length) compile.
-    n_segs = -(-config.num_iters // 25)
+    n_segs = max(1, -(-config.num_iters // 25))  # num_iters=0: one empty segment
     seg_q, seg_r = divmod(config.num_iters, n_segs)
 
     # The data sits on one uniform grid, so the per-step Gram build goes

@@ -112,10 +112,17 @@ def _is_batched(*vals) -> bool:
     no working Pallas vmap lowering on TPU (r2 regression: vmapped
     ensemble fits crashed at compile) — batched calls must take the
     vmap-safe dense kernel / XLA closed forms instead.
-    """
-    from jax._src.interpreters import batching
 
-    return any(isinstance(v, batching.BatchTracer) for v in vals)
+    Known limitation: this sees only vmap applied to *Python* code.
+    ``vmap(jit(f))`` batches the already-traced jaxpr, which no trace-time
+    check can observe — pass ``gram_impl='xla'`` explicitly there.
+    """
+    try:
+        from jax.interpreters.batching import BatchTracer
+    except ImportError:  # private fallback for older layouts
+        from jax._src.interpreters.batching import BatchTracer
+
+    return any(isinstance(v, BatchTracer) for v in vals)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -118,12 +118,17 @@ def cross_covariance_kind(x1, x2, decay, sens, lengthscale, kind="mixed"):
     raise ValueError(f"unknown kind {kind!r}")
 
 
-def _check_uniform_grid(t):
-    """Host-side uniform-spacing guard shared by the table Grams.
+def is_uniform_grid(t) -> bool:
+    """True when a concrete time grid is uniformly spaced — the SINGLE
+    spacing predicate shared by the table-Gram guard and callers that
+    choose between the gridded and row paths (``trainer.fit``); sharing it
+    keeps the fallback decision and the op's hard guard from diverging
+    (r2 review finding: two hand-rolled checks with different tolerances
+    meant a near-uniform grid could pass the caller's check and then
+    crash inside the op instead of falling back).
 
-    Raises ``ValueError`` on a concrete irregular grid; silently passes
-    tracers (callers that jit over traced timepoints must check spacing
-    themselves — ``trainer.fit`` does, and falls back to the row path).
+    Tracers return True (spacing cannot be inspected at trace time — the
+    op's guard documents that jitted-timepoint callers own the check).
     Tolerance scales with the dtype: an f32 linspace grid is uniform only
     to ~|t|*eps per diff (7e-7 at t_max=12), which a fixed rtol=1e-6 on
     the ~0.06 spacing falsely rejected (r2 bug: the dense10k preset's own
@@ -131,15 +136,21 @@ def _check_uniform_grid(t):
     level and are still caught.
     """
     if isinstance(t, jax.core.Tracer):
-        return
+        return True
     import numpy as np
 
     t_host = np.asarray(t)
     diffs = np.diff(t_host)
     if not diffs.size:
-        return
+        return True
     tol = 32 * np.finfo(t_host.dtype).eps * max(1.0, float(np.abs(t_host).max()))
-    if not np.allclose(diffs, diffs[0], rtol=0.0, atol=tol):
+    return bool(np.allclose(diffs, diffs[0], rtol=0.0, atol=tol))
+
+
+def _check_uniform_grid(t):
+    """Host-side uniform-spacing guard shared by the table Grams: raises
+    ``ValueError`` on a concrete irregular grid, passes tracers."""
+    if not is_uniform_grid(t):
         raise ValueError(
             "the table Gram requires a UNIFORM time grid (its "
             "delta table is indexed by row-col index difference); got "

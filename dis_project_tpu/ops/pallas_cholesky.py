@@ -738,6 +738,15 @@ def syrk_ltl(Li, *, tile: int = DEFAULT_BLOCK, interpret: bool = False):
     return lower + jnp.tril(lower, -1).T
 
 
+def _syrk_backend() -> bool:
+    """True when the minimal-tile Pallas SYRK should dispatch: any real
+    TPU backend — the same not-cpu/gpu form as every other trace-time
+    platform gate in this package (the axon tunnel resolves
+    ``default_backend()`` to 'tpu' today, but gate defensively the same
+    way ``mll.resolve_chol_impl`` and ``simm._on_tpu`` do)."""
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 @_f32_faithful
 def inv_from_factor(L, *, block: int = DEFAULT_BLOCK):
     """Σ^{-1} = L^{-T} L^{-1} from the Cholesky factor.
@@ -755,7 +764,7 @@ def inv_from_factor(L, *, block: int = DEFAULT_BLOCK):
     """
     if L.dtype == jnp.float32 and L.shape[0] > 2048:
         Li = tri_inv_panels(L)
-        if jax.default_backend() == "tpu":
+        if _syrk_backend():
             return syrk_ltl(Li)
         return _tril_t_tril(Li)
     Li = tri_inv(L, base=min(block, 256))
@@ -774,7 +783,7 @@ def inv_from_factor_tril(L, *, block: int = DEFAULT_BLOCK):
     """
     if L.dtype == jnp.float32 and L.shape[0] > 2048:
         Li = tri_inv_panels(L)
-        if jax.default_backend() == "tpu":
+        if _syrk_backend():
             return syrk_ltl_tril(Li)
         return jnp.tril(_tril_t_tril(Li))
     Li = tri_inv(L, base=min(block, 256))

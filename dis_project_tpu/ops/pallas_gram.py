@@ -357,10 +357,11 @@ def _gram_sym_impl(
     meta = _pack_meta(x, decay, sens, np_, dtype)
     ell = jnp.asarray(lengthscale, dtype).reshape(1, 1)
 
+    # np.tril_indices is already row-major over the lower triangle — the
+    # order the kernel's slot-reuse waits assume.
     ii, jj = np.tril_indices(nt)
-    order = np.argsort(ii, kind="stable")  # row-major over the lower triangle
-    i_arr = jnp.asarray(ii[order], jnp.int32)
-    j_arr = jnp.asarray(jj[order], jnp.int32)
+    i_arr = jnp.asarray(ii, jnp.int32)
+    j_arr = jnp.asarray(jj, jnp.int32)
     nsteps = int(i_arr.shape[0])
 
     cost = pl.CostEstimate(

@@ -97,12 +97,12 @@ def fit(
         # The table-based Gram assumes a UNIFORM grid (its delta table is
         # indexed by a - b); a shared-but-irregular grid would silently
         # produce a wrong covariance. timepoints is concrete here, so the
-        # check is free — fall back to the row path when irregular.
-        import numpy as np
+        # check is free — fall back to the row path when irregular, using
+        # the SAME predicate as the op's hard guard so the fallback
+        # decision and the guard can never diverge.
+        from dis_project_tpu.ops.gram import is_uniform_grid
 
-        t_host = np.asarray(timepoints)
-        diffs = np.diff(t_host)
-        if diffs.size and not np.allclose(diffs, diffs[0], rtol=1e-6):
+        if not is_uniform_grid(timepoints):
             gridded = None
 
     if gridded is not None:

@@ -146,6 +146,41 @@ class TestUniformGridGuard:
         K = gram_ops.gram_xx_blocked_fast(t, d, s, jnp.float32(2.5))
         assert K.shape == (400, 400)
 
+    def test_trainer_fallback_uses_same_predicate_as_guard(self):
+        # A NEAR-uniform grid (1e-7 wobble on a 2.0 spacing): the old
+        # trainer pre-check (rtol=1e-6 on the spacing) accepted it while
+        # the op's dtype-aware guard rejects it — training crashed at
+        # trace time instead of taking the designed row-path fallback.
+        # Both sides now share ops.gram.is_uniform_grid, so fit() must
+        # fall back and complete.
+        import optax
+
+        from dis_project_tpu.models import simm
+        from dis_project_tpu.training import trainer as tr
+
+        t_bad = np.linspace(0.0, 12.0, 7)
+        t_bad[3] += 1e-7
+        assert not gram_ops.is_uniform_grid(jnp.asarray(t_bad))
+        G, T = 2, 7
+        X = jnp.asarray(
+            np.stack(
+                [np.tile(t_bad, G), np.repeat(np.arange(G), T), np.ones(G * T)],
+                axis=1,
+            )
+        )
+        y = jnp.asarray(RNG.standard_normal(G * T) * 0.1 + 1.0)
+        model = simm.ExactSIMM(num_genes=G, jitter=1e-4)
+        cfg = tr.TrainConfig(num_iters=3, fix_params=False)
+        result = tr.fit(
+            model,
+            simm.init_params(G),
+            X,
+            y,
+            cfg,
+            gridded=(jnp.asarray(t_bad), 1),
+        )
+        assert np.all(np.isfinite(np.asarray(result.history)))
+
     def test_traced_timepoints_still_jit(self):
         # Inside jit the values are unavailable — the op must stay traceable
         # (callers like trainer.fit guard spacing themselves).
