@@ -50,8 +50,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Measured best on v5e at N=8192: block=512 beats 1024 and XLA's native
-# cholesky (12.7 ms); see bench.py's n8192 probe.
+# Default block for the O(N^3) ops below mid scale; blocked_cholesky's
+# block=None auto-dispatch upgrades to 1024 from N=8192 (v5e r2 sweep:
+# 7.7 ms at 1024 vs 8.1 at 512 vs 12.5 for XLA's native cholesky at
+# N=8192; 512 stays best at N=4096).
 DEFAULT_BLOCK = 512
 
 # f32 matmuls on TPU default to a SINGLE bf16 pass per product (~4e-3
