@@ -292,21 +292,28 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
 
     step_s = time_op(one_step, raw0, opt_state, iters=4)
     grid_s = time_op(one_step_gridded, raw0, opt_state, iters=4)
+    from dis_project_tpu.utils import profiling
+
     report = flop_report(n)
     # forward + backward ~ 3x the forward O(N^3) work (chol + tri-inv + syrk);
     # utilisation is quoted for the best exact-MLL path (the row path with
     # the symmetric Pallas Gram overtook the table-Gram gridded path in r2).
     suffix = "" if n <= 4096 else f"_{n}"
-    frac = 3 * report.seconds_at_peak() / min(step_s, grid_s)
+    best = min(step_s, grid_s)
+    compute_raw = report.total_flops / profiling.PEAK_MATMUL_FLOPS
+    memory = report.bytes_touched / profiling.PEAK_HBM_BYTES
+    frac = 3 * max(compute_raw, memory) / best
+    # f32-FAITHFUL ceiling: the mandated 3-pass matmul precision derates
+    # the MXU rate (x3 the compute term) — HBM bandwidth is unaffected, so
+    # only the compute leg of the roofline moves (r2 review fix: deriving
+    # it as 3*frac silently derated the memory bound too).
+    frac_f32 = 3 * max(3 * compute_raw, memory) / best
     return {
         f"train_step_n{suffix}": n,
         f"train_step_s{suffix}": round(step_s, 6),
         f"train_step_gridded_s{suffix}": round(grid_s, 6),
         f"train_step_roofline_frac{suffix}": round(frac, 4),
-        # Fraction of the f32-FAITHFUL ceiling (see module header: the
-        # correctness-mandated 3-pass matmul precision caps the MXU at
-        # ~V5E_PEAK/3 for the O(N^3) chain that dominates this step).
-        f"train_step_f32_ceiling_frac{suffix}": round(3 * frac, 4),
+        f"train_step_f32_ceiling_frac{suffix}": round(frac_f32, 4),
     }
 
 

@@ -72,6 +72,12 @@ def _setup_backend(config: cfg.RunConfig):
                 pass  # older jax without the knob — harmless
 
 
+def _final_loss(hist) -> float:
+    """Last entry of a loss history as float; NaN for a zero-iteration run
+    (--num-iters 0 smoke-tests the data/plot plumbing without training)."""
+    return float(hist[-1]) if len(hist) else float("nan")
+
+
 def run(config: cfg.RunConfig):
     import jax
 
@@ -176,7 +182,7 @@ def run(config: cfg.RunConfig):
     wall = time.perf_counter() - t0
     print(
         f"Trained {config.num_iters} iters in {wall:.2f}s "
-        f"(final loss {float(result.history[-1]):.6f})"
+        f"(final loss {_final_loss(result.history):.6f})"
     )
 
     if config.metrics_path:
@@ -307,7 +313,7 @@ def run_replicate_ensemble(config: cfg.RunConfig):
     )
     jax.block_until_ready(hist)
     print(f"Trained in {time.perf_counter() - t0:.2f}s; final losses "
-          f"{[round(float(l), 4) for l in hist[-1]]}")
+          f"{[round(float(l), 4) for l in (hist[-1] if len(hist) else [])]}")
     if config.metrics_path:
         with open(config.metrics_path, "w") as f:
             for i, row in enumerate(hist.tolist()):
@@ -381,7 +387,7 @@ def run_second_order(config: cfg.RunConfig):
     print("Training second-order LFM...")
     t0 = time.perf_counter()
     raw, hist = fit(raw)
-    final = float(hist[-1])
+    final = _final_loss(hist)
     wall = time.perf_counter() - t0
     print(f"Trained {config.num_iters} iters in {wall:.2f}s (final loss {final:.6f})")
 
@@ -490,7 +496,7 @@ def run_alfi_parity(config: cfg.RunConfig):
     f_torch, f_var_torch = tm.predict_f(torch.tensor(t_test))
     f_jax = model.latent_predict(res.params, rows, X, y, var).mean
     corr = float(np.corrcoef(f_torch.numpy(), np.asarray(f_jax))[0, 1])
-    print(f"\nFinal loss  jax={float(res.history[-1]):.6f}  "
+    print(f"\nFinal loss  jax={_final_loss(res.history):.6f}  "
           f"torch={hist_t[-1]:.6f}")
     print(f"Trained latent-force posterior correlation: {corr:.4f}")
 
@@ -671,7 +677,7 @@ def run_dense(config: cfg.RunConfig):
             history=history,
             grad_norms=jnp.zeros_like(history),
         )
-        final = float(res.history[-1])
+        final = _final_loss(res.history)
     jax.block_until_ready(res.history)
     wall = time.perf_counter() - t0
     print(f"Trained {config.num_iters} iters in {wall:.2f}s "
@@ -753,8 +759,8 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
         n_seg = seg_q + (1 if i < seg_r else 0)
         raw_f, state, h = fit_segment(raw_f, state, n_seg)
         chunks.append(np.asarray(h))  # host fetch = segment sync point
-    hist = jnp.asarray(np.concatenate(chunks))
-    final = float(hist[-1])
+    hist = jnp.asarray(np.concatenate(chunks)) if chunks else jnp.zeros(0)
+    final = _final_loss(hist)
     print(f"Trained {config.num_iters} iters in "
           f"{time.perf_counter() - t0:.2f}s (final loss {final:.4f}, "
           f"N={scfg.n_points})")

@@ -118,9 +118,11 @@ def _is_batched(*vals) -> bool:
     check can observe — pass ``gram_impl='xla'`` explicitly there.
     """
     try:
-        from jax.interpreters.batching import BatchTracer
-    except ImportError:  # private fallback for older layouts
+        # Current JAX (0.9.x) only exposes BatchTracer privately.
         from jax._src.interpreters.batching import BatchTracer
+    except ImportError:
+        # Older JAX exported it publicly; future JAX may again.
+        from jax.interpreters.batching import BatchTracer
 
     return any(isinstance(v, BatchTracer) for v in vals)
 

@@ -143,6 +143,9 @@ def is_uniform_grid(t) -> bool:
     diffs = np.diff(t_host)
     if not diffs.size:
         return True
+    if not np.issubdtype(t_host.dtype, np.inexact):
+        # Integer grids: exact spacing comparison (np.finfo would raise).
+        return bool(np.all(diffs == diffs[0]))
     tol = 32 * np.finfo(t_host.dtype).eps * max(1.0, float(np.abs(t_host).max()))
     return bool(np.allclose(diffs, diffs[0], rtol=0.0, atol=tol))
 

@@ -741,12 +741,18 @@ def syrk_ltl(Li, *, tile: int = DEFAULT_BLOCK, interpret: bool = False):
 
 
 def _syrk_backend() -> bool:
-    """True when the minimal-tile Pallas SYRK should dispatch: any real
-    TPU backend — the same not-cpu/gpu form as every other trace-time
-    platform gate in this package (the axon tunnel resolves
-    ``default_backend()`` to 'tpu' today, but gate defensively the same
-    way ``mll.resolve_chol_impl`` and ``simm._on_tpu`` do)."""
-    return jax.default_backend() not in ("cpu", "gpu")
+    """True when the minimal-tile Pallas SYRK should dispatch.
+
+    Deliberately NARROW (``== 'tpu'``), unlike the not-cpu/gpu gates in
+    ``mll.resolve_chol_impl`` / ``simm._on_tpu``: those route to portable
+    XLA code where over-matching is harmless, while this one routes to a
+    Pallas **TPU** kernel that cannot lower anywhere else — an unknown
+    plugin backend must take the portable ``_tril_t_tril`` matmul
+    recursion instead.  The axon remote tunnel resolves
+    ``jax.default_backend()`` to ``'tpu'``, so the hot path still
+    dispatches there (measured: the SYRK numbers in the module header).
+    """
+    return jax.default_backend() == "tpu"
 
 
 @_f32_faithful

@@ -96,13 +96,17 @@ def fit(
         timepoints, replicates = gridded
         # The table-based Gram assumes a UNIFORM grid (its delta table is
         # indexed by a - b); a shared-but-irregular grid would silently
-        # produce a wrong covariance. timepoints is concrete here, so the
-        # check is free — fall back to the row path when irregular, using
-        # the SAME predicate as the op's hard guard so the fallback
-        # decision and the guard can never diverge.
+        # produce a wrong covariance. Fall back to the always-correct row
+        # path when the spacing is irregular — OR when it cannot be
+        # verified at all (traced timepoints: the op's guard must pass
+        # tracers to stay traceable, but a fallback CHOOSER must fail
+        # closed, r2 review finding). Same predicate as the op's hard
+        # guard on concrete grids, so the two never diverge.
         from dis_project_tpu.ops.gram import is_uniform_grid
 
-        if not is_uniform_grid(timepoints):
+        if isinstance(timepoints, jax.core.Tracer) or not is_uniform_grid(
+            timepoints
+        ):
             gridded = None
 
     if gridded is not None:
