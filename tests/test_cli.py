@@ -116,6 +116,19 @@ class TestPipelineEntry:
         for name in ("lf.png", "gxpr.png", "comparison.png"):
             assert os.path.exists(os.path.join(c.out_dir, name))
 
+    def test_zero_iteration_smoke(self, tmp_path):
+        """--num-iters 0 exercises the data/report plumbing without
+        training (r2 review: the empty history used to crash at [-1])."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            replicate=0,
+            data_source="synthetic",
+            num_iters=0,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run(c)  # must complete; final loss prints as nan
+
     def test_invalid_gene_raises(self):
         import pytest
 
