@@ -214,6 +214,7 @@ def run(config: cfg.RunConfig):
         t_grid,
         latent_dist,
         y_scatter=data.f_observed,
+        scatter_times=data.timepoints,
         save_name=config.save_name,
         out_dir=config.out_dir,
     )
@@ -411,6 +412,7 @@ def run_second_order(config: cfg.RunConfig):
         t_grid,
         latent,
         y_scatter=data.f_observed,
+        scatter_times=data.timepoints,
         save_name=config.save_name or "simm2",
         out_dir=config.out_dir,
     )
@@ -863,6 +865,7 @@ def run_sparse(config: cfg.RunConfig):
         jnp.stack([t_grid, -jnp.ones_like(t_grid), jnp.zeros_like(t_grid)], -1),
         post,
         y_scatter=np.asarray(data.f_true).reshape(1, 1, -1),
+        scatter_times=data.timepoints,
         save_name=config.save_name or "sparse_lf",
         out_dir=config.out_dir,
     )

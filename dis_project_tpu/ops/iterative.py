@@ -44,14 +44,21 @@ import jax.numpy as jnp
 LOG_2PI = 1.8378770664093453
 
 
-def batched_cg(matvec, b, *, tol: float = 1e-10, max_iters: int = 256):
+def batched_cg(matvec, b, *, tol: float | None = None, max_iters: int = 256):
     """Solve A X = B for SPD A and B of shape (N, R) by block CG.
 
     ``matvec``: function (N, R) -> (N, R) applying A columnwise (one fused
     matmul for dense A). Iterations run per-column (standard CG recurrences
     vectorised over R); stops when every column's residual norm is below
     ``tol * ||b||`` or at ``max_iters``.
+
+    ``tol=None`` resolves a dtype-aware default, ``100 * eps``: 1e-8 in
+    f64, ~1.2e-5 in f32.  (The old fixed 1e-10 was unreachable in f32 —
+    the residual stagnates near ``eps * ||b||`` — so the early exit never
+    fired and every f32 solve silently ran all ``max_iters`` iterations.)
     """
+    if tol is None:
+        tol = 100 * float(jnp.finfo(jnp.result_type(b)).eps)
     # Krylov recurrences are precision-critical: on TPU the default matmul
     # precision (bf16-ish passes under allow_excess_precision) destroys
     # Lanczos orthogonality and can stall CG at large N — measured at

@@ -46,13 +46,20 @@ def plot_lf(
     predictive_dist: Gaussian,
     stddev: int = 2,
     y_scatter=None,
+    scatter_times=None,
     title: Optional[str] = None,
     save: bool = True,
     save_name: Optional[str] = None,
     out_dir: str = "plots",
 ):
     """Latent-force posterior with +/- stddev band (reference
-    ``src/plotter.py:33-115``; fig. 1a of Lawrence et al.)."""
+    ``src/plotter.py:33-115``; fig. 1a of Lawrence et al.).
+
+    ``scatter_times`` places the ``y_scatter`` ground-truth markers; when
+    omitted it falls back to the reference's hard-coded Barenco span
+    ``linspace(0, 12)`` — correct for the p53 pipeline only, so any
+    synthetic caller with a different time span must pass its own grid.
+    """
     plt = _plt()
     mean = np.asarray(predictive_dist.mean)
     std = np.asarray(predictive_dist.stddev())
@@ -67,7 +74,12 @@ def plot_lf(
     ax.plot(t, mean, label="Predictive mean")
     if y_scatter is not None:
         y_scatter = np.asarray(y_scatter).ravel()
-        ax.plot(np.linspace(0, 12, len(y_scatter)), y_scatter, "x", label="True values")
+        ts = (
+            np.asarray(scatter_times).ravel()
+            if scatter_times is not None
+            else np.linspace(0, 12, len(y_scatter))
+        )
+        ax.plot(ts, y_scatter, "x", label="True values")
     ax.set_xlabel("Time")
     ax.set_ylabel("mRNA Expression")
     ax.set_title(f"Latent Force Model{' - ' + title if title else ''}")

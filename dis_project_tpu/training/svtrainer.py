@@ -38,6 +38,33 @@ class SVTrainResult:
     opt_state: Optional[object] = None
 
 
+def make_optimizer(
+    config: SVTrainConfig,
+    params: SVLFMParams,
+    base: Optional[optax.GradientTransformation] = None,
+) -> optax.GradientTransformation:
+    """The SVI optimizer for ``config`` — Adam(lr), with the inducing
+    locations frozen through ``optax.multi_transform`` when
+    ``config.train_z`` is False.  Both :func:`fit` (when no optimizer is
+    passed) and :func:`fit_checkpointed` build it HERE so their optimizer
+    state pytrees always match."""
+    base = base if base is not None else optax.adam(config.learning_rate)
+    if config.train_z:
+        return base
+    return optax.multi_transform(
+        {
+            "opt": base,
+            "frozen": optax.set_to_zero(),
+        },
+        svlfm.SVLFMParams(
+            kinetics=jax.tree.map(lambda _: "opt", params.kinetics),
+            z="frozen",
+            q_mu="opt",
+            q_sqrt="opt",
+        ),
+    )
+
+
 def fit(
     model: SparseSIMM,
     params: SVLFMParams,
@@ -58,26 +85,19 @@ def fit(
     n = x.shape[0]
     bs = min(config.batch_size, n)
     batches = -(-n // bs)
-    optimizer = optimizer or optax.adam(config.learning_rate)
+    # A caller-supplied optimizer is FINAL (it must already carry the
+    # train_z wrapping so its state pytree matches any init_state built
+    # from it — fit_checkpointed constructs it via make_optimizer; r2
+    # review: wrapping here made checkpointed train_z=False states
+    # structurally incompatible).
+    if optimizer is None:
+        optimizer = make_optimizer(config, params)
     y = y.reshape(-1)
     variances = variances.reshape(-1)
 
     def loss_fn(raw, xb, yb, vb):
         return -model.elbo(svlfm.constrain(raw), xb, yb, vb, n_total=n)
 
-    if not config.train_z:
-        optimizer = optax.multi_transform(
-            {
-                "opt": optimizer,
-                "frozen": optax.set_to_zero(),
-            },
-            svlfm.SVLFMParams(
-                kinetics=jax.tree.map(lambda _: "opt", params.kinetics),
-                z="frozen",
-                q_mu="opt",
-                q_sqrt="opt",
-            ),
-        )
     if init_state is not None:
         raw0, opt_state0 = init_state
     else:
@@ -143,7 +163,7 @@ def fit_checkpointed(
 
     from dis_project_tpu.training import checkpoint as ckpt
 
-    optimizer = optax.adam(config.learning_rate)
+    optimizer = make_optimizer(config, params)
     raw = svlfm.unconstrain(params)
     opt_state = optimizer.init(raw)
     epoch = 0

@@ -247,7 +247,14 @@ def fit_checkpointed(
     if result is None:  # already complete on entry
         trained = simm.constrain(raw)
         if config.fix_params:
-            trained = simm.clamp_params(trained, gene_index=config.clamp_gene)
+            # Same clamp values as fit()'s final clamp — a resumed no-op
+            # rerun must return the same parameters the original run did.
+            trained = simm.clamp_params(
+                trained,
+                gene_index=config.clamp_gene,
+                sensitivity=config.clamp_sensitivity,
+                decay=config.clamp_decay,
+            )
         return TrainResult(
             params=trained,
             history=jnp.zeros((0,)),

@@ -56,7 +56,19 @@ def _checked_logpdf(y, mean, sigma):
         "Cholesky factorisation failed: matrix not positive-definite "
         "(increase jitter or check kernel hyperparameters)",
     )
-    return mll_ops.mvn_logpdf(y, mean, sigma)
+    # Evaluate the log-density from the factor ALREADY computed for the
+    # check (calling mvn_logpdf would refactorize — in eager use, where
+    # no XLA CSE dedupes it, that doubled the O(N^3) cost of the guarded
+    # path). Diagnostic/value path: gradients, if taken, go through the
+    # cholesky AD rule rather than the custom VJP.
+    yc = y - mean
+    alpha = mll_ops.chol_solve(L, yc)
+    n = yc.shape[0]
+    return (
+        -0.5 * jnp.dot(yc, alpha)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * n * mll_ops.LOG_2PI
+    )
 
 
 def checked_mvn_logpdf(y, mean, sigma):

@@ -452,14 +452,17 @@ class TorchSIMM(torch.nn.Module):
         L = torch.linalg.cholesky(sigma)
         solved = torch.cholesky_solve(Kxt, L)
         mean = self._test_mean(t_test) + solved.T @ self._y_residual
-        Ktt = torch.cat(
+        # Only the diagonal of the test covariance is returned: the G
+        # diagonal (j == j) blocks' diagonals suffice, and the correction
+        # diagonal is an elementwise sum — no (G*T_test)^2 temporaries or
+        # G^2 kernel-block evaluations (r2 review).
+        ktt_diag = torch.cat(
             [
-                torch.cat([self._kxx_block(j, k, t_test, t_test) for k in range(G)], dim=1)
+                torch.diagonal(self._kxx_block(j, j, t_test, t_test))
                 for j in range(G)
-            ],
-            dim=0,
+            ]
         )
-        var = torch.diagonal(Ktt - Kxt.T @ solved)
+        var = ktt_diag - torch.sum(Kxt * solved, dim=0)
         T_test = t_test.shape[0]
         return (
             mean.reshape(G, T_test),

@@ -273,6 +273,33 @@ class TestTrainability:
             rtol=1e-12,
         )
 
+    def test_svtrainer_checkpointed_with_frozen_z(self, problem, tmp_path):
+        """fit_checkpointed(train_z=False) must build the SAME
+        multi_transform optimizer as fit() so the checkpointed state
+        pytree matches (r2 review: it initialised a plain adam state and
+        crashed in the first segment)."""
+        import numpy as np
+
+        from dis_project_tpu.training import svtrainer
+
+        data, X, y, var, kin = problem
+        model = svlfm.SparseSIMM(num_genes=3, num_inducing=8)
+        params = svlfm.init_params(3, 8)
+        cfg = svtrainer.SVTrainConfig(
+            num_epochs=6, batch_size=10, learning_rate=0.05, train_z=False
+        )
+        straight = svtrainer.fit(model, params, X, y, var, cfg)
+        seg = svtrainer.fit_checkpointed(
+            model, params, X, y, var, cfg, str(tmp_path / "z"),
+            checkpoint_every=3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(seg.history), np.asarray(straight.history), rtol=1e-12
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seg.params.z), np.asarray(params.z)
+        )
+
     def test_svtrainer_minibatch_fit_improves_elbo(self, problem):
         from dis_project_tpu.training import svtrainer
 
