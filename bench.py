@@ -23,8 +23,9 @@ identical dispatches can be served from a replay cache. The training runs are
 already a single chained 150-step scan; their timer varies an input epsilon
 per repeat and fetches the final loss.
 
-Extra fields: Gram-build and Cholesky throughput at N=4096 (f32, the dense
-stress-config scale) with utilisation against the v5e peak.
+Extra fields: Gram-build and Cholesky throughput at N=8192 (f32, the
+BASELINE.json north-star point) plus full-train-step probes at N=4096 and
+N=8192, with utilisation against the v5e peak and the f32-faithful ceiling.
 """
 
 from __future__ import annotations
@@ -49,15 +50,15 @@ try:
 except Exception:
     pass
 
-# v5e single-chip peak: ~197 TFLOP/s bf16. Single-pass-bf16 f32 matmuls
-# run at ~190 TF/s but are only ~4e-3 accurate — enough to NaN the real
-# Gram's factorization (r2 finding; see ops/pallas_cholesky.MATMUL_PRECISION)
-# — so the O(N^3) chain is pinned to 3-pass bf16 (~63 TF/s effective for
-# f32-faithful products). Peak fractions below are quoted against the raw
-# bf16 peak anyway: the honest ceiling for an f32-accurate Cholesky on this
-# chip is therefore ~1/3 of it before the serial-diag-chain bound
-# (ops/pallas_cholesky_fused.py) even enters.
-V5E_PEAK_FLOPS = 197e12
+# v5e single-chip peak (shared with utils.profiling so the per-op and
+# train-step fractions in one JSON line can never desynchronise):
+# ~197 TFLOP/s bf16. Single-pass-bf16 f32 matmuls run at ~190 TF/s but are
+# only ~4e-3 accurate — enough to NaN the real Gram's factorization (r2
+# finding; see ops/pallas_cholesky.MATMUL_PRECISION) — so the O(N^3) chain
+# is pinned to 3-pass bf16 (~63 TF/s effective for f32-faithful products).
+# Peak fractions below are quoted against the raw bf16 peak AND against
+# the f32-faithful ceiling (~1/3 of it).
+from dis_project_tpu.utils.profiling import PEAK_MATMUL_FLOPS as V5E_PEAK_FLOPS
 
 
 def _build_problem(dtype=jnp.float32):

@@ -439,10 +439,12 @@ class ExactSIMM:
         solved = mll_ops.chol_solve(L, Kxf)  # (N, M)
         mean = mean_t + solved.T @ (y - mean_x)
 
-        Kff = self.gram(params, test_rows, self._kind("ff"))
-        Kff = mll_ops.add_diagonal(Kff, self.jitter)
-        var = Kff - solved.T @ Kxf
-        var = jnp.diag(jnp.diagonal(var))
+        # Only the diagonal survives the reference's diagonalisation quirk,
+        # so compute just diag(Kff) + the einsum correction diagonal —
+        # O(N*M) instead of the O(N*M^2) matmul (identical outputs).
+        kff_diag = jnp.diagonal(self.gram(params, test_rows, self._kind("ff")))
+        corr = jnp.einsum("nm,nm->m", solved, Kxf)
+        var = jnp.diag(kff_diag + self.jitter - corr)
         var = mll_ops.add_diagonal(var, self.jitter)
         return Gaussian(mean=mean, cov=var)
 
@@ -493,7 +495,19 @@ def clamp_params(
     *raw* values during the training scan and to *constrained* values after
     (``src/trainer.py:205-222``), a quirk this framework reproduces in
     ``training.trainer``.
+
+    Raises at trace time when ``gene_index`` is out of bounds for the
+    parameter arrays (shared-kinetics (1,)-shaped params, or gene subsets
+    smaller than the index): JAX scatter semantics would otherwise DROP
+    the update and the identifiability clamp would silently never apply.
     """
+    if gene_index >= params.sensitivity.shape[0]:
+        raise ValueError(
+            f"clamp_params: gene_index {gene_index} is out of bounds for "
+            f"{params.sensitivity.shape[0]} gene parameter(s) (shared "
+            "kinetics or a small gene subset?) — pass the in-subset index "
+            "or disable fix_params, as the CLI does (main.py run())."
+        )
     dtype = params.sensitivity.dtype
     return params._replace(
         sensitivity=params.sensitivity.at[gene_index].set(

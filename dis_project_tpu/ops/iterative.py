@@ -167,13 +167,19 @@ def _tridiag_logquad(alphas, betas):
     return jnp.sum(w * jnp.log(evals))
 
 
-def slq_logdet(matvec, n: int, key, *, num_probes: int = 16, m: int = 32):
+def slq_logdet(
+    matvec, n: int, key, *, num_probes: int = 16, m: int = 32, dtype=None
+):
     """Stochastic Lanczos quadrature estimate of log det of an SPD operator.
 
     Rademacher probes; each contributes ``n * e1^T log(T_m) e1`` (the
-    ``||z||^2 = n`` factor of the normalised start vector).
+    ``||z||^2 = n`` factor of the normalised start vector).  ``dtype``
+    should be the operator's dtype: the old ``result_type(float)`` default
+    silently promoted an f32 pipeline to emulated f64 under x64.
     """
-    z = jax.random.rademacher(key, (num_probes, n)).astype(jnp.result_type(float))
+    z = jax.random.rademacher(key, (num_probes, n)).astype(
+        dtype or jnp.result_type(float)
+    )
 
     def one(zi):
         a, b = lanczos(matvec, zi, m)
@@ -202,7 +208,8 @@ def _cg_fwd(y_centered, sigma, key, num_probes, lanczos_iters, cg_iters):
     matvec = lambda X: sigma @ X
 
     logdet, z = slq_logdet(
-        matvec, n, key, num_probes=num_probes, m=lanczos_iters
+        matvec, n, key, num_probes=num_probes, m=lanczos_iters,
+        dtype=y_centered.dtype,
     )
     # One batched solve serves quadratic term (col 0) and probes (rest).
     rhs = jnp.concatenate([y_centered[:, None], z.T], axis=1)
@@ -221,7 +228,11 @@ def _cg_fwd(y_centered, sigma, key, num_probes, lanczos_iters, cg_iters):
 def _cg_bwd(num_probes, lanczos_iters, cg_iters, res, g):
     alpha, z, zsols = res
     # Hutchinson: E[Sigma^{-1} z z^T] = Sigma^{-1}; symmetrise the estimate.
-    est = zsols @ z / z.shape[0]  # (N, N)
+    # Same HIGHEST-precision invariant as the rest of the module (the
+    # forward traces under it; this product is the backward's dominant
+    # Sigma-term and must not run at single-pass-bf16 default).
+    with jax.default_matmul_precision("highest"):
+        est = zsols @ z / z.shape[0]  # (N, N)
     sigma_inv_est = 0.5 * (est + est.T)
     d_y = -g * alpha
     d_sigma = (0.5 * g) * (jnp.outer(alpha, alpha) - sigma_inv_est)

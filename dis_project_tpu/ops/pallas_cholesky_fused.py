@@ -88,7 +88,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dis_project_tpu.ops.pallas_cholesky import _chol_inv_vmem  # noqa: E402
+from dis_project_tpu.ops.pallas_cholesky import (  # noqa: E402
+    _chol_inv_vmem,
+    _pad_identity,
+)
 
 # Column width (B) and row-tile height (R).  R == B keeps the diagonal
 # handling trivial (diag block == first active tile of the column).
@@ -320,14 +323,6 @@ def fused_cholesky(a, *, block: int = DEFAULT_BLOCK, interpret: bool = False):
         interpret=interpret,
     )(A)
     return out[:n, :n] if npad != n else out
-
-
-def _pad_identity(a, npad):
-    n = a.shape[0]
-    out = jnp.zeros((npad, npad), a.dtype)
-    out = out.at[:n, :n].set(a)
-    idx = jnp.arange(n, npad)
-    return out.at[idx, idx].set(1.0)
 
 
 # ---------------------------------------------------------------------------

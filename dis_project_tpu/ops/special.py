@@ -85,46 +85,42 @@ def faddeeva(z, n_terms: int = 64):
 _N_TERMS_BY_DTYPE = {jnp.dtype(jnp.complex64): 40, jnp.dtype(jnp.complex128): 64}
 
 
-@jax.custom_jvp
-def _erf_complex_core(z):
-    n_terms = _N_TERMS_BY_DTYPE.get(jnp.dtype(z.dtype), 64)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _erf_complex_core(z, n_terms=None):
+    nt = n_terms or _N_TERMS_BY_DTYPE.get(jnp.dtype(z.dtype), 64)
     right = jnp.real(z) >= 0
     zr = jnp.where(right, z, -z)  # reflected into Re >= 0
-    val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr, n_terms)
+    val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr, nt)
     return jnp.where(right, val, -val)
 
 
 @_erf_complex_core.defjvp
-def _erf_complex_jvp(primals, tangents):
+def _erf_complex_jvp(n_terms, primals, tangents):
     # erf is entire with erf'(z) = 2/sqrt(pi) exp(-z^2). Without this rule
     # AD traverses the 64-term Faddeeva polynomial and keeps every
     # intermediate as a residual — measured 39 GB of HBM residuals for one
     # second-order Gram backward at N=3000.
     (z,), (dz,) = primals, tangents
-    return _erf_complex_core(z), (2.0 / SQRT_PI) * jnp.exp(-z * z) * dz
+    return _erf_complex_core(z, n_terms), (2.0 / SQRT_PI) * jnp.exp(-z * z) * dz
 
 
-def erf_complex(z, n_terms: int = 64):
+def erf_complex(z, n_terms: int | None = None):
     """erf(z) for complex z: 1 - exp(-z^2) w(iz), odd-reflected.
 
-    Differentiable via the analytic derivative (custom JVP). On the AD
-    path (``n_terms`` left at its default) the term count is resolved from
-    the input dtype via ``_N_TERMS_BY_DTYPE`` (64 for c128, 40 for c64 —
-    see the accuracy note there); passing a non-default ``n_terms``
-    bypasses the custom-JVP core and honours the request exactly, at the
-    cost of AD tracing through the polynomial.
+    Differentiable via the analytic derivative (custom JVP) at ANY term
+    count — the count is a static parameter of the custom-JVP core, so an
+    explicit ``n_terms`` no longer bypasses the cheap derivative (r2
+    review: the old bypass re-traced AD through the Faddeeva polynomial,
+    the exact 39 GB-of-residuals failure the rule exists to prevent).
+    ``n_terms=None`` resolves from the input dtype via
+    ``_N_TERMS_BY_DTYPE`` (64 for c128, 40 for c64 — accuracy note there).
     """
     z = jnp.asarray(z)
     if not jnp.issubdtype(z.dtype, jnp.complexfloating):
         z = z.astype(jnp.complex128 if z.dtype == jnp.float64 else jnp.complex64)
-    if n_terms != 64:
-        right = jnp.real(z) >= 0
-        zr = jnp.where(right, z, -z)
-        val = 1.0 - jnp.exp(-zr * zr) * faddeeva(1j * zr, n_terms)
-        return jnp.where(right, val, -val)
-    return _erf_complex_core(z)
+    return _erf_complex_core(z, n_terms)
 
 
-def erfc_complex(z, n_terms: int = 64):
+def erfc_complex(z, n_terms: int | None = None):
     """erfc(z) = 1 - erf(z)."""
     return 1.0 - erf_complex(z, n_terms)

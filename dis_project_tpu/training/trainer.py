@@ -147,14 +147,17 @@ def fit(
         else:
             updates, opt_state = optimizer.update(grads, opt_state, raw)
         raw = optax.apply_updates(raw, updates)
-        raw = jax.lax.cond(
-            jnp.logical_and(
-                config.fix_params, step % config.num_steps_per_epoch == 0
-            ),
-            clamp_raw,
-            lambda p: p,
-            raw,
-        )
+        # fix_params is STATIC: skip the cond entirely when disabled (a
+        # traced-False cond would still trace clamp_raw's both branches —
+        # and clamp_params now raises loudly on out-of-bounds indices,
+        # e.g. shared-kinetics (1,)-shaped params with the default gene 3).
+        if config.fix_params:
+            raw = jax.lax.cond(
+                step % config.num_steps_per_epoch == 0,
+                clamp_raw,
+                lambda p: p,
+                raw,
+            )
         grad_norm = optax.global_norm(grads)
         out = (loss_val, grad_norm)
         if config.track_parameters:
