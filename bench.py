@@ -318,7 +318,34 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
     }
 
 
+def _first_op_watchdog(done, interval=120):
+    """stderr heartbeat while the first device op is pending: a wedged
+    remote-TPU worker hangs even an 8x8 matmul in a fresh process
+    (observed r2), and a silent hang in the driver's bench run would be
+    indistinguishable from a slow compile without this marker."""
+    import sys
+
+    waited = 0
+    while not done.wait(interval):
+        waited += interval
+        print(
+            f"bench: first device op still pending after {waited}s — "
+            "slow cold compile or an unresponsive TPU tunnel",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
 def main():
+    import threading
+
+    done = threading.Event()
+    threading.Thread(
+        target=_first_op_watchdog, args=(done,), daemon=True
+    ).start()
+    float(jnp.ones(()) + 1.0)  # scalar fetch: actually blocks on the tunnel
+    done.set()
+
     dtype = jnp.float32
     X, y, t = _build_problem(dtype)
 
