@@ -129,6 +129,36 @@ class TestPipelineEntry:
         )
         entry.run(c)  # must complete; final loss prints as nan
 
+    def test_dense_route_smoke(self, tmp_path):
+        """run_dense end-to-end at toy scale (the dense10k preset's code
+        path: segmented scan, table/row Gram dispatch, recovery report)."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=16,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+
+    def test_sparse_route_smoke(self, tmp_path):
+        """run_sparse end-to-end at toy scale (the sparse100k preset's
+        code path: SVI minibatch loop, latent recovery plot)."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            synth_genes=4,
+            synth_timepoints=24,
+            num_inducing=8,
+            batch_size=32,
+            num_epochs=2,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_sparse(c)
+
     def test_invalid_gene_raises(self):
         import pytest
 
