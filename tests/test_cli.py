@@ -159,6 +159,18 @@ class TestPipelineEntry:
         )
         entry.run_sparse(c)
 
+    def test_second_order_route_smoke(self, tmp_path):
+        """run_second_order end-to-end (spring-damper kinetics table +
+        latent plot) at a small iteration count."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=5,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_second_order(c)
+
     def test_invalid_gene_raises(self):
         import pytest
 
