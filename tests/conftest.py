@@ -45,6 +45,8 @@ SLOW_NODEID_PATTERNS = (
     "test_validation.py::TestTrainedParity",
     # full-pipeline CLI integration (r2): legacy-checkpoint warm start
     "test_cli.py::TestPipelineEntry::test_resume_from_legacy_checkpoint",
+    # second-order route end-to-end (~70 s CPU: complex-erf Gram compiles)
+    "test_cli.py::TestPipelineEntry::test_second_order_route_smoke",
     # checkpoint/resume end-to-end
     "test_observability.py::TestCheckpointResume",
     # gridded/table-Gram heavy parity sweeps
