@@ -171,6 +171,20 @@ class TestPipelineEntry:
         )
         entry.run_second_order(c)
 
+    def test_ensemble_route_smoke(self, tmp_path):
+        """run_replicate_ensemble end-to-end: the SPMD per-replicate
+        ensemble route (single lax.scan program over the vmapped fit)."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=5,
+            replicate="all",
+            ensemble=True,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_replicate_ensemble(c)
+
     def test_invalid_gene_raises(self):
         import pytest
 
