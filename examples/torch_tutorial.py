@@ -16,6 +16,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# CPU demo like the other examples: the shared data/utility imports touch
+# jax, and initialising the default TPU platform here would (a) waste the
+# accelerator and (b) hang outright if the remote tunnel is down.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import torch
 
