@@ -318,11 +318,18 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
     }
 
 
-def _first_op_watchdog(done, interval=120):
+def _first_op_watchdog(done, interval=120, give_up_s=900):
     """stderr heartbeat while the first device op is pending: a wedged
     remote-TPU worker hangs even an 8x8 matmul in a fresh process
     (observed r2), and a silent hang in the driver's bench run would be
-    indistinguishable from a slow compile without this marker."""
+    indistinguishable from a slow compile without this marker.
+
+    The first op is a scalar add — even a cold compile over the tunnel
+    completes in seconds — so after ``give_up_s`` the only plausible cause
+    is a dead tunnel, and a clean nonzero exit beats an unbounded hang in
+    the driver's bench step (a blocked XLA call cannot be interrupted from
+    Python, hence ``os._exit``)."""
+    import os
     import sys
 
     waited = 0
@@ -334,6 +341,15 @@ def _first_op_watchdog(done, interval=120):
             file=sys.stderr,
             flush=True,
         )
+        if waited >= give_up_s:
+            print(
+                f"bench: giving up after {waited}s — the TPU tunnel is "
+                "unresponsive (a trivial scalar op cannot take this long); "
+                "rerun when the accelerator is healthy",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(2)
 
 
 def main():
