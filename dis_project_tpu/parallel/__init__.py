@@ -1,7 +1,7 @@
 """Mesh-parallel execution: device meshes, sharded ensemble training,
 distributed Cholesky/MLL for beyond-HBM Gram matrices."""
 
-from dis_project_tpu.parallel.mesh import make_mesh, named
+from dis_project_tpu.parallel.mesh import make_hybrid_mesh, make_mesh, named
 from dis_project_tpu.parallel.sharding import (
     ensemble_shardings,
     fit_ensemble,
@@ -15,6 +15,7 @@ from dis_project_tpu.parallel.dist_cholesky import (
 )
 
 __all__ = [
+    "make_hybrid_mesh",
     "make_mesh",
     "named",
     "ensemble_shardings",

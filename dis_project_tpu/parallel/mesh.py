@@ -45,3 +45,58 @@ def make_mesh(
 
 def named(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
+
+
+def make_hybrid_mesh(
+    model_axis: Optional[int] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+    devices=None,
+    slice_id=None,
+) -> Mesh:
+    """Multi-slice (DCN-aware) 2-D mesh.
+
+    On a multi-slice TPU deployment the two mesh axes have very different
+    bandwidth underneath: intra-slice links (ICI) are an order of magnitude
+    faster than the data-center network (DCN) between slices. The framework's
+    communication pattern makes the right placement unambiguous:
+
+    - the ``"model"`` axis carries the factorisation's panel all-gathers
+      every step — it must stay INSIDE a slice (ICI);
+    - the ``"data"`` axis carries independent ensemble members — no
+      per-step communication at all — so it is the axis that may span
+      slices over DCN.
+
+    ``model_axis`` is the per-slice model-parallel degree (default: the
+    whole slice). Devices are grouped by ``slice_index`` (fallback 0 — a
+    single-slice or CPU environment degrades to :func:`make_mesh`
+    semantics), each slice is laid out topology-aware via
+    ``mesh_utils.create_device_mesh``, and slices are stacked along the
+    leading (data) axis so no model-axis collective ever crosses DCN.
+
+    ``slice_id`` (device -> hashable) exists for tests, where virtual CPU
+    devices carry no slice topology.
+    """
+    if len(axis_names) != 2:
+        raise ValueError(f"hybrid mesh is 2-D (data, model); got {axis_names}")
+    devices = list(devices) if devices is not None else jax.devices()
+    if slice_id is None:
+        slice_id = lambda d: getattr(d, "slice_index", None) or 0  # noqa: E731
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(slice_id(d), []).append(d)
+    sizes = {k: len(g) for k, g in groups.items()}
+    per_slice = next(iter(sizes.values()))
+    if any(s != per_slice for s in sizes.values()):
+        raise ValueError(f"uneven slices cannot form a mesh: {sizes}")
+    model = per_slice if model_axis is None else int(model_axis)
+    if model < 1 or per_slice % model:
+        raise ValueError(
+            f"model axis {model} does not divide the slice size {per_slice}"
+        )
+    blocks = [
+        mesh_utils.create_device_mesh(
+            (per_slice // model, model), devices=groups[k]
+        )
+        for k in sorted(groups, key=str)
+    ]
+    return Mesh(np.concatenate(blocks, axis=0), tuple(axis_names))

@@ -75,3 +75,70 @@ def test_ensemble_distinct_members():
     np.testing.assert_allclose(
         np.asarray(history[:, 3]), np.asarray(history[:, 0]), rtol=1e-10
     )
+
+
+class TestHybridMesh:
+    """DCN-aware mesh: the model axis must never cross a slice boundary
+    (its collectives are the per-step hot path and belong on ICI)."""
+
+    @staticmethod
+    def _fake_slices(n_slices):
+        # Virtual CPU devices carry no slice topology; partition them into
+        # equal fake slices by device id.
+        per = 8 // n_slices
+        return lambda d: d.id // per
+
+    def test_model_axis_stays_inside_a_slice(self):
+        from dis_project_tpu.parallel import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(
+            model_axis=2, slice_id=self._fake_slices(2)
+        )
+        assert mesh.shape == {"data": 4, "model": 2}
+        sid = self._fake_slices(2)
+        for row in mesh.devices:
+            assert len({sid(d) for d in row}) == 1
+
+    def test_default_model_axis_is_the_whole_slice(self):
+        from dis_project_tpu.parallel import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(slice_id=self._fake_slices(4))
+        assert mesh.shape == {"data": 4, "model": 2}
+        sid = self._fake_slices(4)
+        for row in mesh.devices:
+            assert len({sid(d) for d in row}) == 1
+
+    def test_single_slice_degrades_to_plain_mesh(self):
+        from dis_project_tpu.parallel import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(model_axis=4)  # CPU: slice_index absent -> 0
+        assert mesh.shape == {"data": 2, "model": 4}
+
+    def test_error_cases(self):
+        from dis_project_tpu.parallel import make_hybrid_mesh
+
+        with pytest.raises(ValueError, match="does not divide"):
+            make_hybrid_mesh(model_axis=3, slice_id=self._fake_slices(2))
+        with pytest.raises(ValueError, match="uneven"):
+            make_hybrid_mesh(slice_id=lambda d: 0 if d.id < 3 else 1)
+        with pytest.raises(ValueError, match="2-D"):
+            make_hybrid_mesh(axis_names=("data",))
+
+    def test_ensemble_fit_runs_on_hybrid_mesh(self):
+        """End-to-end: the SPMD ensemble trains over a hybrid mesh exactly
+        as over a plain one (same seeds, same losses)."""
+        from dis_project_tpu.parallel import make_hybrid_mesh
+
+        d0 = P53Data(replicate=0, source="synthetic")
+        X, y, _ = dataset_3d(d0)
+        model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+        p0 = simm.init_params(5)
+        y_batch = jnp.broadcast_to(y.reshape(1, -1), (4, y.size))
+
+        hybrid = make_hybrid_mesh(model_axis=2, slice_id=self._fake_slices(2))
+        plain = make_mesh((4, 2))
+        _, h_hybrid = fit_ensemble(model, p0, hybrid, X, y_batch, num_iters=5)
+        _, h_plain = fit_ensemble(model, p0, plain, X, y_batch, num_iters=5)
+        np.testing.assert_allclose(
+            np.asarray(h_hybrid), np.asarray(h_plain), rtol=1e-6
+        )
