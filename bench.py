@@ -318,49 +318,16 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
     }
 
 
-def _first_op_watchdog(done, interval=120, give_up_s=900):
-    """stderr heartbeat while the first device op is pending: a wedged
-    remote-TPU worker hangs even an 8x8 matmul in a fresh process
-    (observed r2), and a silent hang in the driver's bench run would be
-    indistinguishable from a slow compile without this marker.
-
-    The first op is a scalar add — even a cold compile over the tunnel
-    completes in seconds — so after ``give_up_s`` the only plausible cause
-    is a dead tunnel, and a clean nonzero exit beats an unbounded hang in
-    the driver's bench step (a blocked XLA call cannot be interrupted from
-    Python, hence ``os._exit``)."""
-    import os
-    import sys
-
-    waited = 0
-    while not done.wait(interval):
-        waited += interval
-        print(
-            f"bench: first device op still pending after {waited}s — "
-            "slow cold compile or an unresponsive TPU tunnel",
-            file=sys.stderr,
-            flush=True,
-        )
-        if waited >= give_up_s:
-            print(
-                f"bench: giving up after {waited}s — the TPU tunnel is "
-                "unresponsive (a trivial scalar op cannot take this long); "
-                "rerun when the accelerator is healthy",
-                file=sys.stderr,
-                flush=True,
-            )
-            os._exit(2)
-
-
 def main():
-    import threading
+    from dis_project_tpu.utils.watchdog import first_op_watchdog
 
-    done = threading.Event()
-    threading.Thread(
-        target=_first_op_watchdog, args=(done,), daemon=True
-    ).start()
-    float(jnp.ones(()) + 1.0)  # scalar fetch: actually blocks on the tunnel
-    done.set()
+    # The first op is a scalar add — even a cold compile over the tunnel
+    # completes in seconds — so past the bound the only plausible cause is
+    # a dead tunnel, and a clean rc=2 beats an unbounded hang in the
+    # driver's bench step.
+    with first_op_watchdog("bench", give_up_s=900):
+        # scalar fetch: actually blocks on the tunnel
+        float(jnp.ones(()) + 1.0)
 
     dtype = jnp.float32
     X, y, t = _build_problem(dtype)

@@ -74,11 +74,17 @@ def make_hybrid_mesh(
     leading (data) axis so no model-axis collective ever crosses DCN.
 
     ``slice_id`` (device -> hashable) exists for tests, where virtual CPU
-    devices carry no slice topology.
+    devices carry no slice topology. When the devices DO carry a real
+    ``slice_index`` (and no custom ``slice_id`` is given), assembly is
+    delegated to ``mesh_utils.create_hybrid_device_mesh`` — the upstream
+    implementation of exactly this placement.
     """
     if len(axis_names) != 2:
         raise ValueError(f"hybrid mesh is 2-D (data, model); got {axis_names}")
     devices = list(devices) if devices is not None else jax.devices()
+    real_topology = slice_id is None and all(
+        getattr(d, "slice_index", None) is not None for d in devices
+    )
     if slice_id is None:
         slice_id = lambda d: getattr(d, "slice_index", None) or 0  # noqa: E731
     groups: dict = {}
@@ -93,6 +99,14 @@ def make_hybrid_mesh(
         raise ValueError(
             f"model axis {model} does not divide the slice size {per_slice}"
         )
+    if real_topology:
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (per_slice // model, model), (len(groups), 1), devices
+        )
+        return Mesh(dev_array, tuple(axis_names))
+    # Injected slice ids (tests) or topology-less devices (CPU): the same
+    # placement by hand — per-slice topology-aware layout, slices stacked
+    # along the leading (data) axis.
     blocks = [
         mesh_utils.create_device_mesh(
             (per_slice // model, model), devices=groups[k]

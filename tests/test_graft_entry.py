@@ -22,6 +22,11 @@ def test_entry_loss_is_finite_and_jits():
 def test_dryrun_multichip_two_legs(capsys):
     """Both legs (ensemble step + distributed-Cholesky step) execute on a
     4-device virtual mesh and report finite losses."""
+    # Initialise backends FIRST: if this test runs before any other JAX op
+    # (selective invocation), _provision_devices(4) would otherwise repin
+    # jax_num_cpu_devices from conftest's 8 down to 4 for the whole
+    # process and break every 8-device mesh test that follows.
+    assert len(jax.devices()) >= 4
     graft.dryrun_multichip(4)
     out = capsys.readouterr().out
     assert "dryrun_multichip ok" in out
