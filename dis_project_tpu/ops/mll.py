@@ -94,7 +94,17 @@ def mvn_logpdf_centered(y_centered, sigma, impl: str = "xla"):
 
 
 def _mvn_fwd(y_centered, sigma, impl):
-    L = cholesky(sigma, impl)
+    dinvs = None
+    if impl == "blocked":
+        from dis_project_tpu.ops import pallas_cholesky as pc
+
+        # Save the per-column diagonal-block inverses the factoriser
+        # computes for its TRSM panels: the backward's full triangular
+        # inverse (tri_inv_from_diag) then skips its diagonal stage.
+        # Forward-only callers never materialise them (DCE).
+        L, dinvs = pc.blocked_cholesky(sigma, return_diag_inv=True)
+    else:
+        L = cholesky(sigma, impl)
     alpha = chol_solve(L, y_centered)
     n = y_centered.shape[0]
     logp = (
@@ -102,11 +112,11 @@ def _mvn_fwd(y_centered, sigma, impl):
         - jnp.sum(jnp.log(jnp.diagonal(L)))
         - 0.5 * n * LOG_2PI
     )
-    return logp, (L, alpha)
+    return logp, (L, alpha, dinvs)
 
 
 def _mvn_bwd(impl, res, g):
-    L, alpha = res
+    L, alpha, dinvs = res
     d_y = -g * alpha
     if _use_blocked_inv(L, impl):
         from dis_project_tpu.ops import pallas_cholesky as pc
@@ -121,7 +131,7 @@ def _mvn_bwd(impl, res, g):
         # the textbook g/2 (alpha alpha^T - Sigma^{-1}) — skipping the
         # dense mirror of Sigma^{-1} (~0.7 ms of VPU passes at N=8192; the
         # minimal-tile SYRK produces the lower triangle natively).
-        t = pc.inv_from_factor_tril(L)
+        t = pc.inv_from_factor_tril(L, diag_inv=dinvs)
         d_sigma = (0.5 * g) * jnp.outer(alpha, alpha) - g * t
         idx = jnp.arange(L.shape[0])
         d_sigma = d_sigma.at[idx, idx].add((0.5 * g) * jnp.diagonal(t))

@@ -315,6 +315,78 @@ def tri_inv_panels(L, *, panel: int = 2048, base: int = 256,
 
 
 @_f32_faithful
+def tri_inv_from_diag(L, dinvs, *, panel: int = 2048):
+    """``tril(L^{-1})`` given the per-block-column diagonal inverses from
+    :func:`blocked_cholesky(return_diag_inv=True) <blocked_cholesky>`.
+
+    The row-panel sweep of :func:`tri_inv_panels` with its diagonal stage
+    deleted: ``Li[i, :i] = -dinvs[i] @ (L[i, :i] @ Li[:i, :i])``, both
+    products triangle-aware.  The factoriser already inverted every
+    diagonal block for its TRSM panels, so recomputing them in the MLL
+    backward (the standalone :func:`tri_inv_panels` route) is pure waste —
+    this is the factor-reuse analogue of the custom-VJP MLL itself.
+
+    The sweep is cheapest at ``panel`` = 2048 on v5e (fewer, larger
+    sequential steps; the :func:`tri_inv_panels` tuning carries over), so
+    smaller factoriser blocks are first combined pairwise up to the panel
+    size — each level is ONE pair of batched triangle-aware matmuls over
+    all pairs (``[[Ai,0],[-Ci (B Ai), Ci]]``), far cheaper than the
+    from-scratch diagonal inverses it replaces.  A sweep run directly at
+    the factoriser's 1024 block measured 11.67 ms for the full
+    ``tril(Sigma^{-1})`` at N=8192 vs 11.42 for the standalone panels
+    route — the doubled step count ate the reuse; combining restores it.
+
+    Identity-padded tails (``nb * B > n``) reproduce the factoriser's
+    padding convention, so the slice-back is exact.
+    """
+    n = L.shape[0]
+    nb, block = dinvs.shape[0], dinvs.shape[1]
+    npad = nb * block
+    # identity-pad: chol(blkdiag(A, I)) = blkdiag(L, I), so the padded
+    # factor is exactly _pad_identity(L).
+    X = _pad_identity(L, npad) if npad != n else L
+    while block < panel and nb % 2 == 0 and nb > 1:
+        # Pairwise combine: dinv of [[A,0],[B,C]] is [[Ai,0],[-Ci(B Ai),Ci]]
+        # with Ai/Ci already in hand — batched over all nb/2 pairs.
+        Ai = dinvs[0::2]
+        Ci = dinvs[1::2]
+        Bo = jnp.stack(
+            [
+                X[
+                    (2 * p + 1) * block : (2 * p + 2) * block,
+                    2 * p * block : (2 * p + 1) * block,
+                ]
+                for p in range(nb // 2)
+            ]
+        )
+        X21 = -_mul_tril_dense(Ci, _mul_dense_tril(Bo, Ai))
+        top = jnp.concatenate([Ai, jnp.zeros_like(Ai)], axis=2)
+        bot = jnp.concatenate([X21, Ci], axis=2)
+        dinvs = jnp.concatenate([top, bot], axis=1)
+        block *= 2
+        nb //= 2
+    if nb == 1:
+        return dinvs[0][:n, :n]
+    rows = [dinvs[0]]  # row i: (block, (i+1)*block)
+    for i in range(1, nb):
+        off = i * block
+        top = jnp.concatenate(
+            [jnp.pad(r, ((0, 0), (0, off - r.shape[1]))) for r in rows]
+        )  # (off, off) — finished tril prefix of Li
+        Lrow = X[off : off + block, :off]
+        Xi = -_mul_tril_dense(
+            dinvs[i],
+            _mul_dense_tril(Lrow, top, base=max(block // 2, 256)),
+            base=max(block // 2, 256),
+        )
+        rows.append(jnp.concatenate([Xi, dinvs[i]], axis=1))
+    full = jnp.concatenate(
+        [jnp.pad(r, ((0, 0), (0, npad - r.shape[1]))) for r in rows]
+    )
+    return full[:n, :n] if npad != n else full
+
+
+@_f32_faithful
 def tri_inv(L, *, base: int = 256, leaf: str = "solve"):
     """Inverse of a lower-triangular matrix via bottom-up block doubling.
 
@@ -453,6 +525,7 @@ def blocked_cholesky(
     block: int | None = None,
     diag: str = "xla",
     matmul_dtype=None,
+    return_diag_inv: bool = False,
     interpret: bool = False,
 ):
     """Lower Cholesky factor of an SPD matrix, MXU-blocked, left-looking.
@@ -489,6 +562,14 @@ def blocked_cholesky(
     (v5e r2 sweep at N=8192 f32: 7.7 / 8.1 / 8.4 ms for block
     1024 / 512 / 2048; non-power-of-two blocks lose badly to padding),
     512 below (N=4096: 1.74 ms at 512 vs 2.02 at 1024).
+
+    ``return_diag_inv=True`` additionally returns the stacked per-column
+    diagonal-block inverses ``dinvs[k] = L[kB:(k+1)B, kB:(k+1)B]^{-1}``
+    (shape ``(nb, B, B)``, padded-tail blocks are identity).  The TRSM
+    panels compute these anyway; the custom-VJP MLL saves them as
+    residuals so the backward pass's full triangular inverse
+    (:func:`tri_inv_from_diag`) can skip re-inverting every diagonal
+    block.  Unused outputs are DCE'd, so forward-only callers pay nothing.
     """
     n = a.shape[0]
     if block is None:
@@ -499,16 +580,22 @@ def blocked_cholesky(
         diag = "xla"  # VMEM kernel is f32-only and sub-blocked at 128
     if n <= block:
         if diag == "pallas_inv" and n % _SUB == 0:
-            return jnp.tril(chol_inv_unblocked(a, interpret=interpret)[0])
+            L, linv = chol_inv_unblocked(a, interpret=interpret)
+            L = jnp.tril(L)
+            return (L, linv[None]) if return_diag_inv else L
         if diag == "pallas_inv":
             diag = "xla"
-        return jnp.tril(_diag_chol(a, diag, interpret))
+        L = jnp.tril(_diag_chol(a, diag, interpret))
+        if return_diag_inv:
+            return L, tri_inv(L, base=min(block, 256))[None]
+        return L
     nb = -(-n // block)
     npad = nb * block
     A = _pad_identity(a, npad) if npad != n else a
 
     acc = A.dtype
     cols = []  # col j: (npad - j*block, block) — rows j*block and below
+    dinvs = []
     for k in range(nb):
         off = k * block
         col = A[off:, off : off + block]  # (m, B) — original A content
@@ -528,15 +615,18 @@ def blocked_cholesky(
                 # products here made the real dense10k Schur complements
                 # indefinite (NaN factor) — 3-pass is the correctness floor.
                 col = col - left @ left[:block].T
+        linv = None
         if diag == "pallas_inv":
             lkk, linv = chol_inv_unblocked(col[:block], interpret=interpret)
         else:
             lkk = jnp.tril(_diag_chol(col[:block], diag, interpret))
-        if off + block < npad:
-            if diag == "pallas_inv":
-                linv_t = linv.T
-            else:
-                linv_t = tri_inv(lkk, base=min(block, 256)).T
+        last = off + block >= npad
+        if linv is None and (not last or return_diag_inv):
+            linv = tri_inv(lkk, base=min(block, 256))
+        if return_diag_inv:
+            dinvs.append(linv)
+        if not last:
+            linv_t = linv.T
             panel = col[block:]
             if matmul_dtype is not None:
                 panel = panel.astype(matmul_dtype)
@@ -555,7 +645,10 @@ def blocked_cholesky(
         for j, c in enumerate(cols)
     ]
     L = jnp.concatenate(full, axis=1)
-    return L[:n, :n] if npad != n else L
+    L = L[:n, :n] if npad != n else L
+    if return_diag_inv:
+        return L, jnp.stack(dinvs)
+    return L
 
 
 # The single-program kernel holds ~4 (B, B) f32 buffers in VMEM (in, out,
@@ -645,6 +738,16 @@ def _syrk_kernel(i_arr, j_arr, k_arr, a_ref, b_ref, o_ref):
     module-wide mandatory ``BF16_BF16_F32_X3`` matmul precision (see
     ``MATMUL_PRECISION``), expressed explicitly because the kernel runs
     outside XLA's precision machinery.
+
+    .. note:: losing experiment (r2): hoisting the hi/lo decomposition out
+       of the kernel as four precomputed bf16 operand streams is both
+       SLOWER (5.45 vs 5.12 ms at N=8192/tile=512 — the bf16 streams halve
+       per-step DMA bytes but the kernel is MXU-bound, not DMA-bound) and
+       WRONG: outside Mosaic, XLA's excess-precision simplification
+       collapses the ``f32 -> bf16 -> f32`` round-trip, so the ``lo``
+       stream silently loses its content (measured 3.0e-4 rel error vs
+       3.1e-6 for the in-kernel split on the same operand).  The
+       decomposition must stay inside the kernel.
     """
     s = pl.program_id(0)
     first = k_arr[s] == i_arr[s]
@@ -780,7 +883,7 @@ def inv_from_factor(L, *, block: int = DEFAULT_BLOCK):
 
 
 @_f32_faithful
-def inv_from_factor_tril(L, *, block: int = DEFAULT_BLOCK):
+def inv_from_factor_tril(L, *, block: int = DEFAULT_BLOCK, diag_inv=None):
     """``tril(Σ^{-1})`` (diagonal included) from the Cholesky factor.
 
     Same dispatch as :func:`inv_from_factor` minus the mirror: on the TPU
@@ -788,11 +891,20 @@ def inv_from_factor_tril(L, *, block: int = DEFAULT_BLOCK):
     natively, so this is strictly cheaper; elsewhere it is a ``tril`` of
     the recursive product (the small-N / f64 oracle paths, where the extra
     VPU pass is irrelevant).
+
+    ``diag_inv`` (the stacked per-column diagonal inverses from
+    ``blocked_cholesky(return_diag_inv=True)``) routes the triangular
+    inverse through :func:`tri_inv_from_diag`, skipping the diagonal-stage
+    re-inversion — the MLL-backward factor-reuse path.
     """
     if L.dtype == jnp.float32 and L.shape[0] > 2048:
-        Li = tri_inv_panels(L)
+        Li = tri_inv_from_diag(L, diag_inv) if diag_inv is not None \
+            else tri_inv_panels(L)
         if _syrk_backend():
             return syrk_ltl_tril(Li)
         return jnp.tril(_tril_t_tril(Li))
-    Li = tri_inv(L, base=min(block, 256))
+    if diag_inv is not None:
+        Li = tri_inv_from_diag(L, diag_inv)
+    else:
+        Li = tri_inv(L, base=min(block, 256))
     return jnp.tril(_tril_t_tril(Li))

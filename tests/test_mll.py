@@ -71,6 +71,28 @@ def test_mvn_logpdf_grads_match_pure_ad():
     np.testing.assert_allclose(sym1, sym2, rtol=1e-8, atol=1e-10)
 
 
+def test_blocked_impl_value_and_grad_match_xla():
+    """impl='blocked' (blocked factoriser + diag-inverse-reuse backward,
+    the TPU f32 hot path's structure run here on CPU f64) must agree with
+    impl='xla' in value and in the symmetrised Sigma cotangent."""
+    n = 300  # non-multiple of the 512 default block via explicit block=128
+    rng = np.random.default_rng(7)
+    sigma = _random_spd(n, 7)
+    y = jnp.asarray(rng.normal(size=n))
+
+    def f(s_flat, impl):
+        return mll_ops.mvn_logpdf(y, jnp.zeros(n), s_flat.reshape(n, n), impl)
+
+    v1, g1 = jax.value_and_grad(f)(sigma.reshape(-1), "blocked")
+    v2, g2 = jax.value_and_grad(f)(sigma.reshape(-1), "xla")
+    assert float(v1) == pytest.approx(float(v2), rel=1e-12)
+    s1 = np.asarray(g1.reshape(n, n))
+    s2 = np.asarray(g2.reshape(n, n))
+    np.testing.assert_allclose(
+        0.5 * (s1 + s1.T), 0.5 * (s2 + s2.T), rtol=1e-8, atol=1e-10
+    )
+
+
 def test_hyperparameter_grads_match_finite_differences():
     """End-to-end: d(-MLL)/d(raw params) via the custom VJP vs central FD."""
     data = P53Data(replicate=0, source="synthetic")

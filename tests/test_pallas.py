@@ -268,6 +268,24 @@ class TestBlockedCholesky:
             err = float(jnp.max(jnp.abs(Li @ L - eye)))
             assert err < 1e-4, err
 
+    @pytest.mark.parametrize("n", [300, 512, 1000])
+    def test_diag_inverse_reuse(self, n):
+        """blocked_cholesky(return_diag_inv=True) + tri_inv_from_diag —
+        the MLL-backward factor-reuse path — must agree with the plain
+        factoriser and the standalone triangular inverse, including on
+        identity-padded (non-multiple-of-block) sizes."""
+        A = self._spd(n)
+        L, dinvs = pc.blocked_cholesky(A, block=128, return_diag_inv=True)
+        L2 = pc.blocked_cholesky(A, block=128)
+        np.testing.assert_array_equal(np.asarray(L), np.asarray(L2))
+        assert dinvs.shape == (-(-n // 128), 128, 128)
+        Li = pc.tri_inv_from_diag(L, dinvs)
+        ref = np.tril(np.linalg.inv(np.asarray(jnp.tril(L), np.float64)))
+        np.testing.assert_allclose(np.asarray(Li), ref, atol=1e-9)
+        t = pc.inv_from_factor_tril(L, diag_inv=dinvs)
+        tref = np.tril(np.linalg.inv(np.asarray(A, np.float64)))
+        np.testing.assert_allclose(np.asarray(t), tref, atol=1e-9)
+
     @pytest.mark.parametrize("sb", [3, 100, 200])
     def test_doubling_inverse_non_power_of_two(self, sb):
         """r2 review finding: the doubling step count only covered the
