@@ -106,7 +106,13 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch-size", type=int, default=d.batch_size)
     parser.add_argument("--num-epochs", type=int, default=d.num_epochs)
     parser.add_argument("--mll-engine", default=d.mll_engine,
-                        choices=["cholesky", "cg"])
+                        choices=["cholesky", "cg", "dist"],
+                        help="dense-preset O(N^3) engine: 'cholesky' "
+                        "(single-device blocked factoriser), 'cg' "
+                        "(matmul-only BBMM/Lanczos), 'dist' (row-sharded "
+                        "GSPMD Cholesky over ALL visible devices — the "
+                        "beyond-HBM path, exercised on a 1-device mesh "
+                        "when only one chip is visible)")
     parser.add_argument("--ensemble", action="store_true",
                         help="p53-replicates: per-replicate model ensemble "
                         "as one SPMD mesh program")

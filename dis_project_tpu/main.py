@@ -629,8 +629,13 @@ def run_dense(config: cfg.RunConfig):
         on_tpu_f32 = (
             jax.default_backend() not in ("cpu", "gpu") and not config.x64
         )
-        engine = "row Gram" if on_tpu_f32 else "gridded Gram"
-        print(f"Training (full-batch exact MLL, Cholesky engine, {engine})...")
+        if config.mll_engine == "dist":
+            engine = (f"distributed Cholesky, "
+                      f"{jax.device_count()}-device mesh")
+        else:
+            engine = ("row Gram" if on_tpu_f32 else "gridded Gram") \
+                + ", Cholesky engine"
+        print(f"Training (full-batch exact MLL, {engine})...")
         timepoints = jnp.asarray(data.timepoints, X.dtype)
         raw0 = simm.unconstrain_jit(simm.init_params(scfg.num_genes, dtype=X.dtype))
         optimizer = optax.adam(config.learning_rate)
@@ -646,7 +651,37 @@ def run_dense(config: cfg.RunConfig):
         n_segs = max(1, -(-config.num_iters // 50))
         seg_q, seg_r = divmod(config.num_iters, n_segs)
 
-        if on_tpu_f32:
+        if config.mll_engine == "dist":
+            # Mesh-distributed exact MLL (parallel.dist_cholesky): the Gram
+            # is row-sharded P("model", None) over a 1-D mesh of every
+            # visible device and the factorisation runs as one GSPMD
+            # program — the beyond-HBM dense path (SURVEY §2d mesh row),
+            # driven from the CLI. On the single tunnelled chip this is a
+            # 1-device mesh (same code path, degenerate collectives); the
+            # tests exercise it on the 8-device virtual CPU mesh.
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from dis_project_tpu.ops import gram as gram_ops
+            from dis_project_tpu.ops import mll as mll_ops
+            from dis_project_tpu.parallel import dist_cholesky as dc
+
+            mesh = Mesh(np.asarray(jax.devices()), ("model",))
+            spec = NamedSharding(mesh, P("model", None))
+            blk = 1024 if X.shape[0] >= 4096 else 128
+
+            def objective(r):
+                p = simm.constrain(r)
+                K = gram_ops.gram(X, p.decay, p.sensitivity, p.lengthscale)
+                K = jax.lax.with_sharding_constraint(K, spec)
+                sigma = mll_ops.add_diagonal(
+                    K, model.jitter + p.obs_stddev**2
+                )
+                mx = model.mean_function(p, X)
+                return -dc.sharded_mvn_logpdf(
+                    y, mx, sigma, mesh, "model", block=blk
+                )
+
+        elif on_tpu_f32:
             objective = lambda r: -model.mll(simm.constrain(r), X, y)
         else:
             objective = lambda r: -model.mll_gridded(
@@ -878,10 +913,10 @@ def run_sparse(config: cfg.RunConfig):
     return res
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     cfg.add_cli_args(parser)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     config = cfg.config_from_args(args)
     # Unsupported flag combinations fail loudly rather than silently
     # running a different experiment than the flags describe.
@@ -894,6 +929,13 @@ def main():
         )
     if config.ensemble and config.preset != "p53-replicates":
         raise SystemExit("--ensemble requires --preset p53-replicates")
+    if config.mll_engine != "cholesky" and (
+        config.preset != "dense10k" or config.model == "simm2"
+    ):
+        raise SystemExit(
+            f"--mll-engine {config.mll_engine} is only supported by the "
+            "first-order dense10k route (--preset dense10k --model simm)"
+        )
 
     if config.preset == "alfi-parity":
         run_alfi_parity(config)

@@ -143,6 +143,38 @@ class TestPipelineEntry:
         )
         entry.run_dense(c)
 
+    def test_dense_route_dist_engine_smoke(self, tmp_path):
+        """run_dense with --mll-engine dist: the row-sharded GSPMD
+        Cholesky MLL over the 8-device virtual mesh as the training
+        objective (N=288 > the 128 leaf block, so the factorisation
+        actually shards)."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=4,
+            synth_genes=4,
+            synth_timepoints=72,
+            mll_engine="dist",
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+
+    def test_mll_engine_guard(self):
+        """--mll-engine beyond 'cholesky' must fail loudly outside the
+        first-order dense10k route."""
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        with pytest.raises(SystemExit, match="mll-engine"):
+            entry.main(["--preset", "p53", "--mll-engine", "dist"])
+        with pytest.raises(SystemExit, match="mll-engine"):
+            entry.main(
+                ["--preset", "dense10k", "--model", "simm2",
+                 "--mll-engine", "cg"]
+            )
+
     def test_sparse_route_smoke(self, tmp_path):
         """run_sparse end-to-end at toy scale (the sparse100k preset's
         code path: SVI minibatch loop, latent recovery plot)."""
