@@ -1,7 +1,9 @@
-"""Model families: exact SIMM (first-order ODE), second-order, variational."""
+"""Model families: exact SIMM (first-order ODE), multi-force, second-order,
+variational."""
 
 from dis_project_tpu.models.base import Gaussian
-from dis_project_tpu.models import simm2, svlfm
+from dis_project_tpu.models import multisimm, simm2, svlfm
+from dis_project_tpu.models.multisimm import ExactMultiSIMM, MultiSIMMParams
 from dis_project_tpu.models.simm2 import SecondOrderSIMM, SIMM2Params
 from dis_project_tpu.models.svlfm import SparseSIMM, SVLFMParams
 from dis_project_tpu.models.simm import (
@@ -16,8 +18,11 @@ from dis_project_tpu.models.simm import (
 
 __all__ = [
     "Gaussian",
+    "multisimm",
     "simm2",
     "svlfm",
+    "ExactMultiSIMM",
+    "MultiSIMMParams",
     "SecondOrderSIMM",
     "SIMM2Params",
     "SparseSIMM",
