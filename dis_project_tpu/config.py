@@ -25,7 +25,10 @@ class RunConfig:
     #   sparse100k   — synthetic N=1e5 sparse variational run (config 5)
     preset: str = "p53"
     # model family: simm (first-order exact) | simm2 (second-order exact)
+    # | multisimm (first-order exact with R independent latent forces)
     model: str = "simm"
+    # multisimm route: number of latent forces
+    num_forces: int = 2
     # data
     replicate: Optional[int] = 0  # None = all three replicates
     selected_genes: Optional[Sequence[str]] = None
@@ -92,8 +95,13 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         choices=["p53", "p53-replicates", "alfi-parity",
                                  "dense10k", "sparse100k"],
                         help="one of the five BASELINE configs")
-    parser.add_argument("--model", default=d.model, choices=["simm", "simm2"],
-                        help="model family: first- or second-order ODE LFM")
+    parser.add_argument("--model", default=d.model,
+                        choices=["simm", "simm2", "multisimm"],
+                        help="model family: first-order, second-order, or "
+                        "multi-force first-order ODE LFM")
+    parser.add_argument("--num-forces", type=int, default=d.num_forces,
+                        help="multisimm route: number of independent "
+                        f"latent forces (default {d.num_forces})")
     # Default None so presets can pick their own shape: sparse100k alone
     # must reproduce BASELINE config 5 (100x1000 -> N=1e5; ADVICE r1).
     parser.add_argument("--synth-genes", type=int, default=None,
@@ -160,6 +168,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     return RunConfig(
         preset=args.preset,
         model=args.model,
+        num_forces=args.num_forces,
         synth_genes=(
             args.synth_genes
             if args.synth_genes is not None

@@ -420,6 +420,93 @@ def run_second_order(config: cfg.RunConfig):
     return params, hist
 
 
+def run_multiforce(config: cfg.RunConfig):
+    """Multi-force exact SIMM on the p53 data — the ``--model multisimm``
+    route. New model family beyond the reference (R independent latent
+    forces, per-gene-per-force sensitivities; ``models/multisimm.py``)."""
+    # Fail-loudly policy: this route has its own compact fit loop and does
+    # not implement these flags — reject rather than silently ignore.
+    for flag, name in (
+        (config.checkpoint_dir, "--checkpoint-dir"),
+        (config.resume, "--resume"),
+        (config.metrics_path, "--metrics-path"),
+        (not config.fix_params, "--no-fix-params"),
+        (config.track_parameters, "--track-parameters"),
+        (config.shared_kinetics, "--shared-kinetics"),
+        (config.optimizer != "adam", "--optimizer " + config.optimizer),
+    ):
+        if flag:
+            raise SystemExit(
+                f"{name} is not supported by the --model multisimm route"
+            )
+    if config.num_forces < 1:
+        raise SystemExit("--num-forces must be >= 1")
+
+    _setup_backend(config)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dis_project_tpu.data.dataset import P53Data, train_arrays
+    from dis_project_tpu.models import multisimm
+    from dis_project_tpu.reporting import plotter
+
+    data = P53Data(
+        replicate=config.replicate,
+        data_dir=config.data_dir,
+        selected_genes=config.selected_genes,
+        source=config.data_source,
+        seed=config.seed,
+    )
+    X, y, var = train_arrays(data)
+    R = config.num_forces
+    model = multisimm.ExactMultiSIMM(
+        num_genes=data.num_genes, num_forces=R, jitter=config.exact_jitter
+    )
+    print(f"Training {R}-force exact SIMM...")
+    t0 = time.perf_counter()
+    params, hist = multisimm.fit(
+        model,
+        multisimm.init_params(data.num_genes, R),
+        X,
+        y,
+        num_iters=config.num_iters,
+        learning_rate=config.learning_rate,
+    )
+    final = _final_loss(hist)
+    print(f"Trained {config.num_iters} iters in {time.perf_counter() - t0:.2f}s "
+          f"(final loss {final:.6f})")
+
+    print("\nlengthscales:",
+          [round(float(l), 4) for l in params.lengthscale])
+    header = "Gene       Basal     Decay     " + "  ".join(
+        f"S[f{r}]   " for r in range(R)
+    )
+    print(header)
+    for i, g in enumerate(data.gene_names):
+        srow = "  ".join(
+            f"{float(params.sensitivity[i, r]):<8.4f}" for r in range(R)
+        )
+        print(f"{g:<10} {float(params.basal[i]):<9.4f} "
+              f"{float(params.decay[i]):<9.4f} {srow}")
+
+    t_lin = jnp.linspace(0.0, 13.0, 100)
+    for r in range(R):
+        rows = multisimm.force_rows(t_lin, r, X.dtype)
+        post = jax.jit(model.latent_predict)(params, rows, X, y, var)
+        plotter.plot_lf(
+            rows,
+            post,
+            y_scatter=data.f_observed,
+            scatter_times=data.timepoints,
+            title=f"force {r}",
+            save_name=(config.save_name or "multiforce") + f"_f{r}",
+            out_dir=config.out_dir,
+        )
+    print(f"Per-force latent plots saved under {config.out_dir}/")
+    return params, hist
+
+
 def run_alfi_parity(config: cfg.RunConfig):
     """Cross-framework validation run (BASELINE config 3): train the JAX
     stack and the independent torch stack on the same data and report
@@ -927,6 +1014,11 @@ def main(argv=None):
             f"--model simm2 is not supported with --preset {config.preset} "
             "(second-order routes: the default preset, dense10k, sparse100k)"
         )
+    if config.model == "multisimm" and config.preset != "p53":
+        raise SystemExit(
+            f"--model multisimm is not supported with --preset "
+            f"{config.preset} (multi-force route: the default preset only)"
+        )
     if config.ensemble and config.preset != "p53-replicates":
         raise SystemExit("--ensemble requires --preset p53-replicates")
     if config.mll_engine != "cholesky" and (
@@ -946,6 +1038,8 @@ def main(argv=None):
         run_sparse(config)
     elif config.model == "simm2":
         run_second_order(config)
+    elif config.model == "multisimm":
+        run_multiforce(config)
     elif config.preset == "p53-replicates":
         if config.ensemble:
             run_replicate_ensemble(config)

@@ -160,6 +160,40 @@ class TestPipelineEntry:
         )
         entry.run_dense(c)
 
+    def test_multiforce_route_smoke(self, tmp_path):
+        """run_multiforce end-to-end at toy scale: 2-force fit on the
+        p53-shaped synthetic data, per-force latent plots written."""
+        import os
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            model="multisimm",
+            num_forces=2,
+            data_source="synthetic",
+            num_iters=8,
+            out_dir=str(tmp_path / "plots"),
+        )
+        params, hist = entry.run_multiforce(c)
+        assert params.sensitivity.shape == (5, 2)
+        for r in range(2):
+            assert os.path.exists(
+                str(tmp_path / "plots" / f"lf_multiforce_f{r}.png")
+            )
+
+    def test_multiforce_guards(self):
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        with pytest.raises(SystemExit, match="multisimm"):
+            entry.main(["--model", "multisimm", "--preset", "dense10k"])
+        with pytest.raises(SystemExit, match="num-forces"):
+            entry.run_multiforce(
+                cfg.RunConfig(model="multisimm", num_forces=0,
+                              data_source="synthetic")
+            )
+
     def test_mll_engine_guard(self):
         """--mll-engine beyond 'cholesky' must fail loudly outside the
         first-order dense10k route."""
