@@ -73,10 +73,16 @@ class SVLFMParams(NamedTuple):
 
 
 def _kinetics_bijectors(kinetics):
+    from dis_project_tpu.models.multisimm import (
+        MULTISIMM_BIJECTORS,
+        MultiSIMMParams,
+    )
     from dis_project_tpu.models.simm2 import SIMM2_BIJECTORS, SIMM2Params
 
     if isinstance(kinetics, SIMM2Params):
         return SIMM2_BIJECTORS
+    if isinstance(kinetics, MultiSIMMParams):
+        return MULTISIMM_BIJECTORS
     return SIMM_BIJECTORS
 
 
@@ -86,20 +92,36 @@ def init_params(
     t_max: float = 12.0,
     dtype=None,
     order: int = 1,
+    num_forces: int = 1,
 ) -> SVLFMParams:
     """Reference kinetic inits + identity whitened posterior, inducing
     times uniform over [0, t_max]. ``order=2`` selects spring-damper
-    kinetics (SIMM2Params)."""
+    kinetics (SIMM2Params); ``num_forces > 1`` selects the multi-force
+    first-order family (MultiSIMMParams kinetics; the inducing variables
+    become the R stacked force evaluations u = [f_1(z); ...; f_R(z)],
+    so the whitened posterior is (R*M)-dimensional over a shared z grid).
+    """
     dtype = dtype or default_float()
-    if order == 2:
+    if num_forces > 1:
+        if order != 1:
+            raise ValueError("num_forces > 1 requires order=1")
+        from dis_project_tpu.models.multisimm import init_params as kin_init
+
+        kinetics = kin_init(num_genes, num_forces, dtype)
+    elif order == 2:
         from dis_project_tpu.models.simm2 import init_params as kin_init
+
+        kinetics = kin_init(num_genes, dtype)
     else:
         from dis_project_tpu.models.simm import init_params as kin_init
+
+        kinetics = kin_init(num_genes, dtype)
+    m_total = num_inducing * num_forces
     return SVLFMParams(
-        kinetics=kin_init(num_genes, dtype),
+        kinetics=kinetics,
         z=jnp.linspace(0.0, t_max, num_inducing, dtype=dtype),
-        q_mu=jnp.zeros((num_inducing,), dtype),
-        q_sqrt=jnp.eye(num_inducing, dtype=dtype),
+        q_mu=jnp.zeros((m_total,), dtype),
+        q_sqrt=jnp.eye(m_total, dtype=dtype),
     )
 
 
@@ -143,12 +165,23 @@ class SparseSIMM:
     (``SIMMParams`` kinetics), 2 = spring-damper (``SIMM2Params``) — the
     variational machinery is identical, only the cross/auto covariances
     and the steady-state mean change (all resolved at trace time).
+
+    ``num_forces > 1`` (order 1 only, ``MultiSIMMParams`` kinetics)
+    stacks the inducing variables over R independent latent forces on a
+    shared z grid: ``Kuu`` is block-diagonal over forces,
+    ``K_{u,x}`` sums nothing (each inducing block projects through its
+    own force's ``S[:, r] k_xf(l_r)``), and the prior variance on
+    expression rows sums the per-force contributions — everything
+    downstream (whitened bound, collapsed bound, predicts) is unchanged.
+    Latent rows carry the FORCE index in the gene column (the
+    ``models.multisimm`` row convention).
     """
 
     num_genes: int = 5
     num_inducing: int = 64
     jitter: float = 1e-6
     order: int = 1
+    num_forces: int = 1
 
     # -- shared pieces ------------------------------------------------------
 
@@ -164,14 +197,26 @@ class SparseSIMM:
     def _luu(self, params: SVLFMParams):
         z = params.z
         ell = params.kinetics.lengthscale
-        Kuu = lfk.k_ff_consistent_block(z, z, ell)
+        if self.num_forces > 1:
+            # Independent forces: Kuu is block-diagonal over the R force
+            # blocks, each the consistent RBF at its own lengthscale.
+            Kuu = jax.scipy.linalg.block_diag(
+                *[
+                    lfk.k_ff_consistent_block(z, z, ell[r])
+                    for r in range(self.num_forces)
+                ]
+            )
+        else:
+            Kuu = lfk.k_ff_consistent_block(z, z, ell)
         # The RBF Kuu is near-low-rank (a handful of effective degrees of
         # freedom across [0, t_max]); in f32 its kernel-build error alone
         # pushes the tiny eigenvalues negative, so the jitter floor must
         # scale with the working precision or the factorisation NaNs the
         # moment the inducing points leave a perfectly uniform grid.
         floor = 1e-4 if z.dtype == jnp.float32 else self.jitter
-        Kuu = Kuu + max(self.jitter, floor) * jnp.eye(z.shape[0], dtype=z.dtype)
+        Kuu = Kuu + max(self.jitter, floor) * jnp.eye(
+            Kuu.shape[0], dtype=z.dtype
+        )
         return jnp.linalg.cholesky(Kuu)
 
     def _proj(self, params: SVLFMParams, luu, x: jnp.ndarray):
@@ -180,10 +225,34 @@ class SparseSIMM:
         (expression rows use k_xf, force rows use k_ff)."""
         k = params.kinetics
         t = x[:, 0]
-        g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
+        raw_g = x[:, 1].astype(jnp.int32)
+        g = jnp.clip(raw_g, 0, self.num_genes - 1)
         flag = x[:, 2]
         s = k.sensitivity[g]
         # (B, M): gene rows vs inducing times / force rows vs inducing times
+        if self.num_forces > 1:
+            # One (B, M) block per force: expression rows project through
+            # that force's S[:, r] k_xf(l_r); latent rows (gene column =
+            # force index) hit only their own force's block.
+            fidx = jnp.clip(raw_g, 0, self.num_forces - 1)
+            blocks = []
+            for r in range(self.num_forces):
+                kxu_r = lfk.k_xf(
+                    t[:, None], params.z[None, :], k.decay[g][:, None],
+                    s[:, r][:, None], k.lengthscale[r],
+                )
+                kfu_r = (fidx == r).astype(t.dtype)[
+                    :, None
+                ] * lfk.k_ff_consistent(
+                    t[:, None], params.z[None, :], k.lengthscale[r]
+                )
+                blocks.append(
+                    flag[:, None] * kxu_r + (1.0 - flag[:, None]) * kfu_r
+                )
+            Kxu = jnp.concatenate(blocks, axis=1)  # (B, R*M)
+            return jax.scipy.linalg.solve_triangular(
+                luu, Kxu.T, lower=True
+            )  # (R*M, B)
         if self.order == 2:
             from dis_project_tpu.ops import lfm_kernels2 as lfk2
 
@@ -207,7 +276,14 @@ class SparseSIMM:
         g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
         flag = x[:, 2]
         s = k.sensitivity[g]
-        if self.order == 2:
+        if self.num_forces > 1:
+            d = k.decay[g]
+            one = jnp.ones((), t.dtype)
+            vxx = sum(
+                s[:, r] ** 2 * lfk.k_xx(t, t, d, d, one, one, k.lengthscale[r])
+                for r in range(self.num_forces)
+            )
+        elif self.order == 2:
             from dis_project_tpu.ops import lfm_kernels2 as lfk2
 
             vxx = lfk2.k_xx2(
@@ -330,10 +406,22 @@ class SparseSIMM:
 
     # -- prediction ---------------------------------------------------------
 
-    def latent_predict(self, params: SVLFMParams, t_grid: jnp.ndarray) -> Gaussian:
-        """q(f*) on force rows at ``t_grid`` (diagonal covariance)."""
+    def latent_predict(
+        self, params: SVLFMParams, t_grid: jnp.ndarray, force: int = 0
+    ) -> Gaussian:
+        """q(f*) on force rows at ``t_grid`` (diagonal covariance).
+
+        ``force`` selects which latent force when ``num_forces > 1``
+        (latent rows carry the force index in the gene column); with one
+        force it is a no-op (the single-force convention's -1 clips to 0).
+        """
         rows = jnp.stack(
-            [t_grid, -jnp.ones_like(t_grid), jnp.zeros_like(t_grid)], axis=-1
+            [
+                t_grid,
+                jnp.full_like(t_grid, force),
+                jnp.zeros_like(t_grid),
+            ],
+            axis=-1,
         )
         mean, var = self._marginals(params, rows)
         return Gaussian(mean=mean, cov=jnp.diag(var))

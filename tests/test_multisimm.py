@@ -209,6 +209,103 @@ class TestJointPriorRecovery:
         assert abs(cross) < 0.9
 
 
+class TestSparseMultiForce:
+    """Multi-force sparse variational path (SparseSIMM(num_forces=R))."""
+
+    def _sim(self, rng, G=6, T=30, M=50):
+        t = jnp.asarray(np.linspace(0.0, 12.0, T))
+        grid = jnp.asarray(np.linspace(0.0, 12.0, M))
+        pm = MultiSIMMParams(
+            basal=jnp.asarray(rng.uniform(0.01, 0.08, G)),
+            sensitivity=jnp.asarray(rng.uniform(0.4, 1.4, (G, 2))),
+            decay=jnp.asarray(rng.uniform(0.3, 0.9, G)),
+            lengthscale=jnp.asarray([1.0, 3.0]),
+            obs_stddev=jnp.asarray(0.05),
+        )
+        dense = ExactMultiSIMM(num_genes=G, num_forces=2, jitter=1e-8)
+        times = jnp.tile(t, G)
+        genes = jnp.repeat(jnp.arange(G, dtype=t.dtype), T)
+        X = jnp.stack([times, genes, jnp.ones_like(times)], axis=-1)
+        rows = jnp.concatenate(
+            [X, force_rows(grid, 0, t.dtype), force_rows(grid, 1, t.dtype)]
+        )
+        joint = dense.gram(pm, rows)
+        joint = joint + 1e-8 * jnp.eye(joint.shape[0], dtype=joint.dtype)
+        z = np.linalg.cholesky(np.asarray(joint)) @ rng.standard_normal(
+            joint.shape[0]
+        )
+        sample = np.asarray(dense.mean_function(pm, rows)) + z
+        n = G * T
+        y = jnp.asarray(sample[:n] + 0.05 * rng.standard_normal(n))
+        var = jnp.full((n,), 0.05**2)
+        return pm, dense, X, y, var, grid, [sample[n : n + 50], sample[n + 50 :]]
+
+    def test_single_force_reduction(self):
+        """num_forces=1 must reproduce the existing sparse path exactly."""
+        from dis_project_tpu.models import svlfm
+
+        X, y, var, _ = _p53_arrays()
+        p1 = svlfm.init_params(5, 16)
+        old = svlfm.SparseSIMM(num_genes=5, num_inducing=16)
+        new = svlfm.SparseSIMM(num_genes=5, num_inducing=16, num_forces=1)
+        e_old = float(old.collapsed_elbo(p1, X, y, var))
+        e_new = float(new.collapsed_elbo(p1, X, y, var))
+        assert e_new == pytest.approx(e_old, rel=1e-12)
+
+    def test_collapsed_bound_and_tightness(self):
+        """Titsias bound <= exact multi-force MLL (like-for-like noise);
+        dense inducing grid makes it tight."""
+        from dis_project_tpu.models import svlfm
+
+        rng = np.random.default_rng(5)
+        pm, dense, X, y, var, grid, _ = self._sim(rng, G=4, T=16, M=50)
+        # Like-for-like: exact MLL with per-point variances folded into
+        # the noise so both sides use identical likelihoods.
+        K = dense.gram(pm, X)
+        from dis_project_tpu.ops import mll as mll_ops
+
+        sigma = mll_ops.add_diagonal(K, var + pm.obs_stddev**2)
+        exact = float(
+            mll_ops.mvn_logpdf(y, dense.mean_function(pm, X), sigma)
+        )
+        # NOTE: unlike standard SoR, z = the data times does NOT make the
+        # bound exact here — expression is a linear FUNCTIONAL of the
+        # whole force path, so Q_ff < K_ff for any finite z (measured gap
+        # 4.3 nats at M=16). A dense z grid shrinks the gap instead.
+        M = 64
+        sp = svlfm.SparseSIMM(
+            num_genes=4, num_inducing=M, num_forces=2, jitter=1e-10
+        )
+        params = svlfm.SVLFMParams(
+            kinetics=pm,
+            z=jnp.asarray(np.linspace(0.0, 12.0, M)),
+            q_mu=jnp.zeros(2 * M),
+            q_sqrt=jnp.eye(2 * M),
+        )
+        bound = float(sp.collapsed_elbo(params, X, y, var))
+        assert bound <= exact + 1e-6
+        assert bound > exact - 1.0, (bound, exact)
+
+    def test_two_force_recovery_sparse(self):
+        """Collapsed-optimal q at TRUE hypers recovers both forces."""
+        from dis_project_tpu.models import svlfm
+
+        rng = np.random.default_rng(6)
+        pm, dense, X, y, var, grid, f_true = self._sim(rng)
+        sp = svlfm.SparseSIMM(num_genes=6, num_inducing=24, num_forces=2)
+        params = svlfm.SVLFMParams(
+            kinetics=pm,
+            z=jnp.asarray(np.linspace(0.0, 12.0, 24)),
+            q_mu=jnp.zeros(48),
+            q_sqrt=jnp.eye(48),
+        )
+        params = sp.optimal_q(params, X, y, var)
+        for r in range(2):
+            post = sp.latent_predict(params, grid, force=r)
+            corr = np.corrcoef(np.asarray(post.mean), f_true[r])[0, 1]
+            assert corr > 0.9, f"force {r}: corr {corr:.3f}"
+
+
 def test_fit_smoke():
     """Short multi-force training run: loss decreases, params stay finite."""
     X, y, var, _ = _p53_arrays()
