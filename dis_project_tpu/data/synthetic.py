@@ -317,6 +317,83 @@ def generate_ode(
     )
 
 
+def generate_ode_multi(
+    key,
+    cfg: Optional[SyntheticConfig] = None,
+    num_forces: int = 2,
+    oversample: int = 16,
+    lengthscales=None,
+    dtype=None,
+) -> SyntheticLFMData:
+    r"""Multi-force quadrature oracle: R independent RBF forces, each gene
+    mixing them through its own (G, R) sensitivities:
+
+    .. math:: x_j(t) = \frac{B_j}{D_j} + e^{-D_j t}
+        \int_0^t e^{D_j u} \sum_r S_{jr} f_r(u)\,du
+
+    The per-gene *mixed* force ``g_j = S_j \cdot f`` enters the same
+    trapezoid quadrature as :func:`generate_ode` (forces enter linearly).
+    ``lengthscales`` defaults to ``linspace(1.0, 3.0, R)`` — distinct
+    timescales so the forces are identifiable from expression alone.
+    ``f_true`` is returned with shape (R, T).
+    """
+    cfg = cfg or SyntheticConfig()
+    dtype = dtype or default_float()
+    R = num_forces
+    if lengthscales is None:
+        lengthscales = np.linspace(1.0, 3.0, R) if R > 1 else [cfg.lengthscale]
+    lengthscales = np.asarray(lengthscales, np.float64)
+    kp, ks2, kf, kn = jax.random.split(key, 4)
+    params = _sample_kinetics(kp, cfg, dtype)
+    G, T, Rep = cfg.num_genes, cfg.num_timepoints, cfg.num_replicates
+    lo, hi = cfg.sensitivity_range
+    sens = jax.random.uniform(ks2, (G, R), dtype, lo, hi)
+    params = dict(params)
+    params["sensitivity"] = sens
+    params["lengthscale"] = jnp.asarray(lengthscales, dtype)
+
+    n_fine = (T - 1) * oversample + 1
+    t_fine = np.linspace(0.0, cfg.t_max, n_fine)
+    # R independent force draws (host f64 — see generate_ode).
+    eps = np.asarray(
+        jax.random.normal(kf, (R, n_fine), jnp.float32), np.float64
+    )
+    f_fine = np.zeros((R, n_fine))
+    dist2 = (t_fine[:, None] - t_fine[None, :]) ** 2
+    for r in range(R):
+        Kff = np.exp(-dist2 / lengthscales[r] ** 2)
+        f_fine[r] = np.linalg.cholesky(Kff + 1e-8 * np.eye(n_fine)) @ eps[r]
+
+    dt = t_fine[1] - t_fine[0]
+    d = np.asarray(params["decay"], np.float64)
+    s = np.asarray(sens, np.float64)
+    b = np.asarray(params["basal"], np.float64)
+
+    mixed = s @ f_fine  # (G, F): per-gene mixed force
+    integrand = np.exp(d[:, None] * t_fine[None, :]) * mixed
+    steps = 0.5 * dt * (integrand[:, 1:] + integrand[:, :-1])
+    cumint = np.concatenate(
+        [np.zeros((G, 1)), np.cumsum(steps, axis=1)], axis=1
+    )
+    x_fine = (b / d)[:, None] + np.exp(-d[:, None] * t_fine[None, :]) * cumint
+
+    x = x_fine[:, ::oversample]  # (G, T)
+    f_true = jnp.asarray(f_fine[:, ::oversample], dtype)  # (R, T)
+
+    noise = cfg.noise_std * np.asarray(
+        jax.random.normal(kn, (Rep, G, T), jnp.float32), np.float64
+    )
+    expressions = jnp.asarray(x[None, :, :] + noise, dtype)
+    variances = jnp.full((Rep, G, T), cfg.noise_std**2, dtype)
+    return SyntheticLFMData(
+        jnp.linspace(0.0, cfg.t_max, T, dtype=dtype),
+        expressions,
+        variances,
+        params,
+        f_true,
+    )
+
+
 def generate_ode2(
     key,
     cfg: Optional[SyntheticConfig] = None,

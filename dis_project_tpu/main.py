@@ -923,12 +923,20 @@ def run_sparse(config: cfg.RunConfig):
         noise_std=0.1,
     )
     order = 2 if config.model == "simm2" else 1
-    print(f"Sampling synthetic order-{order} ODE dataset via quadrature: "
+    n_forces = config.num_forces if config.model == "multisimm" else 1
+    kind = (f"{n_forces}-force order-1" if n_forces > 1
+            else f"order-{order}")
+    print(f"Sampling synthetic {kind} ODE dataset via quadrature: "
           f"{scfg.num_genes} x {scfg.num_timepoints} (N={scfg.n_points})...")
     # The ODE-integrator path scales to N=1e5 (no N x N output Gram to
     # sample); oversample=4 keeps the fine-grid force Cholesky tractable
     # at 1000 output timepoints while holding quadrature error ~1e-4.
-    if order == 2:
+    if n_forces > 1:
+        data = synthetic.generate_ode_multi(
+            jax.random.PRNGKey(config.seed), scfg, num_forces=n_forces,
+            oversample=4,
+        )
+    elif order == 2:
         data = synthetic.generate_ode2(
             jax.random.PRNGKey(config.seed), scfg, oversample=4
         )
@@ -946,9 +954,11 @@ def run_sparse(config: cfg.RunConfig):
         num_inducing=config.num_inducing,
         jitter=sparse_jitter,
         order=order,
+        num_forces=n_forces,
     )
     params = svlfm.init_params(scfg.num_genes, config.num_inducing,
-                               t_max=scfg.t_max, dtype=X.dtype, order=order)
+                               t_max=scfg.t_max, dtype=X.dtype, order=order,
+                               num_forces=n_forces)
     print(f"Training SVI: {config.num_epochs} epochs, batch "
           f"{config.batch_size}, M={config.num_inducing} inducing points...")
     t0 = time.perf_counter()
@@ -975,22 +985,57 @@ def run_sparse(config: cfg.RunConfig):
 
     t_grid = jnp.asarray(np.linspace(0.0, scfg.t_max, scfg.num_timepoints),
                          X.dtype)
-    # jit: eager complex ops (order-2 kernels) are unimplemented on the
-    # TPU backend; the compiled graph lowers them to real pairs.
-    post = jax.jit(model.latent_predict)(res.params, t_grid)
-    corr = float(np.corrcoef(np.asarray(post.mean),
-                             np.asarray(data.f_true))[0, 1])
-    print(f"Latent-force recovery correlation vs generating force: {corr:.3f}")
     from dis_project_tpu.reporting import plotter
 
-    plotter.plot_lf(
-        jnp.stack([t_grid, -jnp.ones_like(t_grid), jnp.zeros_like(t_grid)], -1),
-        post,
-        y_scatter=np.asarray(data.f_true).reshape(1, 1, -1),
-        scatter_times=data.timepoints,
-        save_name=config.save_name or "sparse_lf",
-        out_dir=config.out_dir,
-    )
+    if n_forces > 1:
+        # Per-force recovery: match each posterior force to its best true
+        # force by |corr| (the ELBO is invariant to force relabeling).
+        f_true = np.asarray(data.f_true)  # (R, T)
+        posts = [
+            jax.jit(model.latent_predict, static_argnames=("force",))(
+                res.params, t_grid, force=r
+            )
+            for r in range(n_forces)
+        ]
+        for r, post in enumerate(posts):
+            cors = [
+                float(np.corrcoef(np.asarray(post.mean), f_true[j])[0, 1])
+                for j in range(n_forces)
+            ]
+            best = int(np.argmax(np.abs(cors)))
+            print(f"Latent force {r} recovery: corr {cors[best]:+.3f} "
+                  f"(vs generating force {best})")
+            plotter.plot_lf(
+                jnp.stack(
+                    [t_grid, jnp.full_like(t_grid, r),
+                     jnp.zeros_like(t_grid)], -1
+                ),
+                post,
+                y_scatter=np.sign(cors[best]) * f_true[best],
+                scatter_times=data.timepoints,
+                title=f"force {r}",
+                save_name=(config.save_name or "sparse_lf") + f"_f{r}",
+                out_dir=config.out_dir,
+            )
+        corr = None
+    else:
+        # jit: eager complex ops (order-2 kernels) are unimplemented on the
+        # TPU backend; the compiled graph lowers them to real pairs.
+        post = jax.jit(model.latent_predict)(res.params, t_grid)
+        corr = float(np.corrcoef(np.asarray(post.mean),
+                                 np.asarray(data.f_true))[0, 1])
+        print(f"Latent-force recovery correlation vs generating force: "
+              f"{corr:.3f}")
+        plotter.plot_lf(
+            jnp.stack(
+                [t_grid, -jnp.ones_like(t_grid), jnp.zeros_like(t_grid)], -1
+            ),
+            post,
+            y_scatter=np.asarray(data.f_true).reshape(1, 1, -1),
+            scatter_times=data.timepoints,
+            save_name=config.save_name or "sparse_lf",
+            out_dir=config.out_dir,
+        )
     print(f"Latent-force recovery plot saved under {config.out_dir}/")
     if config.metrics_path:
         with open(config.metrics_path, "w") as f:
@@ -1014,10 +1059,13 @@ def main(argv=None):
             f"--model simm2 is not supported with --preset {config.preset} "
             "(second-order routes: the default preset, dense10k, sparse100k)"
         )
-    if config.model == "multisimm" and config.preset != "p53":
+    if config.model == "multisimm" and config.preset not in (
+        "p53", "sparse100k"
+    ):
         raise SystemExit(
             f"--model multisimm is not supported with --preset "
-            f"{config.preset} (multi-force route: the default preset only)"
+            f"{config.preset} (multi-force routes: the default preset "
+            "and sparse100k)"
         )
     if config.ensemble and config.preset != "p53-replicates":
         raise SystemExit("--ensemble requires --preset p53-replicates")

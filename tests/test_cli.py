@@ -194,6 +194,31 @@ class TestPipelineEntry:
                               data_source="synthetic")
             )
 
+    def test_sparse_multiforce_route_smoke(self, tmp_path):
+        """run_sparse with --model multisimm: multi-force quadrature data,
+        stacked-inducing SVI, per-force recovery plots."""
+        import os
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            preset="sparse100k",
+            model="multisimm",
+            num_forces=2,
+            data_source="synthetic",
+            synth_genes=4,
+            synth_timepoints=24,
+            num_inducing=8,
+            batch_size=32,
+            num_epochs=2,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_sparse(c)
+        for r in range(2):
+            assert os.path.exists(
+                str(tmp_path / "plots" / f"lf_sparse_lf_f{r}.png")
+            )
+
     def test_mll_engine_guard(self):
         """--mll-engine beyond 'cholesky' must fail loudly outside the
         first-order dense10k route."""
