@@ -60,6 +60,9 @@ class RunConfig:
     fix_params: bool = True
     num_steps_per_epoch: int = 1000
     track_parameters: bool = False
+    # canonical route: HMC posterior draws over the hyperparameters after
+    # training (0 = off); seeds the chain at the trained point
+    posterior_samples: int = 0
     # precision
     x64: bool = True
     # backend: None = auto (x64 parity runs go to CPU — TPUs emulate f64
@@ -148,6 +151,12 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         "(ablation; implies --no-fix-params)")
     parser.add_argument("--steps-per-epoch", type=int, default=d.num_steps_per_epoch)
     parser.add_argument("--track-parameters", action="store_true")
+    parser.add_argument("--posterior-samples", type=int,
+                        default=d.posterior_samples,
+                        help="after training, draw this many HMC posterior "
+                        "samples over the hyperparameters (exact-MLL "
+                        "likelihood, flat prior in constrained space) and "
+                        "report credible intervals for the kinetics")
     parser.add_argument("--no-x64", action="store_true",
                         help="run in f32 (TPU-native precision)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
@@ -206,6 +215,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         fix_params=not args.no_fix_params,
         num_steps_per_epoch=args.steps_per_epoch,
         track_parameters=args.track_parameters,
+        posterior_samples=args.posterior_samples,
         x64=not args.no_x64,
         platform=args.platform,
         out_dir=args.out_dir,

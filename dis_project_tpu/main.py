@@ -227,6 +227,54 @@ def run(config: cfg.RunConfig):
     plotter.plot_comparison(
         result.params, data, save_name=config.save_name, out_dir=config.out_dir
     )
+    if config.posterior_samples > 0:
+        # Full-Bayes kinetics (beyond the reference's point estimates;
+        # Lawrence et al. report parameter uncertainty): HMC over the
+        # hyperparameters, exact-MLL likelihood, flat prior in constrained
+        # space, chain seeded at the trained point.
+        import numpy as np
+
+        from dis_project_tpu.training import hmc
+
+        n_draws = config.posterior_samples
+        print(f"Sampling hyperparameter posterior: {n_draws} HMC draws "
+              f"({n_draws} warmup)...")
+        t0 = time.perf_counter()
+        post = hmc.kinetics_posterior(
+            model, result.params, X, y, jax.random.PRNGKey(config.seed + 7),
+            num_warmup=n_draws, num_samples=n_draws,
+        )
+        jax.block_until_ready(post.log_probs)
+        print(f"Sampled in {time.perf_counter() - t0:.2f}s "
+              f"(accept rate {float(post.accept_rate):.2f}, "
+              f"step size {float(post.step_size):.4f})")
+        print(
+            "NOTE: the posterior is over the UNCLAMPED model — the p21 "
+            "identifiability clamp is a point constraint the full "
+            "posterior does not impose, so scale-coupled parameters "
+            "(S x force amplitude, and decays through them) show the "
+            "broad/shifted intervals the clamp exists to resolve."
+        )
+        print("\nPosterior kinetics (mean +/- std [5%, 95%]):")
+        for key in ("basal", "sensitivity", "decay"):
+            vals = np.asarray(getattr(post.samples, key))
+            if vals.ndim == 1:
+                vals = vals[:, None]
+            for g, name in enumerate(data.gene_names[: vals.shape[1]]):
+                lo, hi = np.percentile(vals[:, g], [5, 95])
+                print(f"  {key[:4]:<5} {name:<10} "
+                      f"{vals[:, g].mean():.4f} +/- {vals[:, g].std():.4f} "
+                      f"[{lo:.4f}, {hi:.4f}]")
+        plotter.plot_posterior_kinetics(
+            {
+                "basal": np.asarray(post.samples.basal),
+                "sensitivity": np.asarray(post.samples.sensitivity),
+                "decay": np.asarray(post.samples.decay),
+            },
+            data,
+            save_name=config.save_name,
+            out_dir=config.out_dir,
+        )
     if config.track_parameters and result.param_trace is not None:
         # The parameter trace gets a first-class consumer (VERDICT r1 #8):
         # per-step constrained-kinetics trajectories.

@@ -32,6 +32,12 @@ class Bijector:
     def inverse(self, y):
         raise NotImplementedError
 
+    def log_det_grad(self, x):
+        """Elementwise ``log |d forward / dx|`` — the change-of-variables
+        term for densities moved between the two spaces (used by the HMC
+        hyperparameter posterior, ``training.hmc``)."""
+        raise NotImplementedError
+
 
 @dataclasses.dataclass(frozen=True)
 class Identity(Bijector):
@@ -40,6 +46,9 @@ class Identity(Bijector):
 
     def inverse(self, y):
         return y
+
+    def log_det_grad(self, x):
+        return jnp.zeros_like(x)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +61,10 @@ class Softplus(Bijector):
     def inverse(self, y):
         # Stable softplus-inverse; valid for y > 0.
         return y + jnp.log(-jnp.expm1(-y))
+
+    def log_det_grad(self, x):
+        # d softplus / dx = sigmoid(x); log sigmoid(x) = -softplus(-x).
+        return -jnp.logaddexp(-x, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +80,14 @@ class SigmoidBounded(Bijector):
     def inverse(self, y):
         z = (y - self.low) / (self.high - self.low)
         return jnp.log(z) - jnp.log1p(-z)
+
+    def log_det_grad(self, x):
+        # d/dx = (high - low) * sigmoid(x) * sigmoid(-x).
+        return (
+            jnp.log(self.high - self.low)
+            - jnp.logaddexp(x, 0.0)
+            - jnp.logaddexp(-x, 0.0)
+        )
 
 
 def constrain(raw: Any, bijectors: Any) -> Any:
@@ -91,3 +112,16 @@ def unconstrain(params: Any, bijectors: Any) -> Any:
         params,
         is_leaf=lambda n: isinstance(n, Bijector),
     )
+
+
+def constrain_log_det(raw: Any, bijectors: Any):
+    """``log |d constrain(raw) / d raw|`` summed over every leaf element —
+    the Jacobian correction that makes a flat prior in CONSTRAINED space
+    into the matching unconstrained-space density (``training.hmc``)."""
+    per_leaf = jax.tree.map(
+        lambda b, x: jnp.sum(b.log_det_grad(x)),
+        bijectors,
+        raw,
+        is_leaf=lambda n: isinstance(n, Bijector),
+    )
+    return jax.tree.reduce(lambda a, b: a + b, per_leaf)

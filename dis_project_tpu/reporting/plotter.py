@@ -214,6 +214,61 @@ def plot_param_trace(
     return fig
 
 
+def plot_posterior_kinetics(
+    samples,
+    data,
+    save: bool = True,
+    save_name: Optional[str] = None,
+    out_dir: str = "plots",
+):
+    """Posterior histograms of the kinetic parameters (HMC draws) with the
+    Barenco measured values overlaid — the full-Bayes counterpart of the
+    point-estimate kinetics comparison chart.
+
+    ``samples``: dict with keys ``basal`` / ``sensitivity`` / ``decay``,
+    each (draws, G).
+    """
+    plt = _plt()
+    b_true, s_true, d_true = data.params_ground_truth()
+    truths = {"basal": b_true, "sensitivity": s_true, "decay": d_true}
+    titles = ["Basal rates", "Sensitivities", "Decay rates"]
+    keys = ["basal", "sensitivity", "decay"]
+    G = len(data.gene_names)
+
+    fig, axes = plt.subplots(
+        3, G, figsize=(1.8 * G, 5.2), dpi=150, squeeze=False
+    )
+    for row, (key, title) in enumerate(zip(keys, titles)):
+        vals = np.asarray(samples[key])
+        if vals.ndim == 1:
+            vals = vals[:, None]
+        for g in range(G):
+            ax = axes[row][g]
+            ax.hist(vals[:, g], bins=30, density=True, alpha=0.75)
+            t = np.asarray(truths[key]).ravel()
+            if g < t.shape[0]:
+                ax.axvline(t[g], color="k", linestyle="--", linewidth=1,
+                           label="measured")
+            if row == 0:
+                ax.set_title(data.gene_names[g], fontsize="small")
+            if g == 0:
+                ax.set_ylabel(title, fontsize="small")
+            ax.set_yticks([])
+            ax.tick_params(labelsize="x-small")
+    axes[0][0].legend(fontsize="x-small")
+    fig.tight_layout()
+    if save:
+        name = (
+            f"posterior_kinetics_{save_name}.png"
+            if save_name
+            else "posterior_kinetics.png"
+        )
+        path = save_plot(fig, name, out_dir)
+        plt.close(fig)
+        return path
+    return fig
+
+
 def _dedupe_legend(ax):
     handles, labels = ax.get_legend_handles_labels()
     by_label = dict(zip(labels, handles))

@@ -12,6 +12,13 @@ from dis_project_tpu.training.trainer import (
     fit,
     fit_checkpointed,
 )
-from dis_project_tpu.training import svtrainer
+from dis_project_tpu.training import hmc, svtrainer
 
-__all__ = ["TrainConfig", "TrainResult", "fit", "fit_checkpointed", "svtrainer"]
+__all__ = [
+    "TrainConfig",
+    "TrainResult",
+    "fit",
+    "fit_checkpointed",
+    "hmc",
+    "svtrainer",
+]

@@ -72,6 +72,13 @@ SLOW_NODEID_PATTERNS = (
     "test_trainer.py::test_lbfgs_path",
     "test_trainer.py::test_gridded_fit_matches_row_fit",
     "test_cli.py::TestPipelineEntry::test_clamp_follows_p21_index_in_subsets",
+    # HMC posterior (r2): chains are hundreds of MLL evaluations each
+    "test_hmc.py",
+    "test_cli.py::TestPipelineEntry::test_posterior_samples_smoke",
+    # multi-force (r2): joint-prior draws + sparse bounds at size
+    "test_multisimm.py::TestJointPriorRecovery",
+    "test_multisimm.py::TestSparseMultiForce",
+    "test_cli.py::TestPipelineEntry::test_sparse_multiforce_route_smoke",
 )
 
 

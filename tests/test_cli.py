@@ -181,6 +181,24 @@ class TestPipelineEntry:
                 str(tmp_path / "plots" / f"lf_multiforce_f{r}.png")
             )
 
+    def test_posterior_samples_smoke(self, tmp_path):
+        """--posterior-samples: HMC kinetics posterior after training,
+        credible-interval table + histogram grid artifact."""
+        import os
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=10,
+            posterior_samples=20,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run(c)
+        assert os.path.exists(
+            str(tmp_path / "plots" / "posterior_kinetics.png")
+        )
+
     def test_multiforce_guards(self):
         import pytest
 
