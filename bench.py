@@ -38,12 +38,15 @@ import jax.numpy as jnp
 import optax
 
 
-def _accelerator_responsive(timeout_s=300):
+def _probe_backend(timeout_s=300):
     """Probe the default accelerator in a SUBPROCESS: a wedged remote-TPU
     tunnel hangs even a scalar op indefinitely and a blocked XLA call
     cannot be interrupted in-process, so the health check must be killable.
     A healthy tunnel answers a fresh-process scalar matmul well inside the
-    bound (cold compile ~20-40 s)."""
+    bound (cold compile ~20-40 s). Returns the effective backend platform
+    string (e.g. "tpu", "cpu") on success, or None if the probe hung or
+    failed — the CALLER must distinguish "responsive" from "not CPU"
+    (a CPU-default host answers the probe happily)."""
     import subprocess
     import sys
 
@@ -54,14 +57,17 @@ def _accelerator_responsive(timeout_s=300):
                 "-c",
                 "import jax, jax.numpy as jnp\n"
                 "x = jnp.ones((8, 8))\n"
-                "print(float((x @ x).sum()))\n",
+                "float((x @ x).sum())\n"
+                "print(jax.default_backend())\n",
             ],
             capture_output=True,
             timeout=timeout_s,
         )
-        return proc.returncode == 0
+        if proc.returncode != 0:
+            return None
+        return proc.stdout.decode().strip().splitlines()[-1]
     except subprocess.TimeoutExpired:
-        return False
+        return None
 
 
 def _setup_platform():
@@ -80,12 +86,23 @@ def _setup_platform():
     main._setup_backend)."""
     import sys
 
-    if _accelerator_responsive():
-        try:
-            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        except Exception:
-            pass
+    backend = _probe_backend()
+    if backend is not None:
+        # Enable the persistent cache only when the effective backend is
+        # an accelerator: a CPU-default host (JAX_PLATFORMS=cpu, or no TPU
+        # plugin) answers the probe too, and caching CPU executables from
+        # the remote-compile service is exactly the SIGILL hazard the
+        # docstring forbids.
+        if backend != "cpu":
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir", "/tmp/jax_bench_cache"
+                )
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0
+                )
+            except Exception:
+                pass
         return None
     print(
         "bench: default accelerator unresponsive (dead TPU tunnel?) — "

@@ -539,9 +539,13 @@ def run_multiforce(config: cfg.RunConfig):
               f"{float(params.decay[i]):<9.4f} {srow}")
 
     t_lin = jnp.linspace(0.0, 13.0, 100)
+    # One jit wrapper for all forces: the traced program is identical
+    # across r (the force index is row data, not a static arg), so a
+    # per-force jax.jit(...) would recompile R times for nothing.
+    predict = jax.jit(model.latent_predict)
     for r in range(R):
         rows = multisimm.force_rows(t_lin, r, X.dtype)
-        post = jax.jit(model.latent_predict)(params, rows, X, y, var)
+        post = predict(params, rows, X, y, var)
         plotter.plot_lf(
             rows,
             post,
@@ -1036,8 +1040,11 @@ def run_sparse(config: cfg.RunConfig):
     from dis_project_tpu.reporting import plotter
 
     if n_forces > 1:
-        # Per-force recovery: match each posterior force to its best true
-        # force by |corr| (the ELBO is invariant to force relabeling).
+        # Per-force recovery: match posterior forces to true forces by
+        # |corr| under a UNIQUE (greedy, best-first) assignment — the ELBO
+        # is invariant to force relabeling, but independent per-force
+        # argmax could map two posterior forces onto the SAME truth when
+        # recovery is partial, overstating it.
         f_true = np.asarray(data.f_true)  # (R, T)
         posts = [
             jax.jit(model.latent_predict, static_argnames=("force",))(
@@ -1045,12 +1052,23 @@ def run_sparse(config: cfg.RunConfig):
             )
             for r in range(n_forces)
         ]
+        cors_mat = np.array([
+            [float(np.corrcoef(np.asarray(post.mean), f_true[j])[0, 1])
+             for j in range(n_forces)]
+            for post in posts
+        ])
+        match = {}
+        taken = set()
+        for r, j in sorted(
+            ((r, j) for r in range(n_forces) for j in range(n_forces)),
+            key=lambda rj: -abs(cors_mat[rj]),
+        ):
+            if r not in match and j not in taken:
+                match[r] = j
+                taken.add(j)
         for r, post in enumerate(posts):
-            cors = [
-                float(np.corrcoef(np.asarray(post.mean), f_true[j])[0, 1])
-                for j in range(n_forces)
-            ]
-            best = int(np.argmax(np.abs(cors)))
+            best = match[r]
+            cors = cors_mat[r]
             print(f"Latent force {r} recovery: corr {cors[best]:+.3f} "
                   f"(vs generating force {best})")
             plotter.plot_lf(
@@ -1123,6 +1141,16 @@ def main(argv=None):
         raise SystemExit(
             f"--mll-engine {config.mll_engine} is only supported by the "
             "first-order dense10k route (--preset dense10k --model simm)"
+        )
+    if config.posterior_samples and (
+        config.preset in ("alfi-parity", "dense10k", "sparse100k")
+        or config.model in ("simm2", "multisimm")
+        or config.ensemble
+    ):
+        raise SystemExit(
+            "--posterior-samples is only supported on the exact "
+            "first-order p53 routes (the default preset, and "
+            "--preset p53-replicates without --ensemble)"
         )
 
     if config.preset == "alfi-parity":

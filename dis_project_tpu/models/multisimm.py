@@ -89,18 +89,23 @@ def init_params(
     """Single-force-consistent inits (B=0.05, S=1.0, D=0.4, obs=1.0).
 
     Lengthscales are spread symmetrically around the reference's 2.5
-    (`2.5 + 0.5*(r - (R-1)/2)`) so distinct forces start distinguishable —
+    (`2.5 + s*(r - (R-1)/2)`) so distinct forces start distinguishable —
     with two identical lengthscales the prior is exchangeable in the
     forces and the MLL surface has a permutation symmetry the optimiser
-    cannot break. R = 1 gives exactly [2.5].
+    cannot break. R = 1 gives exactly [2.5]; R <= 4 uses s = 0.5. The
+    spread shrinks for larger R so every init stays strictly INSIDE the
+    SigmoidBounded(0.5, 3.5) support — on the bound the unconstraining
+    transform is inf, beyond it NaN, and either silently NaNs the whole
+    fit.
     """
     dtype = dtype or default_float()
     r = jnp.arange(num_forces, dtype=dtype)
+    spread = min(0.5, 1.8 / max(num_forces - 1, 1))  # max offset 0.9
     return MultiSIMMParams(
         basal=jnp.full((num_genes,), 0.05, dtype),
         sensitivity=jnp.full((num_genes, num_forces), 1.0, dtype),
         decay=jnp.full((num_genes,), 0.4, dtype),
-        lengthscale=2.5 + 0.5 * (r - (num_forces - 1) / 2.0),
+        lengthscale=2.5 + spread * (r - (num_forces - 1) / 2.0),
         obs_stddev=jnp.asarray(1.0, dtype),
     )
 

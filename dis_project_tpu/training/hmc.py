@@ -13,13 +13,21 @@ Pure JAX (no TFP/blackjax in this environment): standard HMC with
 
 - a fixed-length leapfrog integrator,
 - dual-averaging step-size adaptation (Hoffman & Gelman 2014, Alg. 5)
-  targeting ``target_accept`` during warmup,
-- a diagonal mass matrix estimated by Welford over the second half of
-  warmup,
+  targeting ``target_accept``, run in TWO warmup windows Stan-style: a
+  long window under the identity mass (which also collects the Welford
+  variance estimate over its second half), then a short window that
+  RE-TUNES the step size under the estimated mass — the leapfrog drift is
+  ``eps * inv_mass * p``, so a step size tuned under the identity mass is
+  wrong by up to the largest posterior variance once the mass switches,
+- a diagonal mass matrix from the Welford estimate,
 
-with warmup and sampling each ONE ``lax.scan`` program (TPU-compilable
-end-to-end; the per-step work is the same Gram + blocked-Cholesky MLL the
-trainer runs).
+with each warmup window and the sampling phase ONE ``lax.scan`` program
+(TPU-compilable end-to-end; the per-step work is the same Gram +
+blocked-Cholesky MLL the trainer runs). The scans carry
+``(q, logp(q), grad(q))`` so every leapfrog inner step costs exactly one
+``value_and_grad`` MLL evaluation (the custom-VJP MLL shares the Cholesky
+factor between value and gradient) — no re-evaluation of the current
+state's density or gradient anywhere.
 """
 
 from __future__ import annotations
@@ -43,20 +51,22 @@ class HMCResult(NamedTuple):
     log_probs: jnp.ndarray
 
 
-def _leapfrog(grad_fn, q, p, eps, inv_mass, num_steps):
-    """Fixed-length leapfrog; returns (q', p', grad(q'))."""
+def _leapfrog(vg_fn, q, p, logp, g, eps, inv_mass, num_steps):
+    """Fixed-length leapfrog from a state whose (logp, grad) are already
+    known; returns (q', p', logp', grad'). One ``value_and_grad``
+    evaluation per inner step — the only density work in the sampler."""
 
     def body(carry, _):
-        q, p, g = carry
+        q, p, _, g = carry
         p = p + 0.5 * eps * g
         q = q + eps * inv_mass * p
-        g = grad_fn(q)
+        v, g = vg_fn(q)
         p = p + 0.5 * eps * g
-        return (q, p, g), None
+        return (q, p, v, g), None
 
-    (q, p, g), _ = jax.lax.scan(body, (q, p, grad_fn(q)), None,
-                                length=num_steps)
-    return q, p, g
+    (q, p, v, g), _ = jax.lax.scan(body, (q, p, logp, g), None,
+                                   length=num_steps)
+    return q, p, v, g
 
 
 def sample(
@@ -83,80 +93,112 @@ def sample(
     def logp_flat(q):
         return logdensity_fn(unravel(q))
 
-    grad_fn = jax.grad(logp_flat)
-    value_fn = logp_flat
+    vg_fn = jax.value_and_grad(logp_flat)
 
-    def hmc_step(q, key, eps, inv_mass):
+    def hmc_step(q, logp, g, key, eps, inv_mass):
         k_mom, k_acc = jax.random.split(key)
         # momentum ~ N(0, M) with M = 1 / inv_mass (diagonal).
         p = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
-        q_new, p_new, _ = _leapfrog(grad_fn, q, p, eps, inv_mass,
-                                    num_leapfrog)
-        h_old = -value_fn(q) + 0.5 * jnp.sum(inv_mass * p * p)
-        h_new = -value_fn(q_new) + 0.5 * jnp.sum(inv_mass * p_new * p_new)
+        q_new, p_new, logp_new, g_new = _leapfrog(
+            vg_fn, q, p, logp, g, eps, inv_mass, num_leapfrog
+        )
+        h_old = -logp + 0.5 * jnp.sum(inv_mass * p * p)
+        h_new = -logp_new + 0.5 * jnp.sum(inv_mass * p_new * p_new)
         log_accept = jnp.where(
             jnp.isfinite(h_new), jnp.minimum(0.0, h_old - h_new), -jnp.inf
         )
         accept = jnp.log(jax.random.uniform(k_acc, (), dtype)) < log_accept
         q = jnp.where(accept, q_new, q)
-        return q, jnp.exp(log_accept)
+        logp = jnp.where(accept, logp_new, logp)
+        g = jnp.where(accept, g_new, g)
+        return q, logp, g, jnp.exp(log_accept)
 
-    # -- warmup: dual averaging + Welford mass (second half) ---------------
-    mu = jnp.log(10.0 * jnp.asarray(initial_step_size, dtype))
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    def warmup_step(carry, inp):
-        q, log_eps, log_eps_bar, h_bar, w_mean, w_m2, w_n, inv_mass = carry
-        i, key = inp
-        q, alpha = hmc_step(q, key, jnp.exp(log_eps), inv_mass)
-        # dual averaging on the acceptance statistic
-        m = i + 1.0
-        h_bar = (1.0 - 1.0 / (m + t0)) * h_bar + (
-            target_accept - alpha
-        ) / (m + t0)
-        log_eps = mu - jnp.sqrt(m) / gamma * h_bar
-        w = m ** (-kappa)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        # Welford variance accumulation over the second half of warmup.
-        in_window = i >= num_warmup // 2
-        w_n2 = w_n + jnp.where(in_window, 1.0, 0.0)
-        delta = q - w_mean
-        w_mean = w_mean + jnp.where(in_window, delta / jnp.maximum(w_n2, 1.0),
-                                    0.0)
-        w_m2 = w_m2 + jnp.where(in_window, delta * (q - w_mean), 0.0)
-        return (q, log_eps, log_eps_bar, h_bar, w_mean, w_m2, w_n2,
-                inv_mass), alpha
+    def dual_avg_window(state, keys, inv_mass, eps0, welford_from):
+        """One dual-averaging warmup window under a FIXED mass matrix.
 
+        ``state`` is the carried ``(q, logp, grad)``; Welford variance
+        accumulation starts at step index ``welford_from`` (pass
+        ``len(keys)`` to disable). Returns the advanced state, the
+        averaged step size, and the Welford (mean, m2, n) triple.
+        """
+        n_steps = keys.shape[0]
+        mu = jnp.log(10.0 * eps0)
+
+        def step(carry, inp):
+            q, logp, g, log_eps, log_eps_bar, h_bar, w_mean, w_m2, w_n = carry
+            i, k = inp
+            q, logp, g, alpha = hmc_step(
+                q, logp, g, k, jnp.exp(log_eps), inv_mass
+            )
+            # dual averaging on the acceptance statistic
+            m = i + 1.0
+            h_bar = (1.0 - 1.0 / (m + t0)) * h_bar + (
+                target_accept - alpha
+            ) / (m + t0)
+            log_eps = mu - jnp.sqrt(m) / gamma * h_bar
+            w = m ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            # Welford variance accumulation over [welford_from, n_steps).
+            in_window = i >= welford_from
+            w_n2 = w_n + jnp.where(in_window, 1.0, 0.0)
+            delta = q - w_mean
+            w_mean = w_mean + jnp.where(
+                in_window, delta / jnp.maximum(w_n2, 1.0), 0.0
+            )
+            w_m2 = w_m2 + jnp.where(in_window, delta * (q - w_mean), 0.0)
+            return (q, logp, g, log_eps, log_eps_bar, h_bar,
+                    w_mean, w_m2, w_n2), alpha
+
+        q, logp, g = state
+        init = (
+            q, logp, g,
+            jnp.log(eps0),
+            jnp.log(eps0),
+            jnp.zeros((), dtype),
+            jnp.zeros((dim,), dtype),
+            jnp.zeros((dim,), dtype),
+            jnp.zeros((), dtype),
+        )
+        (q, logp, g, _, log_eps_bar, _, w_mean, w_m2, w_n), _ = jax.lax.scan(
+            step, init, (jnp.arange(n_steps, dtype=dtype), keys)
+        )
+        return (q, logp, g), jnp.exp(log_eps_bar), (w_mean, w_m2, w_n)
+
+    # -- warmup --------------------------------------------------------------
+    # Window A (identity mass, ~75% of warmup): tune eps, collect Welford
+    # variance over its second half. Window B (estimated mass, remainder):
+    # RE-TUNE eps — the drift term eps*inv_mass*p rescales with the mass,
+    # so the window-A step size is miscalibrated once the mass switches.
+    n_a = (3 * num_warmup) // 4 if num_warmup >= 8 else num_warmup
+    n_b = num_warmup - n_a
     keys_w = jax.random.split(key, num_warmup + 1)
-    init = (
-        flat0,
-        jnp.log(jnp.asarray(initial_step_size, dtype)),
-        jnp.log(jnp.asarray(initial_step_size, dtype)),
-        jnp.zeros((), dtype),
-        jnp.zeros((dim,), dtype),
-        jnp.zeros((dim,), dtype),
-        jnp.zeros((), dtype),
-        jnp.ones((dim,), dtype),
+    logp0, g0 = vg_fn(flat0)
+    state = (flat0, logp0, g0)
+    eps0 = jnp.asarray(initial_step_size, dtype)
+    ones = jnp.ones((dim,), dtype)
+    state, eps, (_, w_m2, w_n) = dual_avg_window(
+        state, keys_w[:n_a], ones, eps0, welford_from=n_a // 2
     )
-    (q, _, log_eps_bar, _, w_mean, w_m2, w_n, _), _ = jax.lax.scan(
-        warmup_step,
-        init,
-        (jnp.arange(num_warmup, dtype=dtype), keys_w[:num_warmup]),
-    )
-    eps = jnp.exp(log_eps_bar)
     var = w_m2 / jnp.maximum(w_n - 1.0, 1.0)
     # inverse mass = posterior variance estimate (regularised; identity
     # fallback when the window was degenerate).
     inv_mass = jnp.where(var > 1e-10, var, 1.0)
+    if n_b > 0:
+        state, eps, _ = dual_avg_window(
+            state, keys_w[n_a:num_warmup], inv_mass, eps,
+            welford_from=n_b,  # disabled
+        )
 
     # -- sampling -----------------------------------------------------------
-    def sample_step(carry, key):
-        q = carry
-        q, alpha = hmc_step(q, key, eps, inv_mass)
-        return q, (q, alpha, value_fn(q))
+    def sample_step(carry, k):
+        q, logp, g = carry
+        q, logp, g, alpha = hmc_step(q, logp, g, k, eps, inv_mass)
+        return (q, logp, g), (q, alpha, logp)
 
     keys_s = jax.random.split(keys_w[-1], num_samples)
-    _, (qs, alphas, logps) = jax.lax.scan(sample_step, q, keys_s)
+    _, (qs, alphas, logps) = jax.lax.scan(sample_step, state, keys_s)
     samples = jax.vmap(unravel)(qs)
     return HMCResult(
         samples=samples,

@@ -100,6 +100,24 @@ class TestSingleForceReduction:
             np.asarray(multisimm.init_params(5, 1).lengthscale), [2.5]
         )
 
+    @pytest.mark.parametrize("num_forces", [2, 4, 5, 6, 12])
+    def test_init_inside_lengthscale_support(self, num_forces):
+        # Regression: R >= 5 used to generate lengthscales on/outside the
+        # SigmoidBounded(0.5, 3.5) support, so unconstrain() was inf/NaN
+        # and the whole fit silently NaN'd.
+        pm = multisimm.init_params(5, num_forces=num_forces)
+        ell = np.asarray(pm.lengthscale)
+        assert (ell > 0.5).all() and (ell < 3.5).all()
+        assert len(np.unique(ell)) == num_forces  # distinguishable inits
+        raw = multisimm.unconstrain(pm)
+        assert all(
+            np.isfinite(np.asarray(leaf)).all()
+            for leaf in jax.tree.leaves(raw)
+        )
+        # R <= 4 keeps the original 0.5 spacing (golden numbers unchanged).
+        if num_forces <= 4:
+            np.testing.assert_allclose(np.diff(ell), 0.5)
+
 
 class TestMultiForceStructure:
     def test_force_prior_block_diagonal(self):
