@@ -26,9 +26,13 @@ class RunConfig:
     preset: str = "p53"
     # model family: simm (first-order exact) | simm2 (second-order exact)
     # | multisimm (first-order exact with R independent latent forces)
+    # | nlfm (first-order with a NONLINEAR response g(f): MAP + Laplace)
     model: str = "simm"
     # multisimm route: number of latent forces
     num_forces: int = 2
+    # nlfm route: response nonlinearity and quadrature grid size
+    response: str = "exp"
+    num_quad: int = 97
     # data
     replicate: Optional[int] = 0  # None = all three replicates
     selected_genes: Optional[Sequence[str]] = None
@@ -99,12 +103,21 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                                  "dense10k", "sparse100k"],
                         help="one of the five BASELINE configs")
     parser.add_argument("--model", default=d.model,
-                        choices=["simm", "simm2", "multisimm"],
-                        help="model family: first-order, second-order, or "
-                        "multi-force first-order ODE LFM")
+                        choices=["simm", "simm2", "multisimm", "nlfm"],
+                        help="model family: first-order, second-order, "
+                        "multi-force first-order, or nonlinear-response "
+                        "first-order ODE LFM")
     parser.add_argument("--num-forces", type=int, default=d.num_forces,
                         help="multisimm route: number of independent "
                         f"latent forces (default {d.num_forces})")
+    parser.add_argument("--response", default=d.response,
+                        choices=["identity", "exp", "softplus", "sigmoid"],
+                        help="nlfm route: response nonlinearity g(f) "
+                        "(default exp — Lawrence et al. 2006 s5's "
+                        "positivity-constrained model)")
+    parser.add_argument("--num-quad", type=int, default=d.num_quad,
+                        help="nlfm route: force quadrature grid size "
+                        f"(default {d.num_quad})")
     # Default None so presets can pick their own shape: sparse100k alone
     # must reproduce BASELINE config 5 (100x1000 -> N=1e5; ADVICE r1).
     parser.add_argument("--synth-genes", type=int, default=None,
@@ -140,7 +153,12 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--jitter", type=float, default=d.jitter,
                         help="diagonal jitter (default: 1e-4 exact paths, "
                         "1e-6 sparse path)")
-    parser.add_argument("--num-iters", type=int, default=d.num_iters)
+    # Default None so model families can pick their own count: the exact
+    # routes use the reference's 150 Adam steps, but nlfm's MAP is over
+    # (kinetics, Q force values) and needs ~2000.
+    parser.add_argument("--num-iters", type=int, default=None,
+                        help=f"optimisation steps (default {d.num_iters}; "
+                        "nlfm route: 2000)")
     parser.add_argument("--learning-rate", type=float, default=d.learning_rate)
     parser.add_argument("--optimizer", default=d.optimizer,
                         choices=["adam", "lbfgs"])
@@ -178,6 +196,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         preset=args.preset,
         model=args.model,
         num_forces=args.num_forces,
+        response=args.response,
+        num_quad=args.num_quad,
         synth_genes=(
             args.synth_genes
             if args.synth_genes is not None
@@ -209,7 +229,11 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         seed=args.seed,
         jitter=args.jitter,
         shared_kinetics=args.shared_kinetics,
-        num_iters=args.num_iters,
+        num_iters=(
+            args.num_iters
+            if args.num_iters is not None
+            else (2000 if args.model == "nlfm" else RunConfig.num_iters)
+        ),
         learning_rate=args.learning_rate,
         optimizer=args.optimizer,
         fix_params=not args.no_fix_params,

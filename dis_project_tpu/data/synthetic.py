@@ -266,6 +266,37 @@ def generate_ode(
     (initial condition x_j(0) = B_j / D_j) is computed by trapezoid
     quadrature on the fine grid — no closed-form kernel code on this path.
     """
+    return _generate_ode_response(
+        key, cfg, lambda f: f, oversample=oversample, dtype=dtype
+    )
+
+
+def generate_ode_nonlinear(
+    key,
+    cfg: Optional[SyntheticConfig] = None,
+    response: str = "exp",
+    oversample: int = 16,
+    dtype=None,
+) -> SyntheticLFMData:
+    r"""Nonlinear-response quadrature oracle for ``models.nlfm``:
+
+    .. math:: \dot x_j = B_j + S_j\,g(f(t)) - D_j x_j
+
+    with ``g`` one of ``ops.odeint.RESPONSE_NAMES`` (``exp`` is the
+    positivity-constrained response of Lawrence et al. 2006 §5). Identical
+    draw structure to :func:`generate_ode` — ``response='identity'``
+    reproduces it bit-for-bit on the same key — and ``f_true`` is the
+    FORCE f (pre-response), which is what the models recover.
+    """
+    from dis_project_tpu.ops.odeint import response_fn
+
+    return _generate_ode_response(
+        key, cfg, response_fn(response, xp=np), oversample=oversample,
+        dtype=dtype,
+    )
+
+
+def _generate_ode_response(key, cfg, g, oversample, dtype):
     cfg = cfg or SyntheticConfig()
     dtype = dtype or default_float()
     kp, kf, kn = jax.random.split(key, 3)
@@ -284,14 +315,16 @@ def generate_ode(
     Lf = np.linalg.cholesky(Kff + 1e-8 * np.eye(n_fine))
     eps = np.asarray(jax.random.normal(kf, (n_fine,), jnp.float32), np.float64)
     f_fine = Lf @ eps
+    g_fine = np.asarray(g(f_fine), np.float64)
 
     dt = t_fine[1] - t_fine[0]
     d = np.asarray(params["decay"], np.float64)
     s = np.asarray(params["sensitivity"], np.float64)
     b = np.asarray(params["basal"], np.float64)
 
-    # Cumulative trapezoid of e^{D u} f(u) per gene, vectorised over genes.
-    integrand = np.exp(d[:, None] * t_fine[None, :]) * f_fine[None, :]  # (G, F)
+    # Cumulative trapezoid of e^{D u} g(f(u)) per gene, vectorised over
+    # genes.
+    integrand = np.exp(d[:, None] * t_fine[None, :]) * g_fine[None, :]  # (G, F)
     steps = 0.5 * dt * (integrand[:, 1:] + integrand[:, :-1])
     cumint = np.concatenate(
         [np.zeros((G, 1)), np.cumsum(steps, axis=1)], axis=1

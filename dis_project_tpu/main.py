@@ -559,6 +559,142 @@ def run_multiforce(config: cfg.RunConfig):
     return params, hist
 
 
+def run_nonlinear(config: cfg.RunConfig):
+    """Nonlinear-response LFM on the p53 data — the ``--model nlfm``
+    route. New model family beyond the reference: Lawrence et al. (2006)
+    §5's nonlinear response dx/dt = B + S*g(f) - D*x (``g=exp`` is their
+    positivity-constrained MAP model), inferred by MAP over (kinetics,
+    whitened force values) with Laplace credible bands; optional
+    full-Bayes HMC via --posterior-samples (``models/nlfm.py``)."""
+    # Fail-loudly policy: this route has its own compact fit loop and does
+    # not implement these flags — reject rather than silently ignore.
+    for flag, name in (
+        (config.checkpoint_dir, "--checkpoint-dir"),
+        (config.resume, "--resume"),
+        (config.metrics_path, "--metrics-path"),
+        (config.track_parameters, "--track-parameters"),
+        (config.shared_kinetics, "--shared-kinetics"),
+        (config.optimizer != "adam", "--optimizer " + config.optimizer),
+    ):
+        if flag:
+            raise SystemExit(
+                f"{name} is not supported by the --model nlfm route"
+            )
+    if config.num_quad < 3:
+        raise SystemExit("--num-quad must be >= 3")
+
+    _setup_backend(config)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dis_project_tpu.data.dataset import P53Data
+    from dis_project_tpu.models import nlfm
+    from dis_project_tpu.reporting import plotter, tables
+
+    data = P53Data(
+        replicate=config.replicate,
+        data_dir=config.data_dir,
+        selected_genes=config.selected_genes,
+        source=config.data_source,
+        seed=config.seed,
+    )
+    t_obs = jnp.asarray(data.timepoints)
+    Y = jnp.asarray(data.gene_expressions)
+    V = jnp.asarray(data.gene_variances)
+    model = nlfm.NonlinearLFM(
+        num_genes=data.num_genes,
+        response=config.response,
+        t_max=float(data.timepoints[-1]),
+        num_quad=config.num_quad,
+        jitter=config.sparse_jitter,
+    )
+    # The identifiability clamp targets p21 BY NAME (see run()); for the
+    # exp response the S <-> force-shift degeneracy g(f+c) = e^c g(f)
+    # makes the pin MORE relevant than in the linear family.
+    has_p21 = "p21" in data.gene_names
+    print(f"Training nonlinear-response LFM (g={config.response}, "
+          f"Q={config.num_quad}) by MAP...")
+    t0 = time.perf_counter()
+    params, hist = nlfm.fit(
+        model,
+        nlfm.init_params(data.num_genes, config.num_quad),
+        t_obs, Y, V,
+        num_iters=config.num_iters,
+        learning_rate=config.learning_rate,
+        fix_params=config.fix_params and has_p21,
+        clamp_gene=data.gene_names.index("p21") if has_p21 else 0,
+    )
+    jax.block_until_ready(hist)
+    print(f"Trained {config.num_iters} iters in "
+          f"{time.perf_counter() - t0:.2f}s "
+          f"(final negative log-joint {_final_loss(hist):.6f})")
+    if config.response == "exp":
+        print("NOTE: the exp response has an exact (f+c, S*e^-c) shift "
+              "degeneracy; the force is identified up to an additive "
+              "constant (resolved in practice by the p21 sensitivity pin).")
+
+    tables.print_hyperparams(params.kinetics, data, csv_path="hyperparams.csv")
+
+    print("Making predictions and plotting...")
+    grid = model.quad_grid()
+    rows = grid[:, None]  # the plotters read time from column 0
+    lap = jax.jit(model.laplace_force_posterior)(params, t_obs, Y, V)
+    plotter.plot_lf(
+        rows, lap,
+        y_scatter=data.f_observed,
+        scatter_times=data.timepoints,
+        title=f"nonlinear ({config.response})",
+        save_name=config.save_name or "nlfm",
+        out_dir=config.out_dir,
+    )
+    bands = jax.jit(model.laplace_curve_bands)(params, t_obs, Y, V)
+    gene_grid = jnp.tile(grid, data.num_genes)[:, None]
+    plotter.plot_gene_predictions(
+        gene_grid, bands, data,
+        save_name=config.save_name or "nlfm",
+        out_dir=config.out_dir,
+        points_per_gene=config.num_quad,
+    )
+
+    if config.posterior_samples > 0:
+        n_draws = config.posterior_samples
+        print(f"Sampling (kinetics, force) posterior: {n_draws} HMC draws "
+              f"({n_draws} warmup)...")
+        t0 = time.perf_counter()
+        post = nlfm.force_posterior_hmc(
+            model, params, t_obs, Y, V,
+            jax.random.PRNGKey(config.seed + 7),
+            num_warmup=n_draws, num_samples=n_draws,
+        )
+        jax.block_until_ready(post.log_probs)
+        print(f"Sampled in {time.perf_counter() - t0:.2f}s "
+              f"(accept rate {float(post.accept_rate):.2f}, "
+              f"step size {float(post.step_size):.4f})")
+        print("\nPosterior kinetics (mean +/- std [5%, 95%]):")
+        for key in ("basal", "sensitivity", "decay"):
+            vals = np.asarray(getattr(post.samples.kinetics, key))
+            for g, name in enumerate(data.gene_names[: vals.shape[1]]):
+                lo, hi = np.percentile(vals[:, g], [5, 95])
+                print(f"  {key[:4]:<5} {name:<10} "
+                      f"{vals[:, g].mean():.4f} +/- {vals[:, g].std():.4f} "
+                      f"[{lo:.4f}, {hi:.4f}]")
+        plotter.plot_posterior_kinetics(
+            {
+                "basal": np.asarray(post.samples.kinetics.basal),
+                "sensitivity": np.asarray(post.samples.kinetics.sensitivity),
+                "decay": np.asarray(post.samples.kinetics.decay),
+            },
+            data,
+            save_name=config.save_name or "nlfm",
+            out_dir=config.out_dir,
+        )
+
+    print(f"Plots saved under {config.out_dir}/")
+    return params, hist
+
+
 def run_alfi_parity(config: cfg.RunConfig):
     """Cross-framework validation run (BASELINE config 3): train the JAX
     stack and the independent torch stack on the same data and report
@@ -1133,6 +1269,11 @@ def main(argv=None):
             f"{config.preset} (multi-force routes: the default preset "
             "and sparse100k)"
         )
+    if config.model == "nlfm" and config.preset != "p53":
+        raise SystemExit(
+            f"--model nlfm is not supported with --preset {config.preset} "
+            "(the nonlinear-response route runs the default p53 preset only)"
+        )
     if config.ensemble and config.preset != "p53-replicates":
         raise SystemExit("--ensemble requires --preset p53-replicates")
     if config.mll_engine != "cholesky" and (
@@ -1150,7 +1291,8 @@ def main(argv=None):
         raise SystemExit(
             "--posterior-samples is only supported on the exact "
             "first-order p53 routes (the default preset, and "
-            "--preset p53-replicates without --ensemble)"
+            "--preset p53-replicates without --ensemble) and the "
+            "nlfm route"
         )
 
     if config.preset == "alfi-parity":
@@ -1164,6 +1306,8 @@ def main(argv=None):
         run_second_order(config)
     elif config.model == "multisimm":
         run_multiforce(config)
+    elif config.model == "nlfm":
+        run_nonlinear(config)
     elif config.preset == "p53-replicates":
         if config.ensemble:
             run_replicate_ensemble(config)

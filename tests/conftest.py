@@ -43,6 +43,11 @@ SLOW_NODEID_PATTERNS = (
     "test_svlfm.py::TestPredictions::test_gene_predict_shapes",
     # trained cross-framework parity
     "test_validation.py::TestTrainedParity",
+    # nonlinear-response LFM: Newton/Hessian parity oracles, MAP fit, HMC
+    "test_nlfm.py::TestLinearCaseParity",
+    "test_nlfm.py::test_laplace_curve_bands_shapes_and_mean",
+    "test_nlfm.py::test_exp_response_recovery",
+    "test_nlfm.py::test_hmc_smoke",
     # full-pipeline CLI integration (r2): legacy-checkpoint warm start
     "test_cli.py::TestPipelineEntry::test_resume_from_legacy_checkpoint",
     # second-order route end-to-end (~70 s CPU: complex-erf Gram compiles)

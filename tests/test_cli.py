@@ -199,6 +199,54 @@ class TestPipelineEntry:
             str(tmp_path / "plots" / "posterior_kinetics.png")
         )
 
+    def test_nonlinear_route_smoke(self, tmp_path):
+        """run_nonlinear end-to-end at toy scale: exp-response MAP fit,
+        Laplace latent + per-gene band plots written."""
+        import os
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            model="nlfm",
+            response="exp",
+            num_quad=25,
+            data_source="synthetic",
+            num_iters=30,
+            out_dir=str(tmp_path / "plots"),
+        )
+        params, hist = entry.run_nonlinear(c)
+        assert params.w.shape == (25,)
+        # p21 pin applied (by name) on the constrained result.
+        import numpy as np
+
+        np.testing.assert_allclose(float(params.kinetics.sensitivity[3]),
+                                   1.0, rtol=1e-6)
+        assert os.path.exists(str(tmp_path / "plots" / "lf_nlfm.png"))
+        assert os.path.exists(str(tmp_path / "plots" / "gxpr_nlfm.png"))
+
+    def test_nonlinear_guards(self):
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        with pytest.raises(SystemExit, match="nlfm"):
+            entry.main(["--model", "nlfm", "--preset", "dense10k"])
+        with pytest.raises(SystemExit, match="num-quad"):
+            entry.run_nonlinear(
+                cfg.RunConfig(model="nlfm", num_quad=2,
+                              data_source="synthetic")
+            )
+        with pytest.raises(SystemExit, match="--metrics-path"):
+            entry.run_nonlinear(
+                cfg.RunConfig(model="nlfm", metrics_path="m.jsonl",
+                              data_source="synthetic")
+            )
+
+    def test_nonlinear_num_iters_default(self):
+        assert _parse(["--model", "nlfm"]).num_iters == 2000
+        assert _parse([]).num_iters == 150
+        assert _parse(["--model", "nlfm", "--num-iters", "7"]).num_iters == 7
+
     def test_multiforce_guards(self):
         import pytest
 
