@@ -27,6 +27,7 @@ class RunConfig:
     # model family: simm (first-order exact) | simm2 (second-order exact)
     # | multisimm (first-order exact with R independent latent forces)
     # | nlfm (first-order with a NONLINEAR response g(f): MAP + Laplace)
+    # | delaysimm (first-order exact with per-gene transcriptional delays)
     model: str = "simm"
     # multisimm route: number of latent forces
     num_forces: int = 2
@@ -103,10 +104,11 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                                  "dense10k", "sparse100k"],
                         help="one of the five BASELINE configs")
     parser.add_argument("--model", default=d.model,
-                        choices=["simm", "simm2", "multisimm", "nlfm"],
+                        choices=["simm", "simm2", "multisimm", "nlfm",
+                                 "delaysimm"],
                         help="model family: first-order, second-order, "
-                        "multi-force first-order, or nonlinear-response "
-                        "first-order ODE LFM")
+                        "multi-force first-order, nonlinear-response, or "
+                        "delayed-response first-order ODE LFM")
     parser.add_argument("--num-forces", type=int, default=d.num_forces,
                         help="multisimm route: number of independent "
                         f"latent forces (default {d.num_forces})")

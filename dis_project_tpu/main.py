@@ -695,6 +695,88 @@ def run_nonlinear(config: cfg.RunConfig):
     return params, hist
 
 
+def run_delay(config: cfg.RunConfig):
+    """Delayed-response exact SIMM on the p53 data — the ``--model
+    delaysimm`` route. New model family beyond the reference: per-gene
+    transcriptional delays dx/dt = B + S f(t - delta_j) - D x via the exact
+    time-warp reduction onto the instantaneous closed forms
+    (``models/delaysimm.py``). ``fix_params`` pins the p21 kinetics AND its
+    delay to 0 — the family's identifiability anchor (remaining delays are
+    relative to p21's)."""
+    # Fail-loudly policy: this route has its own compact fit loop and does
+    # not implement these flags — reject rather than silently ignore.
+    for flag, name in (
+        (config.checkpoint_dir, "--checkpoint-dir"),
+        (config.resume, "--resume"),
+        (config.metrics_path, "--metrics-path"),
+        (config.track_parameters, "--track-parameters"),
+        (config.shared_kinetics, "--shared-kinetics"),
+        (config.optimizer != "adam", "--optimizer " + config.optimizer),
+    ):
+        if flag:
+            raise SystemExit(
+                f"{name} is not supported by the --model delaysimm route"
+            )
+
+    _setup_backend(config)
+
+    import jax
+
+    from dis_project_tpu.data.dataset import P53Data, train_arrays
+    from dis_project_tpu.models import delaysimm
+    from dis_project_tpu.reporting import plotter, tables
+    from dis_project_tpu.utils.test_grids import latent_grid
+
+    data = P53Data(
+        replicate=config.replicate,
+        data_dir=config.data_dir,
+        selected_genes=config.selected_genes,
+        source=config.data_source,
+        seed=config.seed,
+    )
+    X, y, var = train_arrays(data)
+    model = delaysimm.ExactDelaySIMM(
+        num_genes=data.num_genes, jitter=config.exact_jitter
+    )
+    has_p21 = "p21" in data.gene_names
+    print("Training delayed-response exact SIMM...")
+    t0 = time.perf_counter()
+    params, hist = delaysimm.fit(
+        model,
+        delaysimm.init_params(data.num_genes),
+        X,
+        y,
+        num_iters=config.num_iters,
+        learning_rate=config.learning_rate,
+        fix_params=config.fix_params and has_p21,
+        clamp_gene=data.gene_names.index("p21") if has_p21 else 0,
+    )
+    final = _final_loss(hist)
+    print(f"Trained {config.num_iters} iters in {time.perf_counter() - t0:.2f}s "
+          f"(final loss {final:.6f})")
+
+    tables.print_hyperparams(params, data, csv_path="hyperparams.csv")
+    anchor = (" (anchor: p21 pinned to 0)"
+              if config.fix_params and has_p21 else "")
+    print(f"\nper-gene transcriptional delays{anchor}:")
+    for i, g in enumerate(data.gene_names):
+        print(f"  {g:<10} {float(params.delay[i]):.4f}")
+
+    t_grid = latent_grid(100).astype(X.dtype)
+    latent = jax.jit(model.latent_predict)(params, t_grid, X, y, var)
+    plotter.plot_lf(
+        t_grid,
+        latent,
+        y_scatter=data.f_observed,
+        scatter_times=data.timepoints,
+        title="delayed response",
+        save_name=config.save_name or "delay",
+        out_dir=config.out_dir,
+    )
+    print(f"Latent-force plot saved under {config.out_dir}/")
+    return params, hist
+
+
 def run_alfi_parity(config: cfg.RunConfig):
     """Cross-framework validation run (BASELINE config 3): train the JAX
     stack and the independent torch stack on the same data and report
@@ -1274,6 +1356,12 @@ def main(argv=None):
             f"--model nlfm is not supported with --preset {config.preset} "
             "(the nonlinear-response route runs the default p53 preset only)"
         )
+    if config.model == "delaysimm" and config.preset != "p53":
+        raise SystemExit(
+            f"--model delaysimm is not supported with --preset "
+            f"{config.preset} (the delayed-response route runs the default "
+            "p53 preset only)"
+        )
     if config.ensemble and config.preset != "p53-replicates":
         raise SystemExit("--ensemble requires --preset p53-replicates")
     if config.mll_engine != "cholesky" and (
@@ -1285,7 +1373,7 @@ def main(argv=None):
         )
     if config.posterior_samples and (
         config.preset in ("alfi-parity", "dense10k", "sparse100k")
-        or config.model in ("simm2", "multisimm")
+        or config.model in ("simm2", "multisimm", "delaysimm")
         or config.ensemble
     ):
         raise SystemExit(
@@ -1308,6 +1396,8 @@ def main(argv=None):
         run_multiforce(config)
     elif config.model == "nlfm":
         run_nonlinear(config)
+    elif config.model == "delaysimm":
+        run_delay(config)
     elif config.preset == "p53-replicates":
         if config.ensemble:
             run_replicate_ensemble(config)

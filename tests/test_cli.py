@@ -247,6 +247,43 @@ class TestPipelineEntry:
         assert _parse([]).num_iters == 150
         assert _parse(["--model", "nlfm", "--num-iters", "7"]).num_iters == 7
 
+    def test_delay_route_smoke(self, tmp_path):
+        """run_delay end-to-end at toy scale: delayed exact SIMM fit, p21
+        kinetics + delay anchor pinned, latent plot written."""
+        import os
+
+        import numpy as np
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            model="delaysimm",
+            data_source="synthetic",
+            num_iters=30,
+            out_dir=str(tmp_path / "plots"),
+        )
+        params, hist = entry.run_delay(c)
+        assert hist.shape == (30,)
+        np.testing.assert_allclose(float(params.sensitivity[3]), 1.0,
+                                   rtol=1e-6)
+        assert float(params.delay[3]) < 1e-8  # p21 delay anchored at 0
+        assert os.path.exists(str(tmp_path / "plots" / "lf_delay.png"))
+
+    def test_delay_guards(self):
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        with pytest.raises(SystemExit, match="delaysimm"):
+            entry.main(["--model", "delaysimm", "--preset", "dense10k"])
+        with pytest.raises(SystemExit, match="--metrics-path"):
+            entry.run_delay(
+                cfg.RunConfig(model="delaysimm", metrics_path="m.jsonl",
+                              data_source="synthetic")
+            )
+        with pytest.raises(SystemExit, match="posterior-samples"):
+            entry.main(["--model", "delaysimm", "--posterior-samples", "5"])
+
     def test_multiforce_guards(self):
         import pytest
 
