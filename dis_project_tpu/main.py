@@ -78,6 +78,46 @@ def _final_loss(hist) -> float:
     return float(hist[-1]) if len(hist) else float("nan")
 
 
+def _report_kinetics_posterior(kin_samples, data, save_name, out_dir):
+    """Unclamped-model note + credible-interval table + histogram grid for
+    HMC kinetics samples (shared by the exact and nlfm posterior routes).
+
+    ``kin_samples`` is any pytree with stacked (num_samples, G) ``basal``/
+    ``sensitivity``/``decay`` leaves (``SIMMParams`` of samples).
+    """
+    import numpy as np
+
+    from dis_project_tpu.reporting import plotter
+
+    print(
+        "NOTE: the posterior is over the UNCLAMPED model — the p21 "
+        "identifiability clamp is a point constraint the full "
+        "posterior does not impose, so scale-coupled parameters "
+        "(S x force amplitude, and decays through them) show the "
+        "broad/shifted intervals the clamp exists to resolve."
+    )
+    print("\nPosterior kinetics (mean +/- std [5%, 95%]):")
+    for key in ("basal", "sensitivity", "decay"):
+        vals = np.asarray(getattr(kin_samples, key))
+        if vals.ndim == 1:
+            vals = vals[:, None]
+        for g, name in enumerate(data.gene_names[: vals.shape[1]]):
+            lo, hi = np.percentile(vals[:, g], [5, 95])
+            print(f"  {key[:4]:<5} {name:<10} "
+                  f"{vals[:, g].mean():.4f} +/- {vals[:, g].std():.4f} "
+                  f"[{lo:.4f}, {hi:.4f}]")
+    plotter.plot_posterior_kinetics(
+        {
+            "basal": np.asarray(kin_samples.basal),
+            "sensitivity": np.asarray(kin_samples.sensitivity),
+            "decay": np.asarray(kin_samples.decay),
+        },
+        data,
+        save_name=save_name,
+        out_dir=out_dir,
+    )
+
+
 def run(config: cfg.RunConfig):
     import jax
 
@@ -232,8 +272,6 @@ def run(config: cfg.RunConfig):
         # Lawrence et al. report parameter uncertainty): HMC over the
         # hyperparameters, exact-MLL likelihood, flat prior in constrained
         # space, chain seeded at the trained point.
-        import numpy as np
-
         from dis_project_tpu.training import hmc
 
         n_draws = config.posterior_samples
@@ -248,32 +286,8 @@ def run(config: cfg.RunConfig):
         print(f"Sampled in {time.perf_counter() - t0:.2f}s "
               f"(accept rate {float(post.accept_rate):.2f}, "
               f"step size {float(post.step_size):.4f})")
-        print(
-            "NOTE: the posterior is over the UNCLAMPED model — the p21 "
-            "identifiability clamp is a point constraint the full "
-            "posterior does not impose, so scale-coupled parameters "
-            "(S x force amplitude, and decays through them) show the "
-            "broad/shifted intervals the clamp exists to resolve."
-        )
-        print("\nPosterior kinetics (mean +/- std [5%, 95%]):")
-        for key in ("basal", "sensitivity", "decay"):
-            vals = np.asarray(getattr(post.samples, key))
-            if vals.ndim == 1:
-                vals = vals[:, None]
-            for g, name in enumerate(data.gene_names[: vals.shape[1]]):
-                lo, hi = np.percentile(vals[:, g], [5, 95])
-                print(f"  {key[:4]:<5} {name:<10} "
-                      f"{vals[:, g].mean():.4f} +/- {vals[:, g].std():.4f} "
-                      f"[{lo:.4f}, {hi:.4f}]")
-        plotter.plot_posterior_kinetics(
-            {
-                "basal": np.asarray(post.samples.basal),
-                "sensitivity": np.asarray(post.samples.sensitivity),
-                "decay": np.asarray(post.samples.decay),
-            },
-            data,
-            save_name=config.save_name,
-            out_dir=config.out_dir,
+        _report_kinetics_posterior(
+            post.samples, data, config.save_name, config.out_dir
         )
     if config.track_parameters and result.param_trace is not None:
         # The parameter trace gets a first-class consumer (VERDICT r1 #8):
@@ -587,7 +601,6 @@ def run_nonlinear(config: cfg.RunConfig):
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from dis_project_tpu.data.dataset import P53Data
     from dis_project_tpu.models import nlfm
@@ -640,16 +653,22 @@ def run_nonlinear(config: cfg.RunConfig):
     print("Making predictions and plotting...")
     grid = model.quad_grid()
     rows = grid[:, None]  # the plotters read time from column 0
-    lap = jax.jit(model.laplace_force_posterior)(params, t_obs, Y, V)
+    # ONE Hessian solve feeds both Laplace posteriors (the Q x Q Hessian
+    # of the ODE-integrated log-joint dominates post-fit cost).
+    lap, bands = jax.jit(model.laplace_posteriors)(params, t_obs, Y, V)
+    # The Barenco measured-activity profile lives in the LINEAR (response)
+    # domain: it is comparable to the pre-response force f only for
+    # g=identity — for any other response the curve is f = g^{-1}(activity)
+    # -scale (and for exp, shifted), so the overlay would mislead.
+    identity = config.response == "identity"
     plotter.plot_lf(
         rows, lap,
-        y_scatter=data.f_observed,
-        scatter_times=data.timepoints,
+        y_scatter=data.f_observed if identity else None,
+        scatter_times=data.timepoints if identity else None,
         title=f"nonlinear ({config.response})",
         save_name=config.save_name or "nlfm",
         out_dir=config.out_dir,
     )
-    bands = jax.jit(model.laplace_curve_bands)(params, t_obs, Y, V)
     gene_grid = jnp.tile(grid, data.num_genes)[:, None]
     plotter.plot_gene_predictions(
         gene_grid, bands, data,
@@ -672,23 +691,9 @@ def run_nonlinear(config: cfg.RunConfig):
         print(f"Sampled in {time.perf_counter() - t0:.2f}s "
               f"(accept rate {float(post.accept_rate):.2f}, "
               f"step size {float(post.step_size):.4f})")
-        print("\nPosterior kinetics (mean +/- std [5%, 95%]):")
-        for key in ("basal", "sensitivity", "decay"):
-            vals = np.asarray(getattr(post.samples.kinetics, key))
-            for g, name in enumerate(data.gene_names[: vals.shape[1]]):
-                lo, hi = np.percentile(vals[:, g], [5, 95])
-                print(f"  {key[:4]:<5} {name:<10} "
-                      f"{vals[:, g].mean():.4f} +/- {vals[:, g].std():.4f} "
-                      f"[{lo:.4f}, {hi:.4f}]")
-        plotter.plot_posterior_kinetics(
-            {
-                "basal": np.asarray(post.samples.kinetics.basal),
-                "sensitivity": np.asarray(post.samples.kinetics.sensitivity),
-                "decay": np.asarray(post.samples.kinetics.decay),
-            },
-            data,
-            save_name=config.save_name or "nlfm",
-            out_dir=config.out_dir,
+        _report_kinetics_posterior(
+            post.samples.kinetics, data,
+            config.save_name or "nlfm", config.out_dir,
         )
 
     print(f"Plots saved under {config.out_dir}/")

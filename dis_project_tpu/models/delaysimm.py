@@ -54,8 +54,6 @@ import jax.numpy as jnp
 
 from dis_project_tpu.models.base import Gaussian
 from dis_project_tpu.ops import bijectors as bij
-from dis_project_tpu.ops import gram as gram_ops
-from dis_project_tpu.ops import mll as mll_ops
 from dis_project_tpu.ops.precision import default_float
 
 
@@ -185,46 +183,68 @@ def fit(
 class ExactDelaySIMM:
     """Static configuration + pure methods for the delayed exact SIMM.
 
-    Mirrors ``ExactSIMM``'s behavioral conventions exactly (MLL variance
-    asymmetry, diagonalised latent posterior with double jitter, flag
-    forced to 1 in the gene posterior) — with ``delay == 0`` every method
-    is bit-identical to the instantaneous family (tested).
+    Every method DELEGATES to an instantaneous :class:`~dis_project_tpu.
+    models.simm.ExactSIMM` at time-warped inputs (the module-note
+    reduction), so the family genuinely inherits the whole behavioral
+    contract (MLL variance asymmetry, diagonalised latent posterior with
+    double jitter, flag forced to 1 in the gene posterior) AND the whole
+    measured dispatch stack (Pallas symmetric Gram, blocked Cholesky) —
+    with ``delay == 0`` every method is bit-identical to the instantaneous
+    family (tested).  The ``gram_impl``/``chol_impl`` switches pass
+    through.
     """
 
     num_genes: int = 5
     jitter: float = 1e-4
+    gram_impl: str = "auto"
+    chol_impl: str = "auto"
+
+    @property
+    def _inner(self):
+        from dis_project_tpu.models.simm import ExactSIMM
+
+        return ExactSIMM(
+            num_genes=self.num_genes,
+            jitter=self.jitter,
+            gram_impl=self.gram_impl,
+            chol_impl=self.chol_impl,
+        )
+
+    @staticmethod
+    def _kin(params: DelaySIMMParams):
+        """The instantaneous-family view of the parameters (delay used only
+        through the input warp)."""
+        from dis_project_tpu.models.simm import SIMMParams
+
+        return SIMMParams(
+            basal=params.basal,
+            sensitivity=params.sensitivity,
+            decay=params.decay,
+            lengthscale=params.lengthscale,
+            obs_stddev=params.obs_stddev,
+        )
 
     def _warp(self, params: DelaySIMMParams, x):
         return warp_rows(x, params.delay, self.num_genes)
 
     def mean_function(self, params: DelaySIMMParams, x) -> jnp.ndarray:
         """B_j / D_j on expression rows, 0 on force rows — the delay does
-        not move the fixed point, so the mean is the instantaneous one."""
-        ratio = params.basal / params.decay
-        g = jnp.clip(x[:, 1].astype(jnp.int32), 0, self.num_genes - 1)
-        return ratio[g] * x[:, 2]
+        not move the fixed point, so the mean is the instantaneous one
+        (and is warp-invariant: the warp only touches the time column)."""
+        return self._inner.mean_function(self._kin(params), x)
 
     def cross_covariance(self, params: DelaySIMMParams, x1, x2) -> jnp.ndarray:
-        return gram_ops.cross_covariance(
-            self._warp(params, x1),
-            self._warp(params, x2),
-            params.decay,
-            params.sensitivity,
-            params.lengthscale,
+        return self._inner.cross_covariance(
+            self._kin(params), self._warp(params, x1), self._warp(params, x2)
         )
 
     def gram(self, params: DelaySIMMParams, x) -> jnp.ndarray:
-        return self.cross_covariance(params, x, x)
+        return self._inner.gram(self._kin(params), self._warp(params, x))
 
     def mll(self, params: DelaySIMMParams, x, y) -> jnp.ndarray:
         """Exact conjugate MLL, single-force Sigma convention (jitter +
         obs_stddev^2, NO per-point variances — the reference asymmetry)."""
-        y = y.reshape(-1)
-        mx = self.mean_function(params, x)
-        K = self.gram(params, x)
-        sigma = mll_ops.add_diagonal(K, self.jitter + params.obs_stddev**2)
-        impl = mll_ops.resolve_chol_impl(x.shape[0], x.dtype)
-        return mll_ops.mvn_logpdf(y, mx, sigma, impl=impl)
+        return self._inner.mll(self._kin(params), self._warp(params, x), y)
 
     def latent_predict(
         self, params: DelaySIMMParams, test_rows, x, y, variances
@@ -232,44 +252,26 @@ class ExactDelaySIMM:
         """Posterior over the force at ``test_rows`` (flag 0) — the
         instantaneous family's conventions (per-point variances + jitter,
         diagonalised posterior, double jitter, no learned obs noise)."""
-        y = y.reshape(-1)
-        variances = variances.reshape(-1)
-        mean_x = self.mean_function(params, x)
-        Kxx = self.gram(params, x)
-        Kxx = mll_ops.add_diagonal(Kxx, variances + self.jitter)
-        L = mll_ops.cholesky(
-            Kxx, mll_ops.resolve_chol_impl(x.shape[0], x.dtype)
+        return self._inner.latent_predict(
+            self._kin(params),
+            self._warp(params, test_rows),
+            self._warp(params, x),
+            y,
+            variances,
         )
-        Kxf = self.cross_covariance(params, x, test_rows)
-        solved = mll_ops.chol_solve(L, Kxf)
-        mean = solved.T @ (y - mean_x)
-        kff_diag = jnp.diagonal(self.gram(params, test_rows))
-        corr = jnp.einsum("nm,nm->m", solved, Kxf)
-        var = jnp.diag(kff_diag + self.jitter - corr)
-        var = mll_ops.add_diagonal(var, self.jitter)
-        return Gaussian(mean=mean, cov=var)
 
     def multi_gene_predict(
         self, params: DelaySIMMParams, test_rows, x, y, variances
     ) -> Gaussian:
         """Posterior over expression at ``test_rows`` (flag forced 1);
-        variances + learned obs noise in Sigma, full covariance kept."""
-        y = y.reshape(-1)
-        variances = variances.reshape(-1)
+        variances + learned obs noise in Sigma, full covariance kept.
+        The flag is forced BEFORE the warp so test rows are delayed by
+        their gene's delta (the inner re-set is a no-op)."""
         t2 = test_rows.at[:, 2].set(1)
-        mean_x = self.mean_function(params, x)
-        mean_t = self.mean_function(params, t2)
-        Kxx = self.gram(params, x)
-        sigma = mll_ops.add_diagonal(
-            Kxx, variances + params.obs_stddev**2
+        return self._inner.multi_gene_predict(
+            self._kin(params),
+            self._warp(params, t2),
+            self._warp(params, x),
+            y,
+            variances,
         )
-        L = mll_ops.cholesky(
-            sigma, mll_ops.resolve_chol_impl(x.shape[0], x.dtype)
-        )
-        Ktt = self.gram(params, t2)
-        Kxt = self.cross_covariance(params, x, t2)
-        solved = mll_ops.chol_solve(L, Kxt)
-        mean = mean_t + solved.T @ (y - mean_x)
-        cov = Ktt - Kxt.T @ solved
-        cov = mll_ops.add_diagonal(cov, self.jitter)
-        return Gaussian(mean=mean, cov=cov)

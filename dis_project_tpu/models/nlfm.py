@@ -174,35 +174,55 @@ class NonlinearLFM:
         )
 
     def laplace_force_posterior(
-        self, params: NLFMParams, t_obs, Y, var
+        self, params: NLFMParams, t_obs, Y, var, cov_w=None
     ) -> Gaussian:
         """Gaussian posterior over f(t_grid) by Laplace at the (MAP) point.
 
-        cov_f = L H^{-1} L^T; in the ``identity``-response case this is
-        EXACT (the joint is Gaussian in w).
+        cov_f = L H^{-1} L^T + jitter*I (the jitter floor keeps the
+        floating-point diagonal nonnegative for the band plots); in the
+        ``identity``-response case the L H^{-1} L^T term is EXACT (the
+        joint is Gaussian in w).  Pass a precomputed ``cov_w`` (from
+        :meth:`laplace_posteriors`) to skip the Hessian solve.
         """
         L = self.force_chol(params.kinetics.lengthscale, params.w.dtype)
-        cov_w = self._laplace_w_cov(params, t_obs, Y, var)
-        return Gaussian(mean=L @ params.w, cov=L @ cov_w @ L.T)
+        if cov_w is None:
+            cov_w = self._laplace_w_cov(params, t_obs, Y, var)
+        cov = L @ cov_w @ L.T
+        cov = cov + self.jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        return Gaussian(mean=L @ params.w, cov=cov)
 
     def laplace_curve_bands(
-        self, params: NLFMParams, t_obs, Y, var
+        self, params: NLFMParams, t_obs, Y, var, cov_w=None
     ) -> Gaussian:
         """Delta-method Gaussian over the gene curves on the grid.
 
         Linearises the forward map w -> x at the (MAP) point and pushes
-        the Laplace w-covariance through: cov_x = J H^{-1} J^T with
-        J = dx/dw — exact for the ``identity`` response (x is linear in
-        w). Mean is the stacked gene-major curves, shape (G*Q,), matching
-        the reporting layer's block convention.
+        the Laplace w-covariance through: cov_x = J H^{-1} J^T + jitter*I
+        with J = dx/dw — exact (up to the jitter floor) for the
+        ``identity`` response (x is linear in w). Mean is the stacked
+        gene-major curves, shape (G*Q,), matching the reporting layer's
+        block convention.
         """
 
         def flat_curves(w):
             return self.curves(params._replace(w=w)).reshape(-1)
 
         J = jax.jacfwd(flat_curves)(params.w)  # (G*Q, Q)
+        if cov_w is None:
+            cov_w = self._laplace_w_cov(params, t_obs, Y, var)
+        cov = J @ cov_w @ J.T
+        cov = cov + self.jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        return Gaussian(mean=flat_curves(params.w), cov=cov)
+
+    def laplace_posteriors(self, params: NLFMParams, t_obs, Y, var):
+        """Both Laplace Gaussians (force, curves) from ONE Hessian solve —
+        the CLI's post-fit path (the Q x Q Hessian of the ODE-integrated
+        log-joint dominates post-fit cost and is identical for both)."""
         cov_w = self._laplace_w_cov(params, t_obs, Y, var)
-        return Gaussian(mean=flat_curves(params.w), cov=J @ cov_w @ J.T)
+        return (
+            self.laplace_force_posterior(params, t_obs, Y, var, cov_w),
+            self.laplace_curve_bands(params, t_obs, Y, var, cov_w),
+        )
 
 
 def fit(

@@ -193,8 +193,7 @@ def test_delay_recovery():
     y = jnp.asarray(y + 0.025 * rng.standard_normal(G * T))
 
     fitted, hist = delaysimm.fit(
-        m._replace_jitter(1e-6) if hasattr(m, "_replace_jitter")
-        else ExactDelaySIMM(num_genes=G, jitter=1e-6),
+        ExactDelaySIMM(num_genes=G, jitter=1e-6),
         delaysimm.init_params(G, delay0=0.3),
         X, y, num_iters=800, learning_rate=0.02,
         fix_params=True, clamp_gene=0,

@@ -95,7 +95,7 @@ class TestLinearCaseParity:
         L = model.force_chol(params.kinetics.lengthscale, params.w.dtype)
         want = L @ jnp.linalg.inv(
             H + model.jitter * jnp.eye(H.shape[0], dtype=H.dtype)
-        ) @ L.T
+        ) @ L.T + model.jitter * jnp.eye(H.shape[0], dtype=H.dtype)
         np.testing.assert_allclose(
             np.asarray(lap.cov), np.asarray(want), rtol=1e-8, atol=1e-12
         )
