@@ -779,6 +779,32 @@ def run_delay(config: cfg.RunConfig):
         out_dir=config.out_dir,
     )
     print(f"Latent-force plot saved under {config.out_dir}/")
+
+    if config.posterior_samples > 0:
+        import numpy as np
+
+        n_draws = config.posterior_samples
+        print(f"Sampling (kinetics, delay) posterior: {n_draws} HMC draws "
+              f"({n_draws} warmup)...")
+        t0 = time.perf_counter()
+        post = delaysimm.kinetics_posterior(
+            model, params, X, y, jax.random.PRNGKey(config.seed + 7),
+            num_warmup=n_draws, num_samples=n_draws,
+        )
+        jax.block_until_ready(post.log_probs)
+        print(f"Sampled in {time.perf_counter() - t0:.2f}s "
+              f"(accept rate {float(post.accept_rate):.2f}, "
+              f"step size {float(post.step_size):.4f})")
+        _report_kinetics_posterior(
+            post.samples, data, config.save_name or "delay", config.out_dir
+        )
+        print("\nPosterior delays (mean +/- std [5%, 95%]):")
+        dvals = np.asarray(post.samples.delay)
+        for g, name in enumerate(data.gene_names[: dvals.shape[1]]):
+            lo, hi = np.percentile(dvals[:, g], [5, 95])
+            print(f"  delay {name:<10} "
+                  f"{dvals[:, g].mean():.4f} +/- {dvals[:, g].std():.4f} "
+                  f"[{lo:.4f}, {hi:.4f}]")
     return params, hist
 
 
@@ -1378,7 +1404,7 @@ def main(argv=None):
         )
     if config.posterior_samples and (
         config.preset in ("alfi-parity", "dense10k", "sparse100k")
-        or config.model in ("simm2", "multisimm", "delaysimm")
+        or config.model in ("simm2", "multisimm")
         or config.ensemble
     ):
         raise SystemExit(

@@ -179,6 +179,46 @@ def fit(
     return run(raw0)
 
 
+def kinetics_posterior(
+    model: "ExactDelaySIMM",
+    params: DelaySIMMParams,
+    x,
+    y,
+    key,
+    num_warmup: int = 400,
+    num_samples: int = 400,
+    num_leapfrog: int = 24,
+):
+    """Full-Bayes posterior over (kinetics, delays) — ``training.hmc`` on
+    the delayed exact MLL, flat prior on the CONSTRAINED parameters via the
+    bijector Jacobian (the convention of
+    ``training.hmc.kinetics_posterior``).  Seed at the trained point;
+    returned samples are in constrained space.  Like the instantaneous
+    posterior this is over the UNCLAMPED model — the delay anchor is a
+    point constraint the posterior does not impose, so delays show the
+    common-shift spread the anchor exists to resolve.
+    """
+    from dis_project_tpu.training import hmc
+
+    y = y.reshape(-1)
+
+    def logdensity(raw):
+        p = constrain(raw)
+        return model.mll(p, x, y) + bij.constrain_log_det(
+            raw, DELAY_BIJECTORS
+        )
+
+    res = hmc.sample(
+        logdensity,
+        unconstrain(params),
+        key,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_leapfrog=num_leapfrog,
+    )
+    return res._replace(samples=jax.vmap(constrain)(res.samples))
+
+
 @dataclasses.dataclass(frozen=True)
 class ExactDelaySIMM:
     """Static configuration + pure methods for the delayed exact SIMM.

@@ -43,8 +43,9 @@ SLOW_NODEID_PATTERNS = (
     "test_svlfm.py::TestPredictions::test_gene_predict_shapes",
     # trained cross-framework parity
     "test_validation.py::TestTrainedParity",
-    # delayed-response family: 800-iteration recovery fit
+    # delayed-response family: 800-iteration recovery fit, HMC smoke
     "test_delaysimm.py::test_delay_recovery",
+    "test_cli.py::TestPipelineEntry::test_delay_posterior_smoke",
     # nonlinear-response LFM: Newton/Hessian parity oracles, MAP fit, HMC
     "test_nlfm.py::TestLinearCaseParity",
     "test_nlfm.py::test_laplace_curve_bands_shapes_and_mean",

@@ -281,8 +281,28 @@ class TestPipelineEntry:
                 cfg.RunConfig(model="delaysimm", metrics_path="m.jsonl",
                               data_source="synthetic")
             )
-        with pytest.raises(SystemExit, match="posterior-samples"):
-            entry.main(["--model", "delaysimm", "--posterior-samples", "5"])
+
+    def test_delay_posterior_smoke(self, tmp_path):
+        """--posterior-samples on the delay route: joint (kinetics, delay)
+        HMC with the credible-interval tables and histogram artifact."""
+        import os
+
+        import numpy as np
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            model="delaysimm",
+            data_source="synthetic",
+            num_iters=20,
+            posterior_samples=15,
+            out_dir=str(tmp_path / "plots"),
+        )
+        params, _ = entry.run_delay(c)
+        assert np.isfinite(np.asarray(params.delay)).all()
+        assert os.path.exists(
+            str(tmp_path / "plots" / "posterior_kinetics_delay.png")
+        )
 
     def test_multiforce_guards(self):
         import pytest

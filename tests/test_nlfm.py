@@ -182,6 +182,49 @@ def test_fit_smoke_fix_params_and_curves_shape():
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_log_joint_broadcasts_replicates():
+    """(R, G, T) observations broadcast against the (G, T) clean curves:
+    the joint with R identical replicates equals likelihood x R plus one
+    prior term."""
+    data = P53Data(replicate=0, source="synthetic")
+    model = NonlinearLFM(num_genes=data.num_genes, response="exp",
+                         num_quad=33)
+    params = nlfm.init_params(data.num_genes, model.num_quad)
+    params = params._replace(
+        w=0.05 * jnp.cos(jnp.arange(model.num_quad, dtype=params.w.dtype))
+    )
+    t_obs = jnp.asarray(data.timepoints)
+    Y1 = jnp.asarray(data.gene_expressions)  # (1, G, T)
+    V1 = jnp.asarray(data.gene_variances)
+    Y3 = jnp.concatenate([Y1] * 3)  # (3, G, T)
+    V3 = jnp.concatenate([V1] * 3)
+    lj1 = float(model.log_joint(params, t_obs, Y1, V1))
+    lj3 = float(model.log_joint(params, t_obs, Y3, V3))
+    logprior = -0.5 * float(jnp.sum(params.w**2)) \
+        - 0.5 * params.w.size * nlfm.LOG_2PI
+    np.testing.assert_allclose(lj3 - logprior, 3 * (lj1 - logprior),
+                               rtol=1e-12)
+
+
+def test_laplace_posteriors_matches_individual_calls():
+    data = P53Data(replicate=0, source="synthetic")
+    model = NonlinearLFM(num_genes=data.num_genes, response="softplus",
+                         num_quad=25)
+    params = nlfm.init_params(data.num_genes, model.num_quad)
+    t_obs = jnp.asarray(data.timepoints)
+    Y = jnp.asarray(data.gene_expressions)
+    V = jnp.asarray(data.gene_variances)
+    force, curves = model.laplace_posteriors(params, t_obs, Y, V)
+    f2 = model.laplace_force_posterior(params, t_obs, Y, V)
+    c2 = model.laplace_curve_bands(params, t_obs, Y, V)
+    np.testing.assert_allclose(np.asarray(force.cov), np.asarray(f2.cov),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(curves.cov), np.asarray(c2.cov),
+                               rtol=1e-12)
+    # The jitter floor keeps the plotted band diagonals nonnegative.
+    assert np.diag(np.asarray(curves.cov)).min() > 0
+
+
 def test_hmc_smoke():
     data = P53Data(replicate=0, source="synthetic")
     model = NonlinearLFM(num_genes=data.num_genes, response="exp",
