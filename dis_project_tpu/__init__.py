@@ -24,7 +24,7 @@ from dis_project_tpu.ops.precision import default_float, enable_x64
 from dis_project_tpu.models.simm import SIMMParams, ExactSIMM
 from dis_project_tpu.data.dataset import P53Data, dataset_3d, flatten_blocked
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 __all__ = [
     "ops",

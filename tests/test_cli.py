@@ -247,6 +247,17 @@ class TestPipelineEntry:
         assert _parse([]).num_iters == 150
         assert _parse(["--model", "nlfm", "--num-iters", "7"]).num_iters == 7
 
+    def test_version_in_sync_with_pyproject(self):
+        import os
+        import re
+
+        import dis_project_tpu
+
+        root = os.path.dirname(os.path.dirname(dis_project_tpu.__file__))
+        with open(os.path.join(root, "pyproject.toml")) as f:
+            m = re.search(r'^version = "([^"]+)"', f.read(), re.M)
+        assert m and m.group(1) == dis_project_tpu.__version__
+
     def test_delay_route_smoke(self, tmp_path):
         """run_delay end-to-end at toy scale: delayed exact SIMM fit, p21
         kinetics + delay anchor pinned, latent plot written."""
