@@ -68,6 +68,9 @@ class RunConfig:
     # canonical route: HMC posterior draws over the hyperparameters after
     # training (0 = off); seeds the chain at the trained point
     posterior_samples: int = 0
+    # number of independent HMC chains (vmapped into one program); > 1
+    # additionally reports split-R-hat / ESS convergence diagnostics
+    posterior_chains: int = 1
     # precision
     x64: bool = True
     # backend: None = auto (x64 parity runs go to CPU — TPUs emulate f64
@@ -177,6 +180,11 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         "samples over the hyperparameters (exact-MLL "
                         "likelihood, flat prior in constrained space) and "
                         "report credible intervals for the kinetics")
+    parser.add_argument("--posterior-chains", type=int,
+                        default=d.posterior_chains,
+                        help="independent HMC chains, vmapped into one "
+                        "program (> 1 adds split-R-hat / ESS convergence "
+                        f"diagnostics; default {d.posterior_chains})")
     parser.add_argument("--no-x64", action="store_true",
                         help="run in f32 (TPU-native precision)")
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
@@ -242,6 +250,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         num_steps_per_epoch=args.steps_per_epoch,
         track_parameters=args.track_parameters,
         posterior_samples=args.posterior_samples,
+        posterior_chains=args.posterior_chains,
         x64=not args.no_x64,
         platform=args.platform,
         out_dir=args.out_dir,

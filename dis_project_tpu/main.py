@@ -78,6 +78,42 @@ def _final_loss(hist) -> float:
     return float(hist[-1]) if len(hist) else float("nan")
 
 
+def _finish_posterior(post, t0, config, data, save_name,
+                      kin_from=lambda s: s):
+    """Shared post-sampling tail for every HMC route: timing + accept
+    line, split-R-hat / ESS convergence diagnostics when more than one
+    chain ran, chain pooling, and the credible-interval report.  Returns
+    the (pooled) constrained samples pytree.
+
+    ``kin_from`` extracts the SIMMParams-like kinetics view from the
+    samples (identity for the exact/delay routes; ``.kinetics`` for nlfm).
+    """
+    import jax
+    import numpy as np
+
+    acc = np.atleast_1d(np.asarray(post.accept_rate))
+    eps = np.atleast_1d(np.asarray(post.step_size))
+    print(f"Sampled in {time.perf_counter() - t0:.2f}s "
+          f"(accept rate {', '.join(f'{a:.2f}' for a in acc)}; "
+          f"step size {', '.join(f'{e:.4f}' for e in eps)})")
+    samples = post.samples
+    if config.posterior_chains > 1:
+        from dis_project_tpu.training import hmc
+
+        rhat, ess = hmc.pytree_diagnostics(samples)
+        total = config.posterior_chains * config.posterior_samples
+        print(f"convergence over {config.posterior_chains} chains: "
+              f"max split-R-hat {rhat:.4f} (converged: < ~1.05), "
+              f"min ESS {ess:.0f} of {total} draws")
+        samples = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), samples
+        )
+    _report_kinetics_posterior(
+        kin_from(samples), data, save_name, config.out_dir
+    )
+    return samples
+
+
 def _report_kinetics_posterior(kin_samples, data, save_name, out_dir):
     """Unclamped-model note + credible-interval table + histogram grid for
     HMC kinetics samples (shared by the exact and nlfm posterior routes).
@@ -281,14 +317,10 @@ def run(config: cfg.RunConfig):
         post = hmc.kinetics_posterior(
             model, result.params, X, y, jax.random.PRNGKey(config.seed + 7),
             num_warmup=n_draws, num_samples=n_draws,
+            num_chains=config.posterior_chains,
         )
         jax.block_until_ready(post.log_probs)
-        print(f"Sampled in {time.perf_counter() - t0:.2f}s "
-              f"(accept rate {float(post.accept_rate):.2f}, "
-              f"step size {float(post.step_size):.4f})")
-        _report_kinetics_posterior(
-            post.samples, data, config.save_name, config.out_dir
-        )
+        _finish_posterior(post, t0, config, data, config.save_name)
     if config.track_parameters and result.param_trace is not None:
         # The parameter trace gets a first-class consumer (VERDICT r1 #8):
         # per-step constrained-kinetics trajectories.
@@ -686,15 +718,12 @@ def run_nonlinear(config: cfg.RunConfig):
             model, params, t_obs, Y, V,
             jax.random.PRNGKey(config.seed + 7),
             num_warmup=n_draws, num_samples=n_draws,
+            num_chains=config.posterior_chains,
         )
         jax.block_until_ready(post.log_probs)
-        print(f"Sampled in {time.perf_counter() - t0:.2f}s "
-              f"(accept rate {float(post.accept_rate):.2f}, "
-              f"step size {float(post.step_size):.4f})")
-        _report_kinetics_posterior(
-            post.samples.kinetics, data,
-            config.save_name or "nlfm", config.out_dir,
-        )
+        _finish_posterior(post, t0, config, data,
+                          config.save_name or "nlfm",
+                          kin_from=lambda s: s.kinetics)
 
     print(f"Plots saved under {config.out_dir}/")
     return params, hist
@@ -790,16 +819,14 @@ def run_delay(config: cfg.RunConfig):
         post = delaysimm.kinetics_posterior(
             model, params, X, y, jax.random.PRNGKey(config.seed + 7),
             num_warmup=n_draws, num_samples=n_draws,
+            num_chains=config.posterior_chains,
         )
         jax.block_until_ready(post.log_probs)
-        print(f"Sampled in {time.perf_counter() - t0:.2f}s "
-              f"(accept rate {float(post.accept_rate):.2f}, "
-              f"step size {float(post.step_size):.4f})")
-        _report_kinetics_posterior(
-            post.samples, data, config.save_name or "delay", config.out_dir
+        pooled = _finish_posterior(
+            post, t0, config, data, config.save_name or "delay"
         )
         print("\nPosterior delays (mean +/- std [5%, 95%]):")
-        dvals = np.asarray(post.samples.delay)
+        dvals = np.asarray(pooled.delay)
         for g, name in enumerate(data.gene_names[: dvals.shape[1]]):
             lo, hi = np.percentile(dvals[:, g], [5, 95])
             print(f"  delay {name:<10} "
@@ -1402,6 +1429,10 @@ def main(argv=None):
             f"--mll-engine {config.mll_engine} is only supported by the "
             "first-order dense10k route (--preset dense10k --model simm)"
         )
+    if config.posterior_chains < 1:
+        raise SystemExit("--posterior-chains must be >= 1")
+    if config.posterior_chains > 1 and not config.posterior_samples:
+        raise SystemExit("--posterior-chains requires --posterior-samples")
     if config.posterior_samples and (
         config.preset in ("alfi-parity", "dense10k", "sparse100k")
         or config.model in ("simm2", "multisimm")

@@ -188,6 +188,8 @@ def kinetics_posterior(
     num_warmup: int = 400,
     num_samples: int = 400,
     num_leapfrog: int = 24,
+    num_chains: int = 1,
+    mesh=None,
 ):
     """Full-Bayes posterior over (kinetics, delays) — ``training.hmc`` on
     the delayed exact MLL, flat prior on the CONSTRAINED parameters via the
@@ -196,7 +198,10 @@ def kinetics_posterior(
     returned samples are in constrained space.  Like the instantaneous
     posterior this is over the UNCLAMPED model — the delay anchor is a
     point constraint the posterior does not impose, so delays show the
-    common-shift spread the anchor exists to resolve.
+    common-shift spread the anchor exists to resolve.  ``num_chains > 1``
+    returns ``(C, S)``-leading samples for R-hat/ESS diagnostics
+    (``training.hmc.pytree_diagnostics``), optionally sharded over
+    ``mesh``.
     """
     from dis_project_tpu.training import hmc
 
@@ -208,15 +213,11 @@ def kinetics_posterior(
             raw, DELAY_BIJECTORS
         )
 
-    res = hmc.sample(
-        logdensity,
-        unconstrain(params),
-        key,
-        num_warmup=num_warmup,
-        num_samples=num_samples,
-        num_leapfrog=num_leapfrog,
+    return hmc.sample_constrained(
+        logdensity, unconstrain(params), key, num_chains, mesh, constrain,
+        dict(num_warmup=num_warmup, num_samples=num_samples,
+             num_leapfrog=num_leapfrog),
     )
-    return res._replace(samples=jax.vmap(constrain)(res.samples))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -296,12 +296,16 @@ def force_posterior_hmc(
     num_warmup: int = 400,
     num_samples: int = 400,
     num_leapfrog: int = 24,
+    num_chains: int = 1,
+    mesh=None,
 ):
     """Full-Bayes posterior over (kinetics, w) — ``training.hmc`` on the
     same log-joint the MAP fit optimises, flat prior on the CONSTRAINED
     kinetics via the bijector Jacobian (the convention of
     ``training.hmc.kinetics_posterior``). Seed the chain at the MAP point.
-    Returned samples are in constrained space.
+    Returned samples are in constrained space.  ``num_chains > 1`` returns
+    ``(C, S)``-leading samples for R-hat/ESS diagnostics, optionally
+    sharded over ``mesh``.
     """
     from dis_project_tpu.training import hmc
 
@@ -311,12 +315,8 @@ def force_posterior_hmc(
             raw.kinetics, SIMM_BIJECTORS
         )
 
-    res = hmc.sample(
-        logdensity,
-        unconstrain(params),
-        key,
-        num_warmup=num_warmup,
-        num_samples=num_samples,
-        num_leapfrog=num_leapfrog,
+    return hmc.sample_constrained(
+        logdensity, unconstrain(params), key, num_chains, mesh, constrain,
+        dict(num_warmup=num_warmup, num_samples=num_samples,
+             num_leapfrog=num_leapfrog),
     )
-    return res._replace(samples=jax.vmap(constrain)(res.samples))

@@ -96,7 +96,17 @@ def sample(
     vg_fn = jax.value_and_grad(logp_flat)
 
     def hmc_step(q, logp, g, key, eps, inv_mass):
-        k_mom, k_acc = jax.random.split(key)
+        k_mom, k_jit, k_acc = jax.random.split(key, 3)
+        # Jitter the step size +-33% per trajectory: FIXED-length leapfrog
+        # on a near-harmonic posterior can resonate — when eps*L lands
+        # near the oscillation period the trajectory loops back to its
+        # start, giving high acceptance with no movement (measured on a
+        # unit Gaussian: dual averaging adapted to eps*L ~ 2*pi, 95%
+        # accept, ESS 14 of 1600).  Randomising the trajectory length is
+        # the standard fix (Neal 2011 §3.2).
+        eps = eps * jax.random.uniform(
+            k_jit, (), dtype, minval=0.67, maxval=1.33
+        )
         # momentum ~ N(0, M) with M = 1 / inv_mass (diagonal).
         p = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
         q_new, p_new, logp_new, g_new = _leapfrog(
@@ -208,6 +218,184 @@ def sample(
     )
 
 
+class MultiChainResult(NamedTuple):
+    """``samples``: stacked pytree of draws, leading axes ``(num_chains,
+    num_samples)``; ``accept_rate``/``step_size``: per-chain ``(C,)``;
+    ``log_probs``: ``(C, S)``."""
+
+    samples: object
+    accept_rate: jnp.ndarray
+    step_size: jnp.ndarray
+    log_probs: jnp.ndarray
+
+
+def sample_chains(
+    logdensity_fn: Callable,
+    init_position,
+    key,
+    num_chains: int = 4,
+    init_jitter: float = 0.1,
+    mesh=None,
+    axis: str = "data",
+    **kwargs,
+) -> MultiChainResult:
+    """``num_chains`` independent HMC chains as ONE vmapped program.
+
+    Each chain runs the full :func:`sample` recipe (two-window warmup,
+    per-chain step size and mass) from a position jittered around
+    ``init_position`` in the UNCONSTRAINED space (``init_jitter`` standard
+    normal scale; chain 0 starts exactly at the seed point, so the
+    single-chain behavior is embedded). Chains are embarrassingly parallel
+    — pass ``mesh`` to shard the chain axis over its ``axis`` dimension
+    (the SPMD-ensemble pattern of ``parallel.sharding``); no collectives
+    are ever inserted.
+
+    Diagnose convergence with :func:`split_rhat` / :func:`effective_
+    sample_size` on the stacked result.
+    """
+    flat0, unravel = jax.flatten_util.ravel_pytree(init_position)
+    keys = jax.random.split(key, num_chains + 1)
+    noise = jax.random.normal(
+        keys[-1], (num_chains, flat0.shape[0]), flat0.dtype
+    )
+    noise = noise.at[0].set(0.0)
+    inits = flat0[None, :] + init_jitter * noise
+
+    def one_chain(q0, k):
+        return sample(logdensity_fn, unravel(q0), k, **kwargs)
+
+    # Always jit the vmapped program (one compiled dispatch for all
+    # chains); with a mesh the chain axis is additionally sharded. Chains
+    # exchange nothing, so no collectives are inserted — but partitioning
+    # changes XLA's fusion choices, and a one-ulp difference in a
+    # Hamiltonian can flip a Metropolis accept, so individual DRAWS are
+    # not bitwise reproducible across sharding layouts (measured); the
+    # stationary distribution is unchanged.
+    run = jax.jit(jax.vmap(one_chain))
+    chain_keys = keys[:num_chains]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(axis))
+        inits = jax.device_put(inits, sh)
+        chain_keys = jax.device_put(chain_keys, sh)
+    res = run(inits, chain_keys)
+    return MultiChainResult(
+        samples=res.samples,
+        accept_rate=res.accept_rate,
+        step_size=res.step_size,
+        log_probs=res.log_probs,
+    )
+
+
+def split_rhat(chains):
+    """Split potential-scale-reduction R-hat (Gelman et al. / Stan) per
+    coordinate.
+
+    ``chains``: array-like ``(C, S, ...)`` — C chains of S draws. Each
+    chain is split in half (2C sequences of S//2) before the classic
+    between/within variance ratio, so a single wandering chain is caught
+    too. Returns an array of the trailing shape; values near 1 indicate
+    convergence (Stan's guidance: worry above ~1.01-1.05). Host-side
+    numpy — diagnostics are post-hoc, not part of the compiled sampler.
+    """
+    import numpy as np
+
+    x = np.asarray(chains)
+    C, S = x.shape[:2]
+    half = S // 2
+    if half < 2:
+        return np.full(x.shape[2:], np.nan)
+    x = np.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+    mean_c = x.mean(axis=1)  # (2C, ...)
+    var_c = x.var(axis=1, ddof=1)
+    W = var_c.mean(axis=0)
+    B = half * mean_c.var(axis=0, ddof=1)
+    var_plus = (half - 1.0) / half * W + B / half
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(W > 0, np.sqrt(var_plus / W), 1.0)
+
+
+def effective_sample_size(chains):
+    """Effective sample size per coordinate (Stan's multi-chain
+    autocorrelation estimator, Geyer initial-monotone truncation).
+
+    ``chains``: ``(C, S, ...)``. Returns the trailing shape. Plain
+    (non-rank-normalised) ESS of the mean — the quantity the credible-
+    interval standard errors depend on. Host-side numpy.
+    """
+    import numpy as np
+
+    x = np.asarray(chains, np.float64)
+    C, S = x.shape[:2]
+    flat_trail = int(np.prod(x.shape[2:], dtype=int)) if x.ndim > 2 else 1
+    xs = x.reshape(C, S, flat_trail)
+    out = np.empty(flat_trail)
+    for j in range(flat_trail):
+        z = xs[:, :, j]
+        mean_c = z.mean(axis=1, keepdims=True)
+        zc = z - mean_c
+        # per-chain autocovariance via FFT
+        n_fft = 1 << (2 * S - 1).bit_length()
+        f = np.fft.rfft(zc, n=n_fft, axis=1)
+        acov = np.fft.irfft(f * np.conj(f), n=n_fft, axis=1)[:, :S].real
+        acov /= S  # biased (Stan's convention)
+        W = (z.var(axis=1, ddof=1)).mean()
+        var_c = acov[:, 0] * S / (S - 1.0)
+        B_over_S = z.mean(axis=1).var(ddof=1) if C > 1 else 0.0
+        var_plus = var_c.mean() * (S - 1.0) / S + B_over_S
+        if var_plus <= 0 or not np.isfinite(var_plus):
+            out[j] = np.nan
+            continue
+        rho = 1.0 - (W - acov.mean(axis=0)) / var_plus  # (S,)
+        # Geyer initial monotone sequence on (even, odd) lag pairs
+        # P_m = rho[2m] + rho[2m+1] (Stan): tau = -1 + 2 sum_m P_m,
+        # truncated at the first negative pair, enforced non-increasing.
+        tau = -1.0
+        prev = np.inf
+        m = 0
+        while 2 * m + 1 < S:
+            pair = rho[2 * m] + rho[2 * m + 1]
+            if pair < 0:
+                break
+            pair = min(pair, prev)
+            tau += 2.0 * pair
+            prev = pair
+            m += 1
+        out[j] = C * S / max(tau, 1e-12)
+    return out.reshape(x.shape[2:]) if x.ndim > 2 else out[0]
+
+
+def pytree_diagnostics(samples):
+    """(max split-R-hat, min ESS) over every scalar coordinate of a
+    stacked-samples pytree with leading axes ``(num_chains, num_samples)``
+    — the two numbers a convergence gate needs. Host-side numpy."""
+    import numpy as np
+
+    rhat_max, ess_min = -np.inf, np.inf
+    for leaf in jax.tree_util.tree_leaves(samples):
+        a = np.asarray(leaf)
+        r = split_rhat(a)
+        e = effective_sample_size(a)
+        rhat_max = max(rhat_max, float(np.nanmax(r)))
+        ess_min = min(ess_min, float(np.nanmin(e)))
+    return rhat_max, ess_min
+
+
+def sample_constrained(logdensity, raw0, key, num_chains, mesh, constrain_fn, kw):
+    """Dispatch single-chain vs multi-chain sampling and constrain the
+    returned samples (one vmap level per leading axis)."""
+    if num_chains > 1:
+        res = sample_chains(
+            logdensity, raw0, key, num_chains=num_chains, mesh=mesh, **kw
+        )
+        return res._replace(
+            samples=jax.vmap(jax.vmap(constrain_fn))(res.samples)
+        )
+    res = sample(logdensity, raw0, key, **kw)
+    return res._replace(samples=jax.vmap(constrain_fn)(res.samples))
+
+
 def kinetics_posterior(
     model,
     params,
@@ -217,7 +405,9 @@ def kinetics_posterior(
     num_warmup: int = 400,
     num_samples: int = 400,
     num_leapfrog: int = 24,
-) -> HMCResult:
+    num_chains: int = 1,
+    mesh=None,
+):
     """Posterior over the exact SIMM hyperparameters given expression data.
 
     Log-density: the exact conjugate MLL (same Sigma convention as
@@ -225,6 +415,12 @@ def kinetics_posterior(
     (improper) prior on the CONSTRAINED parameters. ``params`` seeds the
     chain (use the trained MAP/MLE point); returned samples are in
     CONSTRAINED space.
+
+    ``num_chains > 1`` runs that many jitter-initialised chains as one
+    vmapped program (optionally sharded over ``mesh``) and returns a
+    :class:`MultiChainResult` with ``(C, S)``-leading samples — feed them
+    to :func:`split_rhat` / :func:`effective_sample_size` /
+    :func:`pytree_diagnostics` for convergence checks.
     """
     from dis_project_tpu.models import simm
     from dis_project_tpu.ops import bijectors as bij
@@ -237,12 +433,9 @@ def kinetics_posterior(
             raw, simm.SIMM_BIJECTORS
         )
 
-    res = sample(
-        logdensity,
-        simm.unconstrain(params),
-        key,
-        num_warmup=num_warmup,
-        num_samples=num_samples,
-        num_leapfrog=num_leapfrog,
+    return sample_constrained(
+        logdensity, simm.unconstrain(params), key, num_chains, mesh,
+        simm.constrain,
+        dict(num_warmup=num_warmup, num_samples=num_samples,
+             num_leapfrog=num_leapfrog),
     )
-    return res._replace(samples=jax.vmap(simm.constrain)(res.samples))

@@ -247,6 +247,35 @@ class TestPipelineEntry:
         assert _parse([]).num_iters == 150
         assert _parse(["--model", "nlfm", "--num-iters", "7"]).num_iters == 7
 
+    def test_posterior_chains_smoke(self, tmp_path, capsys):
+        """--posterior-chains 2: per-chain accept rates and the
+        split-R-hat / ESS convergence line."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=20,
+            posterior_samples=20,
+            posterior_chains=2,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run(c)
+        out = capsys.readouterr().out
+        assert "convergence over 2 chains" in out
+        assert "split-R-hat" in out and "ESS" in out
+
+    def test_posterior_chains_guards(self):
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        with pytest.raises(SystemExit, match="posterior-samples"):
+            entry.main(["--posterior-chains", "2"])
+        with pytest.raises(SystemExit, match="posterior-chains"):
+            entry.main(["--posterior-chains", "0"])
+        assert _parse(["--posterior-chains", "4"]).posterior_chains == 4
+        assert _parse([]).posterior_chains == 1
+
     def test_version_in_sync_with_pyproject(self):
         import os
         import re
