@@ -181,9 +181,11 @@ class TestPipelineEntry:
                 str(tmp_path / "plots" / f"lf_multiforce_f{r}.png")
             )
 
-    def test_posterior_samples_smoke(self, tmp_path):
+    def test_posterior_samples_smoke(self, tmp_path, capsys):
         """--posterior-samples: HMC kinetics posterior after training,
-        credible-interval table + histogram grid artifact."""
+        credible-interval table + histogram grid artifact, and the BMA
+        latent-force band (or its honest skip when every draw lands where
+        the reference-convention covariance fails PSD)."""
         import os
 
         from dis_project_tpu import main as entry
@@ -198,6 +200,14 @@ class TestPipelineEntry:
         assert os.path.exists(
             str(tmp_path / "plots" / "posterior_kinetics.png")
         )
+        # BMA latent force: band artifact when any component survived,
+        # otherwise the explicit skip line — never a silent NaN plot.
+        out = capsys.readouterr().out
+        if "skipping the BMA band" in out:
+            assert not os.path.exists(str(tmp_path / "plots" / "lf_bma.png"))
+        else:
+            assert "BMA latent-force band" in out
+            assert os.path.exists(str(tmp_path / "plots" / "lf_bma.png"))
 
     def test_nonlinear_route_smoke(self, tmp_path):
         """run_nonlinear end-to-end at toy scale: exp-response MAP fit,
@@ -322,7 +332,7 @@ class TestPipelineEntry:
                               data_source="synthetic")
             )
 
-    def test_delay_posterior_smoke(self, tmp_path):
+    def test_delay_posterior_smoke(self, tmp_path, capsys):
         """--posterior-samples on the delay route: joint (kinetics, delay)
         HMC with the credible-interval tables and histogram artifact."""
         import os
@@ -343,6 +353,14 @@ class TestPipelineEntry:
         assert os.path.exists(
             str(tmp_path / "plots" / "posterior_kinetics_delay.png")
         )
+        # BMA latent force over the joint (kinetics, delay) posterior:
+        # band artifact when any component survived, explicit skip if not.
+        out = capsys.readouterr().out
+        if "skipping the BMA band" not in out:
+            assert "BMA latent-force band" in out
+            assert os.path.exists(
+                str(tmp_path / "plots" / "lf_delay_bma.png")
+            )
 
     def test_multiforce_guards(self):
         import pytest

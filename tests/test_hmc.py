@@ -186,3 +186,110 @@ def test_kinetics_posterior_multichain_p53():
         assert bool(jnp.all(jnp.isfinite(leaf)))
     rhat_max, ess_min = hmc.pytree_diagnostics(res.samples)
     assert np.isfinite(rhat_max) and ess_min > 1
+
+
+def test_mixture_predict_exact_moments():
+    """mixture_predict must reproduce the closed-form mixture moments:
+    mean = E[mu_s], cov = E[Sigma_s] + Cov[mu_s] (law of total
+    covariance), checked against a hand-computed 2-component mixture."""
+    from dis_project_tpu.models.base import Gaussian
+
+    mus = jnp.asarray([[0.0, 2.0], [4.0, -2.0]])
+    covs = jnp.asarray([np.eye(2), 3.0 * np.eye(2)])
+
+    def predict(i):
+        return Gaussian(mean=mus[i], cov=covs[i])
+
+    mixed, comp = hmc.mixture_predict(predict, jnp.arange(2))
+    assert comp.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(mixed.mean), [2.0, 0.0], rtol=1e-6)
+    # E[Sigma] = 2 I; Cov[mu] = [[4, -4], [-4, 4]].
+    np.testing.assert_allclose(
+        np.asarray(mixed.cov), [[6.0, -4.0], [-4.0, 6.0]], rtol=1e-6
+    )
+
+
+def test_mixture_predict_thins_evenly():
+    """max_components thins the draw axis evenly: with S=10 draws and 4
+    components the sweep must touch exactly draws {0, 3, 6, 9}."""
+    from dis_project_tpu.models.base import Gaussian
+
+    seen = jnp.arange(10.0)
+
+    def predict(v):
+        return Gaussian(mean=v[None], cov=jnp.zeros((1, 1)))
+
+    mixed, comp = hmc.mixture_predict(predict, seen, max_components=4)
+    np.testing.assert_allclose(np.asarray(comp).ravel(), [0.0, 3.0, 6.0, 9.0])
+    assert float(mixed.mean[0]) == pytest.approx(4.5)
+
+
+def test_mixture_latent_force_p53():
+    """End-to-end BMA on the p53 problem: the mixture over a 2-draw
+    'posterior' of distinct kinetics matches a hand-averaged pair of
+    latent_predict calls, and widens the band vs either component."""
+    from dis_project_tpu.data.dataset import P53Data, dataset_3d
+    from dis_project_tpu.utils.test_grids import latent_grid
+
+    data = P53Data(replicate=0, source="synthetic")
+    X, y, var = dataset_3d(data)
+    model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+    p0 = simm.init_params(5, dtype=X.dtype)
+    p1 = p0._replace(lengthscale=p0.lengthscale * 1.3)
+    stacked = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), p0, p1
+    )
+    t_grid = latent_grid(20)
+
+    predict = lambda p: model.latent_predict(p, t_grid, X, y, var)
+    mixed, comp = hmc.mixture_predict(predict, stacked)
+
+    d0, d1 = predict(p0), predict(p1)
+    np.testing.assert_allclose(
+        np.asarray(mixed.mean),
+        np.asarray((d0.mean + d1.mean) / 2),
+        rtol=1e-6, atol=1e-8,
+    )
+    manual_var = (
+        (d0.variance() + d1.variance()) / 2
+        + (d0.mean - d1.mean) ** 2 / 4
+    )
+    np.testing.assert_allclose(
+        np.asarray(mixed.variance()), np.asarray(manual_var),
+        rtol=1e-5, atol=1e-8,
+    )
+    # Disagreement between components must only ever widen the band.
+    assert np.all(
+        np.asarray(mixed.variance())
+        >= np.minimum(np.asarray(d0.variance()), np.asarray(d1.variance()))
+        - 1e-12
+    )
+
+
+def test_mixture_predict_drops_nonfinite_components():
+    """A draw whose predictive is non-finite (the reference k_xx family is
+    indefinite at large D*l, so unclamped draws can legitimately fail the
+    predictive Cholesky) must be dropped, not poison the mixture."""
+    from dis_project_tpu.models.base import Gaussian
+
+    mus = jnp.asarray([[1.0, 3.0], [jnp.nan, 0.0], [3.0, 5.0]])
+    covs = jnp.stack([jnp.eye(2)] * 3)
+
+    def predict(i):
+        return Gaussian(mean=mus[i], cov=covs[i])
+
+    mixed, comp = hmc.mixture_predict(predict, jnp.arange(3))
+    assert comp.shape == (2, 2)  # the NaN component is gone
+    np.testing.assert_allclose(np.asarray(mixed.mean), [2.0, 4.0], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mixed.cov), [[2.0, 1.0], [1.0, 2.0]], rtol=1e-6
+    )
+
+    # All components non-finite: NaN Gaussian + zero components, so the
+    # caller can skip instead of plotting an empty band.
+    def predict_bad(i):
+        return Gaussian(mean=mus[1], cov=covs[i])
+
+    mixed_bad, comp_bad = hmc.mixture_predict(predict_bad, jnp.arange(2))
+    assert comp_bad.shape[0] == 0
+    assert not bool(jnp.isfinite(mixed_bad.mean).any())
