@@ -770,9 +770,41 @@ def run_nonlinear(config: cfg.RunConfig):
             num_chains=config.posterior_chains,
         )
         jax.block_until_ready(post.log_probs)
-        _finish_posterior(post, t0, config, data,
-                          config.save_name or "nlfm",
-                          kin_from=lambda s: s.kinetics)
+        pooled = _finish_posterior(post, t0, config, data,
+                                   config.save_name or "nlfm",
+                                   kin_from=lambda s: s.kinetics)
+        # The HMC state contains the FORCE itself (whitened w), so the
+        # full-Bayes force band is the empirical moment over the draws
+        # f_s = L(l_s) w_s — kinetics, lengthscale, and force uncertainty
+        # all marginalised jointly (the Laplace band above is a fixed-
+        # kinetics Gaussian approximation around the MAP).
+        import numpy as np
+
+        forces = np.asarray(jax.jit(jax.vmap(model.force))(pooled))
+        finite = np.isfinite(forces).all(axis=1)
+        forces = forces[finite]
+        if forces.shape[0] > 0:
+            fmean = forces.mean(axis=0)
+            fcov = jnp.diag(jnp.asarray(forces.var(axis=0)))
+            hmc_widen = float(np.mean(
+                np.sqrt(np.diag(np.asarray(fcov)))
+                / np.asarray(lap.stddev())
+            ))
+            print(
+                f"HMC force band ({forces.shape[0]} draws): mean stddev "
+                f"{hmc_widen:.2f}x the Laplace band"
+            )
+            from dis_project_tpu.models.base import Gaussian
+
+            plotter.plot_lf(
+                rows,
+                Gaussian(mean=jnp.asarray(fmean), cov=fcov),
+                y_scatter=data.f_observed if identity else None,
+                scatter_times=data.timepoints if identity else None,
+                title=f"nonlinear ({config.response}), full-Bayes force",
+                save_name=f"{config.save_name or 'nlfm'}_hmc",
+                out_dir=config.out_dir,
+            )
 
     print(f"Plots saved under {config.out_dir}/")
     return params, hist

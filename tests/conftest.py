@@ -51,6 +51,7 @@ SLOW_NODEID_PATTERNS = (
     "test_nlfm.py::test_laplace_curve_bands_shapes_and_mean",
     "test_nlfm.py::test_exp_response_recovery",
     "test_nlfm.py::test_hmc_smoke",
+    "test_cli.py::TestPipelineEntry::test_nonlinear_posterior_force_band_smoke",
     # full-pipeline CLI integration (r2): legacy-checkpoint warm start
     "test_cli.py::TestPipelineEntry::test_resume_from_legacy_checkpoint",
     # second-order route end-to-end (~70 s CPU: complex-erf Gram compiles)

@@ -234,6 +234,31 @@ class TestPipelineEntry:
         assert os.path.exists(str(tmp_path / "plots" / "lf_nlfm.png"))
         assert os.path.exists(str(tmp_path / "plots" / "gxpr_nlfm.png"))
 
+    def test_nonlinear_posterior_force_band_smoke(self, tmp_path, capsys):
+        """--posterior-samples on the nlfm route: the HMC state carries the
+        whitened force, so the route must emit the full-Bayes force band
+        (empirical over f_s = L(l_s) w_s) next to the Laplace band."""
+        import os
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            model="nlfm",
+            response="exp",
+            num_quad=25,
+            data_source="synthetic",
+            num_iters=30,
+            posterior_samples=10,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_nonlinear(c)
+        out = capsys.readouterr().out
+        assert "HMC force band" in out
+        assert os.path.exists(str(tmp_path / "plots" / "lf_nlfm_hmc.png"))
+        assert os.path.exists(
+            str(tmp_path / "plots" / "posterior_kinetics_nlfm.png")
+        )
+
     def test_nonlinear_guards(self):
         import pytest
 
