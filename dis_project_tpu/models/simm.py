@@ -105,28 +105,6 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
-def _is_batched(*vals) -> bool:
-    """True when any value is mid-``vmap`` (a BatchTracer).
-
-    The symmetric Gram kernel's manual-DMA output (memory space ANY) has
-    no working Pallas vmap lowering on TPU (r2 regression: vmapped
-    ensemble fits crashed at compile) — batched calls must take the
-    vmap-safe dense kernel / XLA closed forms instead.
-
-    Known limitation: this sees only vmap applied to *Python* code.
-    ``vmap(jit(f))`` batches the already-traced jaxpr, which no trace-time
-    check can observe — pass ``gram_impl='xla'`` explicitly there.
-    """
-    try:
-        # Current JAX (0.9.x) only exposes BatchTracer privately.
-        from jax._src.interpreters.batching import BatchTracer
-    except ImportError:
-        # Older JAX exported it publicly; future JAX may again.
-        from jax.interpreters.batching import BatchTracer
-
-    return any(isinstance(v, BatchTracer) for v in vals)
-
-
 @dataclasses.dataclass(frozen=True)
 class ExactSIMM:
     """Static configuration + pure methods for the exact SIMM LFM.
@@ -227,16 +205,12 @@ class ExactSIMM:
 
     def gram(self, params: SIMMParams, x: jnp.ndarray, kind: str = "mixed") -> jnp.ndarray:
         n = x.shape[0]
-        use_sym = (
-            self.gram_impl == "pallas"
-            or (
-                self.gram_impl == "auto"
-                and n >= self.PALLAS_GRAM_MIN_N
-                and x.dtype == jnp.float32
-                and _on_tpu()
-            )
-        ) and not _is_batched(x, params.decay, params.sensitivity,
-                              params.lengthscale)
+        use_sym = self.gram_impl == "pallas" or (
+            self.gram_impl == "auto"
+            and n >= self.PALLAS_GRAM_MIN_N
+            and x.dtype == jnp.float32
+            and _on_tpu()
+        )
         if use_sym:
             from dis_project_tpu.ops import pallas_gram
 

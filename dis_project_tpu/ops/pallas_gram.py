@@ -173,20 +173,58 @@ def _cross_covariance_fwd_impl(
     return out[:n, :m]
 
 
+@functools.lru_cache(maxsize=None)
+def _ccov_batchable(kind: str, tile_m: int, tile_n: int, interpret: bool):
+    """Pallas forward with a PUBLIC vmap fallback (``jax.custom_batching``).
+
+    ``pallas_call`` with manual-DMA outputs has no working vmap lowering on
+    TPU, so batched callers (ensemble fits, vmapped HMC chains) must take
+    the XLA closed forms instead.  r2 routed this with a trace-time
+    ``BatchTracer`` isinstance sniff on ``jax._src`` internals, which (a)
+    depended on private API and (b) could not see ``vmap(jit(f))``.  A
+    ``custom_vmap`` batch rule fixes both *by construction*: vmap — at any
+    nesting, including through jit — rewrites this call to the vmapped
+    closed-form build, and unbatched calls lower the Pallas kernel
+    untouched.  (Verified composable with the surrounding ``custom_vjp``
+    and with ``vmap(jit(f))`` / ``vmap(grad(f))`` in
+    ``tests/test_pallas.py::TestBatchedDispatch``.)
+    """
+
+    @jax.custom_batching.custom_vmap
+    def fn(x1, x2, decay, sens, lengthscale):
+        return _cross_covariance_fwd_impl(
+            x1, x2, decay, sens, lengthscale,
+            kind=kind, tile_m=tile_m, tile_n=tile_n, interpret=interpret,
+        )
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, x1, x2, decay, sens, lengthscale):
+        from dis_project_tpu.ops import gram as gram_ops
+
+        in_axes = [0 if b else None for b in in_batched]
+        out = jax.vmap(
+            lambda x1, x2, d, s, l: gram_ops.cross_covariance_kind(
+                x1, x2, d, s, l, kind
+            ),
+            in_axes=in_axes,
+        )(x1, x2, decay, sens, lengthscale)
+        return out, True
+
+    return fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _cross_covariance_diffable(
     x1, x2, decay, sens, lengthscale, kind, tile_m, tile_n, interpret
 ):
-    return _cross_covariance_fwd_impl(
-        x1, x2, decay, sens, lengthscale,
-        kind=kind, tile_m=tile_m, tile_n=tile_n, interpret=interpret,
+    return _ccov_batchable(kind, tile_m, tile_n, interpret)(
+        x1, x2, decay, sens, lengthscale
     )
 
 
 def _ccov_fwd(x1, x2, decay, sens, lengthscale, kind, tile_m, tile_n, interpret):
-    out = _cross_covariance_fwd_impl(
-        x1, x2, decay, sens, lengthscale,
-        kind=kind, tile_m=tile_m, tile_n=tile_n, interpret=interpret,
+    out = _ccov_batchable(kind, tile_m, tile_n, interpret)(
+        x1, x2, decay, sens, lengthscale
     )
     return out, (x1, x2, decay, sens, lengthscale)
 
@@ -394,16 +432,45 @@ def _gram_sym_impl(
     return out[:n, :n]
 
 
+@functools.lru_cache(maxsize=None)
+def _gram_sym_batchable(kind: str, tile: int, interpret: bool):
+    """Symmetric-Gram forward with a PUBLIC vmap fallback — see
+    :func:`_ccov_batchable` (this is the kernel whose manual-DMA ``ANY``
+    output crashed vmapped ensemble fits in r2)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(x, decay, sens, lengthscale):
+        return _gram_sym_impl(
+            x, decay, sens, lengthscale, kind=kind, tile=tile,
+            interpret=interpret,
+        )
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, x, decay, sens, lengthscale):
+        from dis_project_tpu.ops import gram as gram_ops
+
+        in_axes = [0 if b else None for b in in_batched]
+        out = jax.vmap(
+            lambda x, d, s, l: gram_ops.cross_covariance_kind(
+                x, x, d, s, l, kind
+            ),
+            in_axes=in_axes,
+        )(x, decay, sens, lengthscale)
+        return out, True
+
+    return fn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _gram_sym_diffable(x, decay, sens, lengthscale, kind, tile, interpret):
-    return _gram_sym_impl(
-        x, decay, sens, lengthscale, kind=kind, tile=tile, interpret=interpret
+    return _gram_sym_batchable(kind, tile, interpret)(
+        x, decay, sens, lengthscale
     )
 
 
 def _gram_sym_fwd(x, decay, sens, lengthscale, kind, tile, interpret):
-    out = _gram_sym_impl(
-        x, decay, sens, lengthscale, kind=kind, tile=tile, interpret=interpret
+    out = _gram_sym_batchable(kind, tile, interpret)(
+        x, decay, sens, lengthscale
     )
     return out, (x, decay, sens, lengthscale)
 

@@ -454,3 +454,81 @@ class TestBlockedCholesky:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
             )
+
+
+class TestBatchedDispatch:
+    """The public custom_vmap fallback (r3, replacing the jax._src
+    BatchTracer sniff): under vmap — at any nesting, including through jit
+    and grad — the Pallas Gram kernels rewrite to the XLA closed forms BY
+    CONSTRUCTION, so a vmapped ``ExactSIMM.gram`` can never hit the
+    non-vmappable manual-DMA symmetric kernel."""
+
+    def test_vmapped_gram_takes_dense_path_by_construction(self):
+        """``gram_impl='pallas'`` forces the Pallas kernel, which cannot
+        lower on CPU (no interpret flag through the model API) — yet the
+        vmapped call succeeds and matches the closed forms, proving the
+        batch rule routed off Pallas before lowering."""
+        import jax
+
+        from dis_project_tpu.models import simm
+
+        decay, sens, ell = _params()
+        X = _rows(40, flag=1)
+        model = simm.ExactSIMM(num_genes=5, gram_impl="pallas")
+        params = simm.init_params(5)._replace(
+            decay=decay, sensitivity=sens, lengthscale=ell
+        )
+
+        batched = jax.vmap(lambda p: model.gram(p, X, kind="xx"))(
+            jax.tree.map(lambda a: jnp.stack([a, a + 0.01]), params)
+        )
+        ref0 = gram_ops.cross_covariance(X, X, decay, sens, ell)
+        np.testing.assert_allclose(
+            np.asarray(batched[0]), np.asarray(ref0), rtol=1e-12
+        )
+        assert batched.shape == (2, 40, 40)
+
+    def test_vmap_of_jit_and_grad_compose(self):
+        """The r2 sniff could not see vmap(jit(f)); the custom_vmap rule
+        can — and it composes with the custom VJP."""
+        import jax
+
+        decay, sens, ell = _params()
+        X = _rows(24, flag=1)
+
+        def f(d):
+            return jnp.sum(pg.gram_sym(X, d, sens, ell, kind="xx"))
+
+        D = jnp.stack([decay, decay * 1.1])
+        ref = jnp.stack(
+            [jnp.sum(gram_ops.cross_covariance(X, X, d, sens, ell)) for d in D]
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.vmap(jax.jit(f))(D)), np.asarray(ref), rtol=1e-12
+        )
+        g = jax.vmap(jax.grad(f))(D)
+        g_ref = jnp.stack(
+            [
+                jax.grad(
+                    lambda d: jnp.sum(
+                        gram_ops.cross_covariance(X, X, d, sens, ell)
+                    )
+                )(d)
+                for d in D
+            ]
+        )
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-9)
+
+    def test_no_private_jax_imports(self):
+        """Package-wide guard: no ``jax._src`` anywhere (VERDICT r2 #5)."""
+        import pathlib
+        import re
+
+        # Imports or attribute uses only — prose mentions in docstrings
+        # (e.g. the changelog note in pallas_gram) are fine.
+        pat = re.compile(r"(from|import)\s+jax\._src|jax\._src\.")
+        pkg = pathlib.Path(__file__).parent.parent / "dis_project_tpu"
+        offenders = [
+            p for p in pkg.rglob("*.py") if pat.search(p.read_text())
+        ]
+        assert offenders == [], f"private jax._src imports in: {offenders}"
