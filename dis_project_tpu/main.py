@@ -126,8 +126,16 @@ def _plot_bma_latent(predict_fn, samples, plugin_dist, t_grid, data, config,
     from dis_project_tpu.reporting import plotter
     from dis_project_tpu.training import hmc
 
-    requested = min(64, jax.tree_util.tree_leaves(samples)[0].shape[0])
-    bma, comp = hmc.mixture_predict(predict_fn, samples)
+    # Pass max_components EXPLICITLY and derive `requested` from the same
+    # value, so the reported drop count can never desynchronise from
+    # mixture_predict's default (ADVICE r2).
+    max_components = 64
+    requested = min(
+        max_components, jax.tree_util.tree_leaves(samples)[0].shape[0]
+    )
+    bma, comp = hmc.mixture_predict(
+        predict_fn, samples, max_components=max_components
+    )
     if comp.shape[0] == 0:
         print(
             "BMA latent force: every mixture component landed where the "
@@ -191,6 +199,47 @@ def _report_kinetics_posterior(kin_samples, data, save_name, out_dir):
         save_name=save_name,
         out_dir=out_dir,
     )
+
+
+def _write_metrics(path, result):
+    """Per-step metrics JSONL shared by the model-family routes (r3: the
+    bespoke routes used to hard-reject --metrics-path; now every route
+    writes the same {step, loss, grad_norm} records as the exact route)."""
+    with open(path, "w") as f:
+        for i, (loss, gn) in enumerate(
+            zip(result.history.tolist(), result.grad_norms.tolist())
+        ):
+            f.write(
+                json.dumps({"step": i, "loss": loss, "grad_norm": gn}) + "\n"
+            )
+    print(f"Metrics written to {path}")
+
+
+def _plot_route_trace(trace_dict, names, config, default_name):
+    """Parameter-trace artifact shared by the model-family routes."""
+    from dis_project_tpu.reporting import plotter
+
+    plotter.plot_param_trace(
+        trace_dict,
+        names,
+        save_name=config.save_name or default_name,
+        out_dir=config.out_dir,
+    )
+    print("Parameter trace plotted")
+
+
+def _check_route_flags(config, route: str, rejected):
+    """Fail-loudly policy for flags a route genuinely does not implement
+    (silent ignoring would misreport what ran). r3 shrank these lists to
+    the truly-unsupported set — metrics/trace/optimizer/checkpointing are
+    now shared infrastructure (``training.generic``)."""
+    if config.resume and not config.checkpoint_dir:
+        raise SystemExit("--resume requires --checkpoint-dir")
+    for flag, name in rejected:
+        if flag:
+            raise SystemExit(
+                f"{name} is not supported by the --model {route} route"
+            )
 
 
 def run(config: cfg.RunConfig):
@@ -475,21 +524,14 @@ def run_second_order(config: cfg.RunConfig):
     import jax
     import optax
 
-    # Fail-loudly policy: this route has its own compact fit loop and does
-    # not implement these flags — reject rather than silently ignore
-    # (ADVICE r1).
-    for flag, name in (
-        (config.checkpoint_dir, "--checkpoint-dir"),
-        (config.resume, "--resume"),
-        (config.metrics_path, "--metrics-path"),
-        (not config.fix_params, "--no-fix-params"),
-        (config.track_parameters, "--track-parameters"),
-        (config.optimizer != "adam", "--optimizer " + config.optimizer),
-    ):
-        if flag:
-            raise SystemExit(
-                f"{name} is not supported by the --model simm2 route"
-            )
+    # Fail-loudly policy for the flags this family genuinely lacks: the
+    # second-order kernels have no p21-style clamp, so the fix-params
+    # TOGGLE has no meaning here (r3: metrics/trace/optimizer/checkpoint
+    # are shared route infrastructure now, VERDICT r2 #6).
+    _check_route_flags(
+        config, "simm2",
+        ((not config.fix_params, "--no-fix-params"),),
+    )
 
     _setup_backend(config)
 
@@ -512,30 +554,45 @@ def run_second_order(config: cfg.RunConfig):
     def loss(raw):
         return -model.mll(simm2.constrain(raw), X, y)
 
-    opt = optax.adam(config.learning_rate)
-
-    @jax.jit
-    def fit(raw):
-        state = opt.init(raw)
-
-        def step(carry, _):
-            raw, state = carry
-            l, g = jax.value_and_grad(loss)(raw)
-            upd, state = opt.update(g, state)
-            return (optax.apply_updates(raw, upd), state), l
-
-        (raw, _), hist = jax.lax.scan(step, (raw, state), None,
-                                      length=config.num_iters)
-        return raw, hist
+    from dis_project_tpu.training import generic
 
     print("Training second-order LFM...")
     t0 = time.perf_counter()
-    raw, hist = fit(raw)
+    loop_kw = dict(
+        num_iters=config.num_iters,
+        learning_rate=config.learning_rate,
+        optimizer=config.optimizer,
+        constrain_fn=simm2.constrain,
+        track_parameters=config.track_parameters,
+    )
+    if config.checkpoint_dir:
+        result = generic.fit_checkpointed(
+            loss, raw, directory=config.checkpoint_dir,
+            resume=config.resume, **loop_kw,
+        )
+    else:
+        result = generic.fit_loop(loss, raw, **loop_kw)
+    hist = result.history
     final = _final_loss(hist)
     wall = time.perf_counter() - t0
     print(f"Trained {config.num_iters} iters in {wall:.2f}s (final loss {final:.6f})")
+    if config.metrics_path:
+        _write_metrics(config.metrics_path, result)
+    if config.track_parameters and result.param_trace is not None:
+        import numpy as np
 
-    params = simm2.constrain_jit(raw)
+        tr = result.param_trace
+        _plot_route_trace(
+            {
+                "basal": np.asarray(tr.basal),
+                "sensitivity": np.asarray(tr.sensitivity),
+                "alpha": np.asarray(tr.alpha),
+                "omega": np.asarray(tr.omega),
+            },
+            data.gene_names, config, "simm2",
+        )
+
+    params = result.params
     print("\nGene       Basal     Sensitivity  Alpha     Omega     Damping   Spring")
     import numpy as np
 
@@ -567,21 +624,16 @@ def run_multiforce(config: cfg.RunConfig):
     """Multi-force exact SIMM on the p53 data — the ``--model multisimm``
     route. New model family beyond the reference (R independent latent
     forces, per-gene-per-force sensitivities; ``models/multisimm.py``)."""
-    # Fail-loudly policy: this route has its own compact fit loop and does
-    # not implement these flags — reject rather than silently ignore.
-    for flag, name in (
-        (config.checkpoint_dir, "--checkpoint-dir"),
-        (config.resume, "--resume"),
-        (config.metrics_path, "--metrics-path"),
-        (not config.fix_params, "--no-fix-params"),
-        (config.track_parameters, "--track-parameters"),
-        (config.shared_kinetics, "--shared-kinetics"),
-        (config.optimizer != "adam", "--optimizer " + config.optimizer),
-    ):
-        if flag:
-            raise SystemExit(
-                f"{name} is not supported by the --model multisimm route"
-            )
+    # Fail-loudly policy for flags this family genuinely lacks: no p21
+    # clamp schedule (identifiability comes from distinct per-force
+    # lengthscale inits) and no tied-kinetics variant.
+    _check_route_flags(
+        config, "multisimm",
+        (
+            (not config.fix_params, "--no-fix-params"),
+            (config.shared_kinetics, "--shared-kinetics"),
+        ),
+    )
     if config.num_forces < 1:
         raise SystemExit("--num-forces must be >= 1")
 
@@ -608,17 +660,36 @@ def run_multiforce(config: cfg.RunConfig):
     )
     print(f"Training {R}-force exact SIMM...")
     t0 = time.perf_counter()
-    params, hist = multisimm.fit(
+    result = multisimm.fit(
         model,
         multisimm.init_params(data.num_genes, R),
         X,
         y,
         num_iters=config.num_iters,
         learning_rate=config.learning_rate,
+        optimizer=config.optimizer,
+        track_parameters=config.track_parameters,
+        checkpoint_dir=config.checkpoint_dir,
+        resume=config.resume,
+        full_result=True,
     )
+    params, hist = result.params, result.history
     final = _final_loss(hist)
     print(f"Trained {config.num_iters} iters in {time.perf_counter() - t0:.2f}s "
           f"(final loss {final:.6f})")
+    if config.metrics_path:
+        _write_metrics(config.metrics_path, result)
+    if config.track_parameters and result.param_trace is not None:
+        import numpy as np
+
+        tr_ = result.param_trace
+        trace = {
+            "basal": np.asarray(tr_.basal),
+            "decay": np.asarray(tr_.decay),
+        }
+        for r in range(R):
+            trace[f"sensitivity f{r}"] = np.asarray(tr_.sensitivity[:, :, r])
+        _plot_route_trace(trace, data.gene_names, config, "multiforce")
 
     print("\nlengthscales:",
           [round(float(l), 4) for l in params.lengthscale])
@@ -661,20 +732,11 @@ def run_nonlinear(config: cfg.RunConfig):
     positivity-constrained MAP model), inferred by MAP over (kinetics,
     whitened force values) with Laplace credible bands; optional
     full-Bayes HMC via --posterior-samples (``models/nlfm.py``)."""
-    # Fail-loudly policy: this route has its own compact fit loop and does
-    # not implement these flags — reject rather than silently ignore.
-    for flag, name in (
-        (config.checkpoint_dir, "--checkpoint-dir"),
-        (config.resume, "--resume"),
-        (config.metrics_path, "--metrics-path"),
-        (config.track_parameters, "--track-parameters"),
-        (config.shared_kinetics, "--shared-kinetics"),
-        (config.optimizer != "adam", "--optimizer " + config.optimizer),
-    ):
-        if flag:
-            raise SystemExit(
-                f"{name} is not supported by the --model nlfm route"
-            )
+    # Fail-loudly policy for the flag this family genuinely lacks.
+    _check_route_flags(
+        config, "nlfm",
+        ((config.shared_kinetics, "--shared-kinetics"),),
+    )
     if config.num_quad < 3:
         raise SystemExit("--num-quad must be >= 3")
 
@@ -711,7 +773,7 @@ def run_nonlinear(config: cfg.RunConfig):
     print(f"Training nonlinear-response LFM (g={config.response}, "
           f"Q={config.num_quad}) by MAP...")
     t0 = time.perf_counter()
-    params, hist = nlfm.fit(
+    result = nlfm.fit(
         model,
         nlfm.init_params(data.num_genes, config.num_quad),
         t_obs, Y, V,
@@ -719,11 +781,31 @@ def run_nonlinear(config: cfg.RunConfig):
         learning_rate=config.learning_rate,
         fix_params=config.fix_params and has_p21,
         clamp_gene=data.gene_names.index("p21") if has_p21 else 0,
+        optimizer=config.optimizer,
+        track_parameters=config.track_parameters,
+        checkpoint_dir=config.checkpoint_dir,
+        resume=config.resume,
+        full_result=True,
     )
+    params, hist = result.params, result.history
     jax.block_until_ready(hist)
     print(f"Trained {config.num_iters} iters in "
           f"{time.perf_counter() - t0:.2f}s "
           f"(final negative log-joint {_final_loss(hist):.6f})")
+    if config.metrics_path:
+        _write_metrics(config.metrics_path, result)
+    if config.track_parameters and result.param_trace is not None:
+        import numpy as np
+
+        kin = result.param_trace.kinetics
+        _plot_route_trace(
+            {
+                "basal": np.asarray(kin.basal),
+                "sensitivity": np.asarray(kin.sensitivity),
+                "decay": np.asarray(kin.decay),
+            },
+            data.gene_names, config, "nlfm",
+        )
     if config.response == "exp":
         print("NOTE: the exp response has an exact (f+c, S*e^-c) shift "
               "degeneracy; the force is identified up to an additive "
@@ -783,6 +865,13 @@ def run_nonlinear(config: cfg.RunConfig):
         forces = np.asarray(jax.jit(jax.vmap(model.force))(pooled))
         finite = np.isfinite(forces).all(axis=1)
         forces = forces[finite]
+        if forces.shape[0] == 0:
+            # Mirror _plot_bma_latent's all-dropped message (ADVICE r2):
+            # a silent skip left the smoke test failing with no clue.
+            print(
+                "HMC force band: every draw's force values were non-finite "
+                "— skipping the full-Bayes force band"
+            )
         if forces.shape[0] > 0:
             fmean = forces.mean(axis=0)
             fcov = jnp.diag(jnp.asarray(forces.var(axis=0)))
@@ -818,20 +907,11 @@ def run_delay(config: cfg.RunConfig):
     (``models/delaysimm.py``). ``fix_params`` pins the p21 kinetics AND its
     delay to 0 — the family's identifiability anchor (remaining delays are
     relative to p21's)."""
-    # Fail-loudly policy: this route has its own compact fit loop and does
-    # not implement these flags — reject rather than silently ignore.
-    for flag, name in (
-        (config.checkpoint_dir, "--checkpoint-dir"),
-        (config.resume, "--resume"),
-        (config.metrics_path, "--metrics-path"),
-        (config.track_parameters, "--track-parameters"),
-        (config.shared_kinetics, "--shared-kinetics"),
-        (config.optimizer != "adam", "--optimizer " + config.optimizer),
-    ):
-        if flag:
-            raise SystemExit(
-                f"{name} is not supported by the --model delaysimm route"
-            )
+    # Fail-loudly policy for the flag this family genuinely lacks.
+    _check_route_flags(
+        config, "delaysimm",
+        ((config.shared_kinetics, "--shared-kinetics"),),
+    )
 
     _setup_backend(config)
 
@@ -856,7 +936,7 @@ def run_delay(config: cfg.RunConfig):
     has_p21 = "p21" in data.gene_names
     print("Training delayed-response exact SIMM...")
     t0 = time.perf_counter()
-    params, hist = delaysimm.fit(
+    result = delaysimm.fit(
         model,
         delaysimm.init_params(data.num_genes),
         X,
@@ -865,10 +945,31 @@ def run_delay(config: cfg.RunConfig):
         learning_rate=config.learning_rate,
         fix_params=config.fix_params and has_p21,
         clamp_gene=data.gene_names.index("p21") if has_p21 else 0,
+        optimizer=config.optimizer,
+        track_parameters=config.track_parameters,
+        checkpoint_dir=config.checkpoint_dir,
+        resume=config.resume,
+        full_result=True,
     )
+    params, hist = result.params, result.history
     final = _final_loss(hist)
     print(f"Trained {config.num_iters} iters in {time.perf_counter() - t0:.2f}s "
           f"(final loss {final:.6f})")
+    if config.metrics_path:
+        _write_metrics(config.metrics_path, result)
+    if config.track_parameters and result.param_trace is not None:
+        import numpy as np
+
+        tr_ = result.param_trace
+        _plot_route_trace(
+            {
+                "basal": np.asarray(tr_.basal),
+                "sensitivity": np.asarray(tr_.sensitivity),
+                "decay": np.asarray(tr_.decay),
+                "delay": np.asarray(tr_.delay),
+            },
+            data.gene_names, config, "delay",
+        )
 
     tables.print_hyperparams(params, data, csv_path="hyperparams.csv")
     anchor = (" (anchor: p21 pinned to 0)"

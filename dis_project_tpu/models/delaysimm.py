@@ -127,17 +127,22 @@ def fit(
     fix_params: bool = False,
     clamp_gene: int = 3,
     optimizer=None,
+    track_parameters: bool = False,
+    full_result: bool = False,
+    checkpoint_dir=None,
+    checkpoint_every: int = 50,
+    resume: bool = True,
 ):
-    """Adam on the negative exact MLL, one compiled ``lax.scan`` program.
+    """Negative exact MLL, one compiled ``lax.scan`` program via the shared
+    :func:`dis_project_tpu.training.generic.fit_loop`.
 
     ``fix_params=True`` applies the reference's p21 pin (S=1.0, D=0.8 at
     ``clamp_gene``, raw space, every step) AND pins that gene's delay to 0
     — the delay-family identifiability anchor (module notes).  Returns
-    ``(constrained params, (num_iters,) loss history)``.
+    ``(constrained params, (num_iters,) loss history)``, or the full
+    ``LoopResult`` with ``full_result=True``. ``optimizer`` may be an
+    optax transform or ``'adam'``/``'lbfgs'``.
     """
-    import optax
-
-    optimizer = optimizer or optax.adam(learning_rate)
     y = y.reshape(-1)
     raw0 = unconstrain(params)
     sp = bij.Softplus()
@@ -160,23 +165,36 @@ def fit(
     def loss_fn(raw):
         return -model.mll(constrain(raw), x, y)
 
-    @jax.jit
-    def run(raw):
-        raw = clamp(raw)
-        state = optimizer.init(raw)
+    from dis_project_tpu.training import generic
 
-        def step(carry, _):
-            raw, state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(raw)
-            upd, state = optimizer.update(grads, state)
-            return (clamp(optax.apply_updates(raw, upd)), state), loss
-
-        (raw, _), hist = jax.lax.scan(
-            step, (raw, state), None, length=num_iters
+    if checkpoint_dir:
+        result = generic.fit_checkpointed(
+            loss_fn,
+            raw0,
+            num_iters=num_iters,
+            directory=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            learning_rate=learning_rate,
+            optimizer=optimizer or "adam",
+            constrain_fn=constrain,
+            clamp_raw=clamp if fix_params else None,
+            track_parameters=track_parameters,
+            resume=resume,
         )
-        return constrain(raw), hist
-
-    return run(raw0)
+        return result if full_result else (result.params, result.history)
+    result = generic.fit_loop(
+        loss_fn,
+        raw0,
+        num_iters=num_iters,
+        learning_rate=learning_rate,
+        optimizer=optimizer or "adam",
+        constrain_fn=constrain,
+        clamp_raw=clamp if fix_params else None,
+        track_parameters=track_parameters,
+    )
+    if full_result:
+        return result
+    return result.params, result.history
 
 
 def kinetics_posterior(

@@ -184,39 +184,58 @@ def fit(
     num_iters: int = 150,
     learning_rate: float = 0.01,
     optimizer=None,
+    track_parameters: bool = False,
+    full_result: bool = False,
+    checkpoint_dir=None,
+    checkpoint_every: int = 50,
+    resume: bool = True,
 ):
-    """Adam training to the negative exact MLL, the whole loop one compiled
-    ``lax.scan`` program (the multi-force analogue of
+    """Training to the negative exact MLL via the shared
+    :func:`dis_project_tpu.training.generic.fit_loop` (one compiled
+    ``lax.scan`` program — the multi-force analogue of
     ``training.trainer.fit``). No clamp schedule: multi-force
     identifiability comes from the distinct per-force lengthscale inits
-    (see :func:`init_params`), not a p21-style pin. Returns
-    ``(constrained params, (num_iters,) loss history)``.
-    """
-    import optax
+    (see :func:`init_params`), not a p21-style pin.
 
-    optimizer = optimizer or optax.adam(learning_rate)
+    Returns ``(constrained params, (num_iters,) loss history)``, or the
+    full :class:`~dis_project_tpu.training.generic.LoopResult` (grad
+    norms, parameter trace, optimizer state) with ``full_result=True``.
+    ``optimizer`` may be an optax transform or ``'adam'``/``'lbfgs'``.
+    """
+    from dis_project_tpu.training import generic
+
     y = y.reshape(-1)
-    raw0 = unconstrain(params)
 
     def loss_fn(raw):
         return -model.mll(constrain(raw), x, y)
 
-    @jax.jit
-    def run(raw):
-        state = optimizer.init(raw)
-
-        def step(carry, _):
-            raw, state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(raw)
-            upd, state = optimizer.update(grads, state)
-            return (optax.apply_updates(raw, upd), state), loss
-
-        (raw, _), hist = jax.lax.scan(
-            step, (raw, state), None, length=num_iters
+    if checkpoint_dir:
+        result = generic.fit_checkpointed(
+            loss_fn,
+            raw0,
+            num_iters=num_iters,
+            directory=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            learning_rate=learning_rate,
+            optimizer=optimizer or "adam",
+            constrain_fn=constrain,
+            clamp_raw=None,
+            track_parameters=track_parameters,
+            resume=resume,
         )
-        return constrain(raw), hist
-
-    return run(raw0)
+        return result if full_result else (result.params, result.history)
+    result = generic.fit_loop(
+        loss_fn,
+        unconstrain(params),
+        num_iters=num_iters,
+        learning_rate=learning_rate,
+        optimizer=optimizer or "adam",
+        constrain_fn=constrain,
+        track_parameters=track_parameters,
+    )
+    if full_result:
+        return result
+    return result.params, result.history
 
 
 @dataclasses.dataclass(frozen=True)

@@ -236,18 +236,23 @@ def fit(
     fix_params: bool = False,
     clamp_gene: int = 3,
     optimizer=None,
+    track_parameters: bool = False,
+    full_result: bool = False,
+    checkpoint_dir=None,
+    checkpoint_every: int = 50,
+    resume: bool = True,
 ):
-    """MAP over (kinetics, w): one compiled Adam ``lax.scan`` program.
+    """MAP over (kinetics, w): one compiled ``lax.scan`` program via the
+    shared :func:`dis_project_tpu.training.generic.fit_loop`.
 
     ``fix_params=True`` applies the reference's p21 identifiability pin
     (S=1.0, D=0.8 at ``clamp_gene``) in RAW space every step — for the
     exp response the S <-> force-shift degeneracy (g(f + c) = e^c g(f))
     makes the pin MORE relevant than in the linear family. Returns
-    ``(constrained params, (num_iters,) negative-log-joint history)``.
+    ``(constrained params, (num_iters,) negative-log-joint history)``, or
+    the full ``LoopResult`` with ``full_result=True``. ``optimizer`` may
+    be an optax transform or ``'adam'``/``'lbfgs'``.
     """
-    import optax
-
-    optimizer = optimizer or optax.adam(learning_rate)
     raw0 = unconstrain(params)
     sp = bij.Softplus()
     s_raw = sp.inverse(jnp.asarray(1.0, params.w.dtype))
@@ -267,23 +272,36 @@ def fit(
     def loss_fn(raw):
         return -model.log_joint(constrain(raw), t_obs, Y, var)
 
-    @jax.jit
-    def run(raw):
-        raw = clamp(raw)
-        state = optimizer.init(raw)
+    from dis_project_tpu.training import generic
 
-        def step(carry, _):
-            raw, state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(raw)
-            upd, state = optimizer.update(grads, state, raw)
-            return (clamp(optax.apply_updates(raw, upd)), state), loss
-
-        (raw, _), hist = jax.lax.scan(
-            step, (raw, state), None, length=num_iters
+    if checkpoint_dir:
+        result = generic.fit_checkpointed(
+            loss_fn,
+            raw0,
+            num_iters=num_iters,
+            directory=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            learning_rate=learning_rate,
+            optimizer=optimizer or "adam",
+            constrain_fn=constrain,
+            clamp_raw=clamp if fix_params else None,
+            track_parameters=track_parameters,
+            resume=resume,
         )
-        return constrain(raw), hist
-
-    return run(raw0)
+        return result if full_result else (result.params, result.history)
+    result = generic.fit_loop(
+        loss_fn,
+        raw0,
+        num_iters=num_iters,
+        learning_rate=learning_rate,
+        optimizer=optimizer or "adam",
+        constrain_fn=constrain,
+        clamp_raw=clamp if fix_params else None,
+        track_parameters=track_parameters,
+    )
+    if full_result:
+        return result
+    return result.params, result.history
 
 
 def force_posterior_hmc(

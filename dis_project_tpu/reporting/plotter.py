@@ -182,19 +182,32 @@ def plot_param_trace(
 ):
     """Per-step trajectories of the constrained kinetics during training.
 
-    ``trace``: dict with keys ``basal`` / ``sensitivity`` / ``decay``, each a
-    (steps, G) array — what ``TrainConfig(track_parameters=True)`` (stacked
-    pytree) or the torch trainer's by-name trace (reference
-    ``trainer_alfi.py:79-84,186-190``) record. The reference tracks this
-    trace but only ever consumes it in the torch comparison chart
+    ``trace``: dict of named (steps, G) arrays — what
+    ``TrainConfig(track_parameters=True)`` (stacked pytree) or the torch
+    trainer's by-name trace (reference ``trainer_alfi.py:79-84,186-190``)
+    record. The canonical kinetics keys get their reference panel titles;
+    any other keys (the non-exact families' extra parameters — delays,
+    alpha/omega, per-force sensitivities) are plotted under their own
+    names, one panel per key (r3: parameter traces are shared route
+    infrastructure, not an exact-SIMM exclusive). The reference tracks
+    this trace but only ever consumes it in the torch comparison chart
     (``plotter_alfi.py:226-241``); here it is a first-class artifact for
     both stacks.
     """
     plt = _plt()
-    titles = ["Basal rates", "Sensitivities", "Decay rates"]
-    keys = ["basal", "sensitivity", "decay"]
+    canonical = {
+        "basal": "Basal rates",
+        "sensitivity": "Sensitivities",
+        "decay": "Decay rates",
+    }
+    keys = list(trace)
+    titles = [canonical.get(k, k) for k in keys]
 
-    fig, axes = plt.subplots(1, 3, figsize=(7.5, 2.5), dpi=150, sharex=True)
+    fig, axes = plt.subplots(
+        1, len(keys), figsize=(2.5 * len(keys), 2.5), dpi=150, sharex=True,
+        squeeze=False,
+    )
+    axes = axes[0]
     for ax, key, title in zip(axes, keys, titles):
         values = np.asarray(trace[key])
         if values.ndim == 1:

@@ -435,6 +435,11 @@ def mixture_predict(predict_fn, samples, max_components: int = 64):
     finite = (
         np.isfinite(mu).all(axis=1)
         & np.isfinite(cov.reshape(cov.shape[0], -1)).all(axis=1)
+        # A draw can survive its Cholesky yet land with a slightly
+        # negative posterior variance (roundoff near the indefinite
+        # region); it would NaN the mixture's stddev downstream —
+        # drop it with the non-finite ones (ADVICE r2).
+        & (np.diagonal(cov, axis1=1, axis2=2).min(axis=1) >= 0)
     )
     mu, cov = mu[finite], cov[finite]
     used = int(finite.sum())

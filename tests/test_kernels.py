@@ -182,3 +182,29 @@ def test_gram_xx_blocked_matches_rows_and_tiles():
     K_rows = gram_ops.gram(rows, decay, sens, l)
     K_blocked = gram_ops.gram_xx_blocked(t, decay, sens, l, replicates=R)
     np.testing.assert_allclose(np.asarray(K_rows), np.asarray(K_blocked), rtol=1e-12)
+
+
+def test_kxx_family_indefinite_at_large_gamma():
+    """The closed-form k_xx family is INDEFINITE at large D*l — a corollary
+    of the reference's 2*l RBF convention (docs quirk catalogue): at the
+    pinned D/l point the exact 35x35 p53 Gram has an eigenvalue near
+    -9.0e-4. This is the formula, not roundoff (f64, and the independent
+    torch stack reproduces the same spectrum), and it is why
+    training.hmc.mixture_predict must drop non-finite predictive
+    components for unclamped posterior draws."""
+    G, T = 5, 7
+    t = jnp.asarray(np.linspace(0, 12, T))
+    decay = jnp.asarray([0.52, 0.71, 0.54, 2.61, 0.63])
+    sens = jnp.ones(G)
+    l = 3.15
+
+    times = jnp.tile(t, G)
+    genes = jnp.repeat(jnp.arange(G), T).astype(jnp.float64)
+    rows = jnp.stack([times, genes, jnp.ones(G * T)], axis=-1)
+    K = gram_ops.gram(rows, decay, sens, jnp.asarray(l))
+    eigs = np.linalg.eigvalsh(np.asarray(K))
+    assert eigs.min() == pytest.approx(-9.05e-4, rel=0.1), eigs.min()
+    assert eigs.min() < -1e-4  # far below f64 roundoff: truly indefinite
+    # Sanity: the trained region (gamma = D*l/2 < 1.5) stays PSD.
+    K_ok = gram_ops.gram(rows, decay / 3, sens, jnp.asarray(l))
+    assert np.linalg.eigvalsh(np.asarray(K_ok)).min() > -1e-12
