@@ -2,9 +2,25 @@
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Headline: wall-clock for the canonical p53 SIMM LFM training run (150 Adam
-iterations to the converged MLL, the reference's ``src/main.py`` pipeline) on
-the available accelerator, steady-state (post-compile).
+Headline: wall-clock **to the converged MLL** for the canonical p53 SIMM LFM
+training run (the reference's ``src/main.py`` pipeline: Adam lr=0.01) on the
+available accelerator, steady-state (post-compile).
+
+Equal-convergence methodology (r3, fixing the r2 headline): the reference's
+nominal 150 iterations leave the run far from converged (loss +4.8 of a
+-23.7 optimum; measured convergence at ~400-500 iterations), and at
+iteration counts in the chaotic descent region the final loss is dominated
+by f32 roundoff trajectory divergence (r2's "regression" — the gridded and
+row routes agree to ~1e-5 for 30 steps, then separate into equally-valid
+trajectories 0.06 nats apart at step 150). So both programs run
+``BENCH_ITERS`` = 600 iterations (one scan each), a shared convergence
+target is set at ``max(min loss of either trajectory) + 0.01`` nats, and
+the headline is
+
+    time_to_target = wall_clock * steps_to_target / BENCH_ITERS
+
+for each route — a fixed-quality finish line, not a fixed-iteration one.
+``vs_baseline`` is the ratio of the baseline's time-to-target to ours.
 
 ``vs_baseline`` is the speedup over a faithful re-creation of the
 *reference's computational pattern* on the same device: a scalar kernel on
@@ -281,10 +297,23 @@ def bench_gram_chol(n=8192, genes=50, dtype=jnp.float32):
     # was invisible on A A^T + N I (cond ~4). The probe doubles as a
     # correctness canary.
     A = gram_ops.gram(x, decay, sens, ell) + 1.0001 * jnp.eye(n, dtype=dtype)
-    L = pc.blocked_cholesky(A)
-    assert bool(jnp.all(jnp.isfinite(L))), "blocked_cholesky produced NaN"
+    # The op the f32 MLL hot path consumes (r3): the transposed-layout
+    # two-level factoriser, timed through its probe_eps dependency hook
+    # (an O(1) perturbation — `A + eps` would add a full O(N^2) copy to
+    # every chained execution and bill it to the factorisation).
+    @jax.jit  # eager would dispatch O(nb^2) one-op programs over the tunnel
+    def _canary(A):
+        Lt = pc.blocked_cholesky_t(A)
+        L = jnp.tril(Lt.T)
+        resid = jnp.max(jnp.abs(L[:256] @ L.T[:, :256] - A[:256, :256]))
+        return jnp.all(jnp.isfinite(Lt)), resid
+
+    finite, resid = _canary(A)
+    assert bool(finite), "blocked_cholesky_t produced NaN"
+    assert float(resid) < 1e-1, f"reconstruction off: {float(resid)}"
+    L = jax.jit(lambda A: jnp.tril(pc.blocked_cholesky_t(A).T))(A)
     chol_s = time_op(
-        lambda eps, A: pc.blocked_cholesky(A + eps), A, iters=3
+        lambda eps, A: pc.blocked_cholesky_t(A, probe_eps=eps), A, iters=3
     )
     chol_xla_s = time_op(lambda eps, A: jnp.linalg.cholesky(A + eps), A, iters=3)
     # The quantity the MLL backward actually consumes: the mirror-free
@@ -382,6 +411,21 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
     }
 
 
+# Iterations per headline training program: enough to converge the
+# canonical run (measured flat at ~-23.7 from ~iteration 450 on) with
+# headroom; the headline divides out the tail via steps_to_target.
+BENCH_ITERS = 600
+
+
+def _steps_to_target(hist, target):
+    """First step index whose loss is <= target (int, 1-based count)."""
+    import numpy as np
+
+    h = np.asarray(hist)
+    idx = np.nonzero(h <= target)[0]
+    return int(idx[0]) + 1 if idx.size else len(h)
+
+
 def main():
     from dis_project_tpu.utils.watchdog import first_op_watchdog
 
@@ -398,8 +442,8 @@ def main():
     dtype = jnp.float32
     X, y, t = _build_problem(dtype)
 
-    ours_s, ours_hist = bench_ours(X, y, t)
-    ref_s, ref_hist = bench_reference_pattern(X, y)
+    ours_s, ours_hist = bench_ours(X, y, t, num_iters=BENCH_ITERS)
+    ref_s, ref_hist = bench_reference_pattern(X, y, num_iters=BENCH_ITERS)
     if note is None:
         probes = bench_gram_chol()
         probes.update(bench_train_step_at_scale())
@@ -411,15 +455,32 @@ def main():
         probes = bench_gram_chol(n=2048, genes=32)
         probes.update(bench_train_step_at_scale(n=2048, genes=32))
 
+    import numpy as np
+
+    ours_h = np.asarray(ours_hist)
+    ref_h = np.asarray(ref_hist)
+    # Equal-convergence finish line: the WORSE of the two converged minima
+    # plus a tolerance both trajectories' post-convergence noise clears.
+    target = max(float(ours_h.min()), float(ref_h.min())) + 0.01
+    ours_steps = _steps_to_target(ours_h, target)
+    ref_steps = _steps_to_target(ref_h, target)
+    ours_ttt = ours_s * ours_steps / BENCH_ITERS
+    ref_ttt = ref_s * ref_steps / BENCH_ITERS
+
     result = {
-        "metric": "p53_train_150iter_wall_clock",
-        "value": round(ours_s, 5),
+        "metric": "p53_train_wall_clock_to_converged_mll",
+        "value": round(ours_ttt, 5),
         "unit": "s",
-        "vs_baseline": round(ref_s / ours_s, 3),
-        "baseline": "reference compute pattern (scalar-kernel double-vmap + AD-through-Cholesky) on same device",
-        "baseline_s": round(ref_s, 5),
-        "final_loss_ours": round(float(ours_hist[-1]), 6),
-        "final_loss_baseline": round(float(ref_hist[-1]), 6),
+        "vs_baseline": round(ref_ttt / ours_ttt, 3),
+        "baseline": "reference compute pattern (scalar-kernel double-vmap + AD-through-Cholesky) on same device, to the same MLL target",
+        "baseline_s": round(ref_ttt, 5),
+        "mll_target": round(target, 6),
+        "steps_to_target_ours": ours_steps,
+        "steps_to_target_baseline": ref_steps,
+        "wall_s_600iter_ours": round(ours_s, 5),
+        "wall_s_600iter_baseline": round(ref_s, 5),
+        "final_loss_ours": round(float(ours_h[-1]), 6),
+        "final_loss_baseline": round(float(ref_h[-1]), 6),
         "device": str(jax.devices()[0]),
         **({"note": note} if note else {}),
         **probes,

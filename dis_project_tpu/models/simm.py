@@ -122,12 +122,14 @@ class ExactSIMM:
       XLA's fused erf codegen wins (1.5x at N=8192) — else the XLA-fused
       block formulas.
     - ``chol_impl``: ``'auto' | 'xla' | 'blocked'``. ``'auto'`` picks the
-      left-looking blocked factoriser (``ops.pallas_cholesky``) for f32
-      N >= ``BLOCKED_CHOL_MIN_N`` on TPU — v5e r2, real-Gram, at the
-      mandatory f32-faithful matmul precision: 0.39 vs 0.41 ms at N=2048,
-      1.59 vs 2.35 at 4096, 7.8 vs 12.5 at 8192 against XLA's native
-      ``cholesky``.  It is also the building block of the *distributed*
-      factoriser, which XLA's op cannot shard.
+      blocked factoriser (``ops.pallas_cholesky``) for f32
+      N >= ``BLOCKED_CHOL_MIN_N`` on TPU — for f32 that is the r3
+      transposed-layout two-level form (v5e, real-Gram, mandatory
+      f32-faithful matmul precision: 0.52 vs 0.73 ms at N=2048, 1.47 vs
+      1.70 at 4096, 6.10 vs 7.96 at 8192 against the r2 list form, and
+      12.9 ms for XLA's native ``cholesky`` at 8192).  It is also the
+      building block of the *distributed* factoriser, which XLA's op
+      cannot shard.
     - ``canonical_rows``: promise that inputs follow the canonical row
       population — training rows all gene-expression, latent grids all
       force rows — letting the Pallas path specialise its branch ``kind``

@@ -56,6 +56,11 @@ def cholesky(sigma, impl: str = "xla"):
     if impl == "blocked":
         from dis_project_tpu.ops import pallas_cholesky as pc
 
+        if sigma.dtype == jnp.float32:
+            # r3: the transposed-layout two-level factoriser (see
+            # pc.blocked_cholesky_t) — one cheap transpose back to the
+            # lower convention for callers that want L itself.
+            return jnp.tril(pc.blocked_cholesky_t(sigma).T)
         return pc.blocked_cholesky(sigma)
     return jnp.linalg.cholesky(sigma)
 
@@ -102,6 +107,25 @@ def _mvn_fwd(y_centered, sigma, impl):
         # computes for its TRSM panels: the backward's full triangular
         # inverse (tri_inv_from_diag) then skips its diagonal stage.
         # Forward-only callers never materialise them (DCE).
+        if sigma.dtype == jnp.float32:
+            # r3 hot path: the transposed-layout factoriser. The forward
+            # consumes Lt = L^T DIRECTLY (solves via trans, logdet from
+            # the shared diagonal) — no transpose-back on the fwd path.
+            Lt, dinvs = pc.blocked_cholesky_t(sigma, return_diag_inv=True)
+            z = jax.scipy.linalg.solve_triangular(
+                Lt, y_centered, lower=False, trans=1
+            )
+            alpha = jax.scipy.linalg.solve_triangular(Lt, z, lower=False)
+            n = y_centered.shape[0]
+            logp = (
+                -0.5 * jnp.dot(y_centered, alpha)
+                - jnp.sum(jnp.log(jnp.diagonal(Lt)))
+                - 0.5 * n * LOG_2PI
+            )
+            # NOTE the residual factor is Lt (upper) on this path; the
+            # backward recognises it by (impl == 'blocked', f32 dtype) —
+            # both static at trace time.
+            return logp, (Lt, alpha, dinvs)
         L, dinvs = pc.blocked_cholesky(sigma, return_diag_inv=True)
     else:
         L = cholesky(sigma, impl)
@@ -117,6 +141,12 @@ def _mvn_fwd(y_centered, sigma, impl):
 
 def _mvn_bwd(impl, res, g):
     L, alpha, dinvs = res
+    if impl == "blocked" and L.dtype == jnp.float32:
+        # Residual factor is the transposed-layout Lt on this path (see
+        # _mvn_fwd): transpose back once here — the backward's tri-inverse
+        # sweep is written against the lower convention, while the forward
+        # stayed transpose-free.
+        L = jnp.tril(L.T)
     d_y = -g * alpha
     if _use_blocked_inv(L, impl):
         from dis_project_tpu.ops import pallas_cholesky as pc

@@ -7,18 +7,49 @@ Replaces the reference's library-delegated O(N^3) core — ``cola.inv`` /
 live in MXU matmuls and whose HBM traffic is minimised for the XLA
 compilation model:
 
-- :func:`blocked_cholesky` is a **left-looking** blocked factorisation: each
-  block column is corrected by ONE large matmul against the already-computed
-  left factor and written exactly once.  Unlike the textbook right-looking
-  form, the trailing matrix is never rewritten, so HBM traffic is O(N^2)
-  writes total instead of O(N^3/B).  v5e r2, N=8192 f32 real-Gram, with
-  the mandatory 3-pass-bf16 matmul precision (see ``MATMUL_PRECISION``):
-  7.8 ms vs 12.5 ms for XLA's native cholesky (single-pass products ran
-  4.3 ms but produce NaN on real conditioning).  Beyond the matmul passes
-  the gap to peak is the serial diagonal-factor chain: 16 x chol(512)
-  ~= 1.9 ms cannot overlap with the MXU panels under XLA's sequential
-  execution model at any block size (measured: 16x0.116 / 8x0.173 /
-  4x0.547 ms for B=512/1024/2048).
+- :func:`blocked_cholesky_t` (r3, the f32 hot path) is a **transposed-
+  layout, two-level left-looking** blocked factorisation: contiguous-row
+  reads/writes of a single factor buffer, big per-panel correction dots,
+  and a cheap 128-wide inner diagonal chain.  v5e r3, N=8192 f32
+  real-Gram, mandatory 3-pass-bf16 matmul precision: **6.10 ms** vs 7.96
+  for the r2 list-of-columns form and 12.9 for XLA's native cholesky
+  (0.46 of the f32-faithful ceiling; see the measured floor decomposition
+  below).
+- :func:`blocked_cholesky` is the r2 **left-looking list-of-columns** form
+  (kept as the f64 path and the explicit-block/diag-option research
+  surface): each block column is corrected by ONE large matmul against the
+  already-computed left factor and written exactly once.  v5e r2, N=8192
+  f32 real-Gram at 3-pass precision: 7.8 ms (single-pass products ran
+  4.3 ms but produce NaN on real conditioning).
+
+**Measured floor decomposition at N=8192 f32 (v5e r3)** — why the
+f32-faithful ceiling (N^3/3 "useful" FLOPs at bf16-peak/3 = 2.79 ms) is
+not reachable by ANY implementation of this factorisation on this
+toolchain, i.e. the tighter ceiling that actually binds:
+
+====================================  ========  =========================
+component                             measured  nature
+====================================  ========  =========================
+correction dots (N^3/6 MACs, 3-pass)  3.09 ms   217 TF/s big-dot rate is
+                                                above nominal peak, but
+                                                left-looking K-skew costs
+                                                ~20% vs one square dot
+serial diagonal chain (64 x 128)      0.52 ms   strictly sequential; XLA
+                                                cannot overlap ops
+TRSM-extra (N^2 x 128 / 2 MACs)       ~0.3 ms   explicit-inverse TRSM
+                                                costs 2x substitution
+factor-buffer updates (DUS)           ~0.7 ms   measured write cost of
+                                                the in-place row updates
+inner corrections + tri_inv + misc    ~1.4 ms   64 small dispatches
+**sum (~= measured 6.10 ms)**         ~6.0 ms   => ~3.4 ms is the
+                                                additive floor above the
+                                                2.79 ms pure-MXU bound
+====================================  ========  =========================
+
+The single-kernel fusion route that would hide the serial chain was
+measured unviable in r2 (``pallas_cholesky_fused``): Mosaic does not
+co-issue VPU work under MXU dots, and in-kernel 3-pass split products run
+at ~107 TF/s — half the XLA big-dot rate.
 - :func:`tri_inv` inverts a lower-triangular matrix **bottom-up and
   batched**: all 2^k same-level off-diagonal corrections are one batched
   matmul pair, and results are written in place into a single threaded
@@ -511,6 +542,122 @@ def _mul_tril_dense(T, X, base: int = 512):
     top = _mul_tril_dense(A, X1, base)
     bot = B @ X1 + _mul_tril_dense(C, X2, base)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout two-level left-looking blocked Cholesky (r3 default).
+# ---------------------------------------------------------------------------
+
+
+def _dot00(a, b):
+    """dot_general contracting dim 0 of BOTH operands: a^T @ b without an
+    explicit transpose. With both operands read as contiguous ROW slices of
+    the transposed factor buffer this orientation measured FASTER than the
+    (1, 0) contraction against a strided column slice (v5e r3, N=8192
+    correction chain: 3.09 vs 3.61 ms) — the strided slice materialises a
+    copy, the row slice is a free bitcast view."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())))
+
+
+@_f32_faithful
+def blocked_cholesky_t(
+    a,
+    *,
+    block: int | None = None,
+    inner: int = 128,
+    probe_eps=None,
+    return_diag_inv: bool = False,
+):
+    r"""UPPER-triangular Cholesky factor ``Lt = L^T`` (plus identically-zero
+    strict-lower padding blocks), via a transposed-layout TWO-LEVEL
+    left-looking blocked factorisation — the r3 redesign of
+    :func:`blocked_cholesky` and the op the f32 MLL hot path consumes.
+
+    Why transposed: the factor accumulates in ONE (npad, npad) buffer whose
+    row-block ``j`` holds column-block ``j`` of L transposed, so every
+    left-factor read in the correction
+
+        panelT = A[off:off+Bo, off:] - Lt[:off, off:off+Bo]^T Lt[:off, off:]
+
+    is a contiguous row slice (zero-copy) contracted on dim 0, and every
+    write is a contiguous ``dynamic_update_slice``.  The r2 list-of-columns
+    form paid ~1.7 ms of concat/assembly plus strided-slice copies at
+    N=8192; this form pays ~0.7 ms of in-place row-range updates.
+
+    Why two-level: the serial diagonal chain is the other fixed cost —
+    XLA's ``cholesky`` costs 0.203/0.143/0.035/0.008 ms at B=1024/512/256/
+    128 on v5e, so 64 x chol(128) = 0.5 ms beats 8 x chol(1024) = 1.6 ms —
+    but ``inner``-sized OUTER blocks would re-read the left factor
+    N/inner times (HBM-bound).  So: ``block``-wide outer panels take one
+    big correction dot each, and ``inner``-wide columns inside the panel
+    keep the diagonal chain and the TRSM-extra MACs (N^2 * inner / 2) at
+    the cheap inner size.
+
+    v5e r3 sweep, real-Gram f32, mandatory 3-pass matmul precision:
+
+        N=8192: 6.10 ms (Bo=512) / 6.31 (1024) / 11.8 (Bi=64)
+                vs 7.96 ms for the r2 list-form at its best block
+        N=4096: 1.47 ms (Bo=2048)  vs 1.70 r2   N=2048: 0.52 vs 0.73
+
+    ``probe_eps`` (optional scalar) is folded into the first panel read —
+    a numerically-negligible dependency hook so chained benchmark
+    executions stay CSE/replay-proof without an O(N^2) input perturbation.
+
+    ``return_diag_inv=True`` also returns the stacked (nb_inner, inner,
+    inner) per-inner-column diagonal-block inverses (identity on padded
+    tails) for the MLL backward's factor reuse (:func:`tri_inv_from_diag`).
+    """
+    n = a.shape[0]
+    if block is None:
+        # v5e r3 sweep: Bo=512 wins at N=8192 (6.10 vs 6.31 ms at 1024);
+        # Bo=2048 below (1.47 vs 1.55 at N=4096). Always a multiple of
+        # ``inner`` (the inner loop tiles the panel exactly).
+        block = 512 if n >= 8192 else min(2048, -(-n // inner) * inner)
+    if block % inner:
+        raise ValueError(
+            f"blocked_cholesky_t: block ({block}) must be a multiple of "
+            f"inner ({inner})"
+        )
+    Bo, Bi = block, inner
+    nbo = -(-n // Bo)
+    npad = nbo * Bo
+    A = _pad_identity(a, npad) if npad != n else a
+    nbi = Bo // Bi
+
+    Lt = jnp.zeros((npad, npad), A.dtype)
+    dinvs = []
+    for K in range(nbo):
+        off = K * Bo
+        m = npad - off
+        panelT = A[off : off + Bo, off:]
+        if K == 0 and probe_eps is not None:
+            panelT = panelT.at[0, 0].add(probe_eps)
+        if K > 0:
+            panelT = panelT - _dot00(
+                Lt[:off, off : off + Bo], Lt[:off, off:]
+            )
+        for c in range(nbi):
+            io = c * Bi
+            rowT = panelT[io : io + Bi, io:]
+            if c > 0:
+                rowT = rowT - _dot00(
+                    panelT[:io, io : io + Bi], panelT[:io, io:]
+                )
+            lkk = jnp.linalg.cholesky(rowT[:, :Bi])
+            dinv = tri_inv(lkk, base=min(Bi, 256))
+            if return_diag_inv:
+                dinvs.append(dinv)
+            if io + Bi < m:
+                rest = dinv @ rowT[:, Bi:]
+                rowT = jnp.concatenate([lkk.T, rest], axis=1)
+            else:
+                rowT = lkk.T
+            panelT = jax.lax.dynamic_update_slice(panelT, rowT, (io, io))
+        Lt = jax.lax.dynamic_update_slice(Lt, panelT, (off, off))
+    Lt = Lt[:n, :n] if npad != n else Lt
+    if return_diag_inv:
+        return Lt, jnp.stack(dinvs)
+    return Lt
 
 
 # ---------------------------------------------------------------------------

@@ -79,10 +79,23 @@ def sharded_cholesky(
         trail = trail[block:, block:] - lpanel @ lpanel.T  # sharded SYRK
         trail = jax.lax.with_sharding_constraint(trail, spec)
 
-    L = jnp.zeros((npad, npad), a.dtype)
-    for k, colk in enumerate(cols):
-        L = L.at[k * block :, k * block : (k + 1) * block].set(colk)
-    L = jax.lax.with_sharding_constraint(L, spec)
+    # Assembly: ONE concatenate of zero-padded block columns. The r2
+    # zeros + at-set chain was a memory trap at scale: GSPMD replicated
+    # the unconstrained (npad, npad) intermediates onto every device
+    # (measured 1.62 GiB/device at N=16384 vs the promised ~N^2/D + N*B
+    # = 0.25), and even with per-step constraints XLA kept every chain
+    # version alive (1.4 GiB of temps). The single concat holds one
+    # output-sized temp (see tests/test_dist_scale.py for the pinned
+    # per-device numbers).
+    full = [
+        jnp.concatenate(
+            [jnp.zeros((k * block, block), a.dtype), colk], axis=0
+        )
+        if k
+        else colk
+        for k, colk in enumerate(cols)
+    ]
+    L = jax.lax.with_sharding_constraint(jnp.concatenate(full, axis=1), spec)
     return L[:n, :n]
 
 

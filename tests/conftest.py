@@ -8,16 +8,36 @@ run at full precision.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+# ---------------------------------------------------------------------------
+# Two backends, one suite (VERDICT r2 #4):
+#
+#   pytest tests/                      -> CPU lane (default): 8 virtual
+#       devices, x64, every @pytest.mark.tpu test auto-skipped.
+#   DIS_TPU_LANE=1 pytest tests/ -m tpu -> ON-DEVICE lane: runs on the
+#       default accelerator (the axon TPU tunnel) in f32, re-verifying
+#       every on-chip claim that previously lived only in docstrings /
+#       PARITY.md — Pallas-vs-XLA Gram parity, the blocked factoriser's
+#       real-Gram NaN canary, and the trace-time dispatch thresholds.
+# ---------------------------------------------------------------------------
+TPU_LANE = os.environ.get("DIS_TPU_LANE") == "1"
+
+if not TPU_LANE:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-
-jax.config.update("jax_num_cpu_devices", 8)  # belt+braces with XLA_FLAGS
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_num_cpu_devices", 8)  # belt+braces with XLA_FLAGS
+else:
+    # Share the persistent compile cache with bench.py: the lane's N>=2048
+    # programs are exactly the ones bench already compiled over the tunnel.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest  # noqa: E402
 
@@ -43,6 +63,12 @@ SLOW_NODEID_PATTERNS = (
     "test_svlfm.py::TestPredictions::test_gene_predict_shapes",
     # trained cross-framework parity
     "test_validation.py::TestTrainedParity",
+    # full-size CSV trained golden (two 150-iteration 105-point f64 fits)
+    "test_data.py::TestFullCsvTrainedGolden",
+    # SIGKILL-between-segments recovery (three subprocess training runs)
+    "test_recovery.py",
+    # distributed dense path at stress scale (N=16384 on the virtual mesh)
+    "test_dist_scale.py",
     # delayed-response family: 800-iteration recovery fit, HMC smoke
     "test_delaysimm.py::test_delay_recovery",
     "test_cli.py::TestPipelineEntry::test_delay_posterior_smoke",
@@ -95,9 +121,25 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: heavy oracle/stress test (excluded from the smoke lane)"
     )
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-device test (DIS_TPU_LANE=1 pytest -m tpu); auto-skipped "
+        "on the CPU lane",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(
+        reason="on-device test: run with DIS_TPU_LANE=1 pytest -m tpu"
+    )
+    skip_cpu_only = pytest.mark.skip(
+        reason="CPU-lane test: the TPU lane pins no virtual devices / x64"
+    )
     for item in items:
         if any(pat in item.nodeid for pat in SLOW_NODEID_PATTERNS):
             item.add_marker(pytest.mark.slow)
+        is_tpu_test = bool(list(item.iter_markers("tpu")))
+        if is_tpu_test and not TPU_LANE:
+            item.add_marker(skip_tpu)
+        if TPU_LANE and not is_tpu_test:
+            item.add_marker(skip_cpu_only)

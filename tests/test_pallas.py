@@ -532,3 +532,83 @@ class TestBatchedDispatch:
             p for p in pkg.rglob("*.py") if pat.search(p.read_text())
         ]
         assert offenders == [], f"private jax._src imports in: {offenders}"
+
+
+class TestTransposedBlockedCholesky:
+    """r3 factoriser: transposed-layout two-level left-looking blocked
+    Cholesky (``blocked_cholesky_t``) — the op the f32 MLL hot path
+    consumes."""
+
+    @pytest.mark.parametrize("n,block,inner", [
+        (256, None, 64), (300, None, 64), (512, 256, 64),
+        (700, 256, 128), (1024, None, 128),
+    ])
+    def test_matches_xla_cholesky(self, n, block, inner):
+        rng = np.random.default_rng(n)
+        t = rng.uniform(0, 12, n)
+        g = rng.integers(0, 5, n)
+        x = jnp.asarray(np.stack([t, g, np.ones(n)], 1))
+        decay = jnp.asarray(rng.uniform(0.2, 1.0, 5))
+        sens = jnp.asarray(rng.uniform(0.5, 1.5, 5))
+        A = gram_ops.gram(x, decay, sens, jnp.asarray(2.5))
+        A = A + 1.0001 * jnp.eye(n, dtype=A.dtype)
+        Lt = pc.blocked_cholesky_t(A, block=block, inner=inner)
+        L_ref = jnp.linalg.cholesky(A)
+        np.testing.assert_allclose(
+            np.asarray(jnp.tril(Lt.T)), np.asarray(L_ref),
+            rtol=1e-9, atol=1e-10,
+        )
+
+    def test_diag_inv_and_probe_eps(self):
+        rng = np.random.default_rng(7)
+        n, inner = 384, 128
+        M = rng.standard_normal((n, n))
+        A = jnp.asarray(M @ M.T + n * np.eye(n))
+        Lt, dinvs = pc.blocked_cholesky_t(
+            A, inner=inner, return_diag_inv=True, probe_eps=jnp.asarray(0.0)
+        )
+        assert dinvs.shape == (n // inner, inner, inner)
+        L = jnp.tril(Lt.T)
+        for k in range(n // inner):
+            blk = L[k * inner:(k + 1) * inner, k * inner:(k + 1) * inner]
+            np.testing.assert_allclose(
+                np.asarray(dinvs[k] @ blk), np.eye(inner), atol=1e-8
+            )
+        # the probe hook is numerically negligible but dependency-creating
+        Lt2 = pc.blocked_cholesky_t(A, inner=inner, probe_eps=jnp.asarray(1e-30))
+        np.testing.assert_allclose(np.asarray(Lt2), np.asarray(Lt), rtol=0, atol=1e-12)
+
+    def test_block_inner_divisibility_guard(self):
+        A = jnp.eye(256)
+        with pytest.raises(ValueError, match="multiple of"):
+            pc.blocked_cholesky_t(A, block=300, inner=128)
+
+    def test_f32_mll_blocked_path_value_and_grads(self):
+        """The Lt-native blocked MLL (f32) must agree with the xla impl in
+        value and in hyperparameter gradients at f32 tolerance."""
+        import jax
+
+        from dis_project_tpu.ops import mll as mll_ops
+
+        rng = np.random.default_rng(3)
+        n = 320
+        t = rng.uniform(0, 12, n)
+        g = rng.integers(0, 5, n)
+        x = jnp.asarray(np.stack([t, g, np.ones(n)], 1), jnp.float32)
+        y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        decay0 = jnp.asarray(rng.uniform(0.2, 1.0, 5), jnp.float32)
+        sens = jnp.asarray(rng.uniform(0.5, 1.5, 5), jnp.float32)
+
+        def logp(decay, impl):
+            K = gram_ops.cross_covariance(
+                x, x, decay, sens, jnp.asarray(2.5, jnp.float32)
+            )
+            sigma = mll_ops.add_diagonal(K, jnp.asarray(1.01, jnp.float32))
+            return mll_ops.mvn_logpdf(y, jnp.zeros_like(y), sigma, impl=impl)
+
+        v_x, g_x = jax.value_and_grad(logp)(decay0, "xla")
+        v_b, g_b = jax.value_and_grad(logp)(decay0, "blocked")
+        np.testing.assert_allclose(float(v_b), float(v_x), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_b), np.asarray(g_x), rtol=2e-4, atol=1e-4
+        )
