@@ -54,12 +54,15 @@ import jax.numpy as jnp
 import optax
 
 
-def _probe_backend(timeout_s=300):
+def _probe_backend(timeout_s=540):
     """Probe the default accelerator in a SUBPROCESS: a wedged remote-TPU
     tunnel hangs even a scalar op indefinitely and a blocked XLA call
     cannot be interrupted in-process, so the health check must be killable.
     A healthy tunnel answers a fresh-process scalar matmul well inside the
-    bound (cold compile ~20-40 s). Returns the effective backend platform
+    bound (cold compile ~20-40 s; a DEGRADED-but-alive tunnel was measured
+    at 257 s on 2026-08-19, hence the generous default — a spurious CPU
+    fallback costs the round its real TPU numbers, a slow probe only costs
+    minutes). Returns the effective backend platform
     string (e.g. "tpu", "cpu") on success, or None if the probe hung or
     failed — the CALLER must distinguish "responsive" from "not CPU"
     (a CPU-default host answers the probe happily)."""
@@ -426,6 +429,29 @@ def _steps_to_target(hist, target):
     return int(idx[0]) + 1 if idx.size else len(h)
 
 
+def _finite_prefix_stats(hist):
+    """(min, last, nan_from) over the finite prefix of a loss history.
+
+    The f32 trajectory is chaotic and the reference's quirky `2l` kernel
+    family is genuinely indefinite in parts of parameter space (measured:
+    min eig -1.4e-3 in f64 at a mid-descent parameter point) — a long f32
+    run can step into that region, NaN its Cholesky, and poison the Adam
+    state for every remaining step. When that happens the headline must
+    stay a number (computed over the steps that ran) and the event must be
+    VISIBLE (`trajectory_nan_from_step_*`), not silently propagate NaN
+    into every derived field.
+    """
+    import numpy as np
+
+    h = np.asarray(hist)
+    bad = np.nonzero(~np.isfinite(h))[0]
+    nan_from = int(bad[0]) if bad.size else None
+    fin = h[: nan_from] if nan_from is not None else h
+    if fin.size == 0:
+        return float("inf"), float("inf"), nan_from
+    return float(fin.min()), float(fin[-1]), nan_from
+
+
 def main():
     from dis_project_tpu.utils.watchdog import first_op_watchdog
 
@@ -459,9 +485,14 @@ def main():
 
     ours_h = np.asarray(ours_hist)
     ref_h = np.asarray(ref_hist)
+    ours_min, ours_final, ours_nan_from = _finite_prefix_stats(ours_h)
+    ref_min, ref_final, ref_nan_from = _finite_prefix_stats(ref_h)
     # Equal-convergence finish line: the WORSE of the two converged minima
     # plus a tolerance both trajectories' post-convergence noise clears.
-    target = max(float(ours_h.min()), float(ref_h.min())) + 0.01
+    # Minima/finals are taken over each history's finite prefix so a
+    # trajectory that NaN'd partway (see _finite_prefix_stats) degrades the
+    # headline honestly instead of turning every field into NaN.
+    target = max(ours_min, ref_min) + 0.01
     ours_steps = _steps_to_target(ours_h, target)
     ref_steps = _steps_to_target(ref_h, target)
     ours_ttt = ours_s * ours_steps / BENCH_ITERS
@@ -479,8 +510,18 @@ def main():
         "steps_to_target_baseline": ref_steps,
         "wall_s_600iter_ours": round(ours_s, 5),
         "wall_s_600iter_baseline": round(ref_s, 5),
-        "final_loss_ours": round(float(ours_h[-1]), 6),
-        "final_loss_baseline": round(float(ref_h[-1]), 6),
+        "final_loss_ours": round(ours_final, 6),
+        "final_loss_baseline": round(ref_final, 6),
+        **(
+            {"trajectory_nan_from_step_ours": ours_nan_from}
+            if ours_nan_from is not None
+            else {}
+        ),
+        **(
+            {"trajectory_nan_from_step_baseline": ref_nan_from}
+            if ref_nan_from is not None
+            else {}
+        ),
         "device": str(jax.devices()[0]),
         **({"note": note} if note else {}),
         **probes,

@@ -19,6 +19,39 @@ def test_entry_loss_is_finite_and_jits():
     assert np.isfinite(loss)
 
 
+def test_entry_example_args_are_p53_shaped():
+    """entry() advertises the canonical p53 problem: 35 rows of
+    (t, gene, flag) with a matching flat target vector."""
+    _, (raw0, X, y) = graft.entry()
+    assert X.shape == (35, 3)
+    assert y.shape == (35,)
+    # flag column is all-expression (the training rows), gene ids in 0..4
+    assert np.all(np.asarray(X[:, 2]) == 1.0)
+    assert set(np.unique(np.asarray(X[:, 1]))) == {0.0, 1.0, 2.0, 3.0, 4.0}
+    # raw params are a pytree of finite leaves
+    assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(raw0))
+
+
+def test_entry_loss_is_differentiable():
+    """The driver compile-checks the forward only; the step must also carry
+    finite, nonzero gradients (it is the training loss)."""
+    fn, (raw0, X, y) = graft.entry()
+    grads = jax.jit(jax.grad(fn))(raw0, X, y)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.all(np.isfinite(l)) for l in leaves)
+    assert any(np.any(np.asarray(l) != 0.0) for l in leaves)
+
+
+def test_provision_devices_fails_loudly_when_oversubscribed():
+    """Requesting more devices than the initialised backends expose must
+    raise the explanatory RuntimeError, not hang or silently shrink."""
+    assert len(jax.devices()) >= 1  # force backend init first
+    import pytest
+
+    with pytest.raises(RuntimeError, match="devices"):
+        graft._provision_devices(4096)
+
+
 def test_dryrun_multichip_two_legs(capsys):
     """Both legs (ensemble step + distributed-Cholesky step) execute on a
     4-device virtual mesh and report finite losses."""
