@@ -135,13 +135,17 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch-size", type=int, default=d.batch_size)
     parser.add_argument("--num-epochs", type=int, default=d.num_epochs)
     parser.add_argument("--mll-engine", default=d.mll_engine,
-                        choices=["cholesky", "cg", "dist"],
-                        help="dense-preset O(N^3) engine: 'cholesky' "
-                        "(single-device blocked factoriser), 'cg' "
+                        choices=["cholesky", "cg", "dist", "ss"],
+                        help="dense-preset MLL engine: 'cholesky' "
+                        "(single-device blocked factoriser, O(N^3)), 'cg' "
                         "(matmul-only BBMM/Lanczos), 'dist' (row-sharded "
                         "GSPMD Cholesky over ALL visible devices — the "
                         "beyond-HBM path, exercised on a 1-device mesh "
-                        "when only one chip is visible)")
+                        "when only one chip is visible), 'ss' (state-space "
+                        "Kalman engine, O(T) in timepoints via an order-10 "
+                        "SDE approximation of the force prior — ~1e-4 MLL "
+                        "accuracy, log-depth associative-scan filter on "
+                        "TPU)")
     parser.add_argument("--ensemble", action="store_true",
                         help="p53-replicates: per-replicate model ensemble "
                         "as one SPMD mesh program")

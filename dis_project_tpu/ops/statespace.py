@@ -1,0 +1,645 @@
+r"""State-space (Markovian) LFM engine: O(T) exact inference for the
+first-order SIMM family via Kalman filtering, with a log-depth
+``associative_scan`` filter for TPU.
+
+The reference evaluates the SIMM marginal likelihood by materialising the
+dense N x N Gram and factorising it — O(N^2) memory, O(N^3) FLOPs with a
+sequential panel dependency (reference ``src/objectives.py:70-78``). This
+module replaces that with the classical GP <-> stochastic-differential-
+equation duality (Hartikainen & Sarkka 2010, "Kalman filtering and
+smoothing solutions to temporal Gaussian process regression models"):
+
+1. The latent force's RBF prior — in the Lawrence convention the
+   closed-form ``k_xx`` analytically integrates,
+   ``k_f(tau) = exp(-tau^2 / l^2)`` (see
+   :func:`dis_project_tpu.ops.lfm_kernels.k_ff_consistent`) — is
+   approximated by a linear-time-invariant SDE of order ``p``: truncate
+   the reciprocal spectral density's Taylor series at order ``p``,
+   spectrally factorise, and keep the stable half. The approximation
+   error is measured and monotone: max kernel error 6.0e-4 at p=8,
+   1.28e-4 at p=10, 2.9e-5 at p=12, independent of the lengthscale
+   (the SDE is the canonical unit system scaled by ``l/2`` — exactly the
+   ``gamma = D*l/2`` time scale of the closed forms).
+2. The gene ODE ``dx_j/dt = B_j + S_j f - D_j x_j`` (reference
+   ``src/model.py:1-7``) is *already* linear state evolution, so the
+   augmented state ``z = [f-state (p), x (G)]`` is jointly Markovian-
+   Gaussian and the exact MLL of the approximated model is a Kalman
+   filter: O(T (p+G)^3) FLOPs, O((p+G)^2) working memory — linear in the
+   number of timepoints instead of cubic in N = G*T*R.
+3. On TPU the filter runs either as a ``lax.scan`` (sequential, minimal
+   memory) or as a parallel prefix over the filtering semigroup
+   (``jax.lax.associative_scan``; Sarkka & Garcia-Fernandez 2021,
+   "Temporal parallelization of Bayesian smoothers") — log-depth in T,
+   every level a batched (T, m, m) matmul on the MXU.
+
+Numerical design: the force SDE is built host-side in a **balanced
+realization** (controllability and observability Gramians equal and
+diagonal). The naive companion realization carries coefficients up to
+``~p!`` and is unusable in f32 past p~6; balancing brings every entry to
+O(1) (measured |F| <= ~4 at p=12) at zero runtime cost, so the same
+constants serve the f64 parity oracle and the f32 TPU path.
+
+Faithfulness notes (same contract as the dense path):
+
+- The *training* MLL convention matches reference
+  ``src/objectives.py:70-73``: observation noise is
+  ``jitter + obs_stddev^2`` only, per-point measurement variances
+  excluded. Pass ``r_var`` accordingly.
+- The reference's generative convention "the force acts from t=0, with
+  x_j(0) = B_j/D_j deterministically" (the ``erf(t/l + gamma)`` terms of
+  ``h_term``) is reproduced exactly by the filter's initial state:
+  ``m_0 = 0`` (centered), ``P_0 = blockdiag(P_inf_ff, 0)``.
+- The only approximation is the order-p SDE of the force prior; the
+  Kalman recursion itself is the exact MLL of that approximated model.
+  Measured end-to-end MLL error vs the dense closed-form path at the
+  reference inits: ~1e-4 nats at p=10 (pinned in tests/test_statespace.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_2PI = 1.8378770664093453
+
+
+# ---------------------------------------------------------------------------
+# Canonical (unit-time-scale) balanced SDE of the RBF prior — host-side
+# f64 constants per order, cached.
+# ---------------------------------------------------------------------------
+
+
+def _psd_sqrt(a: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigh with clipping.
+
+    The highest-order modes of the RBF SDE carry Hankel singular values
+    near f64 eps; a plain Cholesky of the observability Gramian fails PSD
+    at p=12 even though the balanced system is fine. Clipping at
+    ``eps * max`` keeps the transform well-defined (those modes contribute
+    nothing to the kernel by the same measure).
+    """
+    w, v = np.linalg.eigh(a)
+    w = np.clip(w, np.finfo(np.float64).eps * w.max(), None)
+    return v @ np.diag(np.sqrt(w))
+
+
+@functools.lru_cache(maxsize=None)
+def canonical_system(order: int):
+    """Balanced LTI SDE realising ``k(tau) ~= exp(-tau^2)`` at unit
+    time-scale ``l/2 = 1``.
+
+    Returns host-side f64 constants ``(F_c, h_c, q_c, p_diag)``:
+    ``F_c`` (p, p) stable drift, ``h_c`` (p,) the row reading f out of the
+    state, ``q_c`` scalar white-noise density on the (balanced) input
+    direction — returned folded into ``p_diag`` — and ``p_diag`` (p,) the
+    stationary covariance, exactly diagonal by construction. The physical
+    system at lengthscale ``l`` is ``F = F_c / (l/2)`` with stationary
+    covariance ``diag(p_diag)`` unchanged.
+
+    Construction: roots of the truncated series ``sum_{k<=p} z^k / k!``
+    give the spectral factorisation of the Taylor-inverted RBF density
+    (Hartikainen & Sarkka 2010 eq. 29-32); companion form; then balance
+    with the two Gramians' square roots.
+    """
+    p = order
+    coeffs = [1.0 / math.factorial(k) for k in range(p, -1, -1)]
+    z = np.roots(coeffs)
+    w = np.sqrt(-z.astype(complex))
+    w = np.where(w.real > 0, -w, w)  # stable half-plane
+    a = np.poly(w).real  # monic stable polynomial, length p+1
+
+    f_comp = np.zeros((p, p))
+    f_comp[: p - 1, 1:] = np.eye(p - 1)
+    f_comp[p - 1, :] = -a[::-1][:p]
+    lvec = np.zeros(p)
+    lvec[p - 1] = 1.0
+    hvec = np.zeros(p)
+    hvec[0] = 1.0
+    # Canonical white-noise density: S(w) = sqrt(2 pi) * l_std * p! /
+    # |a_c(i W)|^2 in unit scale works out to 2 sqrt(pi) p!.
+    q_c = 2.0 * np.sqrt(np.pi) * math.factorial(p)
+
+    from scipy.linalg import solve_lyapunov, svd
+
+    gram_c = solve_lyapunov(f_comp, -q_c * np.outer(lvec, lvec))
+    gram_o = solve_lyapunov(f_comp.T, -np.outer(hvec, hvec))
+    r_c = _psd_sqrt(gram_c)
+    r_o = _psd_sqrt(gram_o)
+    u, s, vt = svd(r_o.T @ r_c)
+    t_bal = r_c @ vt.T @ np.diag(s**-0.5)
+    t_inv = np.diag(s**-0.5) @ u.T @ r_o.T
+    f_bal = t_inv @ f_comp @ t_bal
+    h_bal = hvec @ t_bal
+    # In balanced coordinates the stationary covariance IS diag(s).
+    return f_bal, h_bal, q_c, s
+
+
+# ---------------------------------------------------------------------------
+# Augmented (force-state, genes) model — traced, differentiable in params.
+# ---------------------------------------------------------------------------
+
+
+def build_lfm_ssm(decay, sens, lengthscale, order: int = 10):
+    """Augmented LFM state-space model for the first-order SIMM.
+
+    State ``z = [f-state (p), x (G)]`` (centered: the constant mean
+    ``B/D`` is subtracted from the data, legal because the system is
+    linear). Returns ``(F, P_inf, P0, h_force)``:
+
+    - ``F`` (m, m): drift — balanced force block scaled by ``2/l``, gene
+      coupling rows ``S_j * h_force``, gene decay ``-D_j``;
+    - ``P_inf`` (m, m): stationary covariance, assembled from the constant
+      force block and *closed-form* cross/gene blocks (columnwise
+      (p, p) Sylvester solves — no m^2 x m^2 Lyapunov system);
+    - ``P0`` (m, m): the reference's t=0 convention — force at its
+      stationary marginal, genes deterministic at ``B/D``, zero cross;
+    - ``h_force`` (m,): row reading f(t) out of the state.
+    """
+    dtype = jnp.result_type(decay, sens, lengthscale)
+    f_c, h_c, _, p_diag = canonical_system(order)
+    p = order
+    g = decay.shape[0]
+    m = p + g
+
+    f_c = jnp.asarray(f_c, dtype)
+    h_c = jnp.asarray(h_c, dtype)
+    p_ff = jnp.asarray(np.diag(p_diag), dtype)
+
+    inv_lp = 2.0 / lengthscale  # canonical time unit is l/2
+    f_force = f_c * inv_lp
+
+    # F = [[F_f, 0], [S h_c^T, -diag(D)]]
+    top = jnp.concatenate([f_force, jnp.zeros((p, g), dtype)], axis=1)
+    bottom = jnp.concatenate(
+        [sens[:, None] * h_c[None, :], -jnp.diag(decay)], axis=1
+    )
+    f_aug = jnp.concatenate([top, bottom], axis=0)
+
+    # Stationary covariance blocks (continuous Lyapunov, closed form):
+    #   ff: the canonical constant (l-invariant in balanced coordinates);
+    #   fx column j: (F_f - D_j I) c_j = -S_j P_ff h_c^T;
+    #   xx: (D_i + D_j) P_xx[i,j] = sym(S_i (h_c P_fx)[j]).
+    rhs = p_ff @ h_c  # (p,)
+    eye_p = jnp.eye(p, dtype=dtype)
+
+    def col(d_j, s_j):
+        return -s_j * jnp.linalg.solve(f_force - d_j * eye_p, rhs)
+
+    p_fx = jax.vmap(col, in_axes=(0, 0), out_axes=1)(decay, sens)  # (p, g)
+    hp = h_c @ p_fx  # (g,)
+    mx = sens[:, None] * hp[None, :]  # (g, g): S_i * (h P_fx)_j
+    p_xx = (mx + mx.T) / (decay[:, None] + decay[None, :])
+    p_inf = jnp.concatenate(
+        [
+            jnp.concatenate([p_ff, p_fx], axis=1),
+            jnp.concatenate([p_fx.T, p_xx], axis=1),
+        ],
+        axis=0,
+    )
+
+    p0 = jnp.zeros((m, m), dtype).at[:p, :p].set(p_ff)
+    h_force = jnp.concatenate([h_c, jnp.zeros((g,), dtype)])
+    return f_aug, p_inf, p0, h_force
+
+
+def discretize(f_aug, p_inf, dts):
+    """Exact discretization over step sizes ``dts`` (scalar or (T,)).
+
+    ``A = expm(F dt)``; the process noise uses the stationarity identity
+    ``Q = P_inf - A P_inf A^T`` (exact for a stable stationary system —
+    no Van Loan double-size expm needed). Scalar ``dts`` returns (m, m)
+    matrices shared by every step; a (T,) vector returns (T, m, m).
+    """
+    expm = jax.scipy.linalg.expm
+
+    def one(dt):
+        a = expm(f_aug * dt)
+        q = p_inf - a @ p_inf @ a.T
+        # Exact-math Q is PSD; roundoff can leave tiny negative diagonal.
+        return a, _symmetrize(q)
+
+    dts = jnp.asarray(dts)
+    if dts.ndim == 0:
+        return one(dts)
+    return jax.vmap(one)(dts)
+
+
+def _symmetrize(p):
+    return 0.5 * (p + jnp.swapaxes(p, -1, -2))
+
+
+def gene_observation_matrix(order: int, num_genes: int, replicates: int = 1,
+                            dtype=jnp.float64):
+    """H reading the gene states out of ``z``, replicate-tiled.
+
+    Replicates in the reference share one latent trajectory and differ
+    only in observation noise (``dataset_3d`` rows carry no replicate
+    index — reference ``src/dataset.py:358-399``), so R replicates are
+    R independent observation rows of the same state.
+    """
+    h_x = jnp.concatenate(
+        [jnp.zeros((num_genes, order), dtype), jnp.eye(num_genes, dtype=dtype)],
+        axis=1,
+    )
+    return jnp.tile(h_x, (replicates, 1))
+
+
+# ---------------------------------------------------------------------------
+# Kalman filtering: sequential scan and log-depth associative scan.
+# ---------------------------------------------------------------------------
+
+
+def _gauss_ll(r, s_mat):
+    """log N(r; 0, s_mat) for one innovation (n_o,)."""
+    chol = jnp.linalg.cholesky(s_mat)
+    al = jax.scipy.linalg.solve_triangular(chol, r, lower=True)
+    return (
+        -0.5 * jnp.sum(al * al)
+        - jnp.sum(jnp.log(jnp.diagonal(chol)))
+        - 0.5 * r.shape[0] * LOG_2PI
+    )
+
+
+def _joseph_update(m_pred, p_pred, h, r_var, y):
+    """One measurement update; returns (m, P, ll). Joseph-form covariance
+    update for f32 robustness."""
+    s_mat = h @ p_pred @ h.T + jnp.diag(r_var)
+    r = y - h @ m_pred
+    gain = jnp.linalg.solve(s_mat.T, h @ p_pred).T  # P H^T S^-1
+    m_new = m_pred + gain @ r
+    ikh = jnp.eye(p_pred.shape[0], dtype=p_pred.dtype) - gain @ h
+    p_new = ikh @ p_pred @ ikh.T + (gain * r_var[None, :]) @ gain.T
+    return m_new, _symmetrize(p_new), _gauss_ll(r, s_mat)
+
+
+def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
+    """Sequential Kalman filter (one ``lax.scan``).
+
+    ``a``/``q``: (m, m) shared by all steps (uniform grid) or (T, m, m);
+    ``h``: (n_o, m); ``r_var``: (n_o,) or (T, n_o) observation noise
+    variances; ``ys``: (T, n_o) **centered** observations; ``p0`` the
+    prior covariance *at the first step's predict input* (the state at
+    t=0, before the first transition); ``mask``: optional (T,) {0,1} —
+    steps with mask 0 skip the measurement update and contribute no
+    likelihood (used by the smoother-based predict on union grids).
+
+    Returns ``(ms, ps, ll)``: filtered means (T, m), covariances
+    (T, m, m), and the total marginal log-likelihood.
+    """
+    t_steps, n_o = ys.shape
+    m_dim = p0.shape[0]
+    dtype = p0.dtype
+    if m0 is None:
+        m0 = jnp.zeros((m_dim,), dtype)
+    r_var = jnp.broadcast_to(jnp.asarray(r_var, dtype), (t_steps, n_o))
+    if mask is None:
+        mask = jnp.ones((t_steps,), dtype)
+    shared_aq = a.ndim == 2
+
+    def step(carry, xs):
+        m_cur, p_cur, ll = carry
+        if shared_aq:
+            y_i, rv_i, mk_i = xs
+            a_i, q_i = a, q
+        else:
+            y_i, rv_i, mk_i, a_i, q_i = xs
+        m_pred = a_i @ m_cur
+        p_pred = _symmetrize(a_i @ p_cur @ a_i.T + q_i)
+        m_up, p_up, ll_i = _joseph_update(m_pred, p_pred, h, rv_i, y_i)
+        m_new = jnp.where(mk_i > 0, m_up, m_pred)
+        p_new = jnp.where(mk_i > 0, p_up, p_pred)
+        ll = ll + mk_i * ll_i
+        return (m_new, p_new, ll), (m_new, p_new)
+
+    xs = (ys, r_var, mask) if shared_aq else (ys, r_var, mask, a, q)
+    (_, _, ll), (ms, ps) = jax.lax.scan(
+        step, (m0, p0, jnp.zeros((), dtype)), xs
+    )
+    return ms, ps, ll
+
+
+def _filter_element(a_i, q_i, h, rv_i, y_i, mask_i):
+    """Per-step element of the filtering semigroup (Sarkka &
+    Garcia-Fernandez 2021, eq. 10): (A, b, C, eta, J) such that composing
+    elements left-to-right yields the filtered posterior.
+
+    A masked step (no observation) degenerates to the pure prediction
+    element (A_i, 0, Q_i, 0, 0).
+    """
+    s_mat = h @ q_i @ h.T + jnp.diag(rv_i)
+    s_chol = jnp.linalg.cholesky(s_mat)
+
+    def solve_s(b):
+        z = jax.scipy.linalg.solve_triangular(s_chol, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(s_chol.T, z, lower=False)
+
+    gain = solve_s(h @ q_i).T  # Q H^T S^-1   (m, n_o)
+    ikh = jnp.eye(q_i.shape[0], dtype=q_i.dtype) - gain @ h
+    ha = h @ a_i
+    sinv_ha = solve_s(ha)  # S^-1 H A
+
+    a_e = ikh @ a_i
+    b_e = gain @ y_i
+    c_e = _symmetrize(ikh @ q_i)
+    eta_e = sinv_ha.T @ y_i
+    j_e = _symmetrize(ha.T @ sinv_ha)
+
+    a_e = jnp.where(mask_i > 0, a_e, a_i)
+    b_e = jnp.where(mask_i > 0, b_e, jnp.zeros_like(b_e))
+    c_e = jnp.where(mask_i > 0, c_e, q_i)
+    eta_e = jnp.where(mask_i > 0, eta_e, jnp.zeros_like(eta_e))
+    j_e = jnp.where(mask_i > 0, j_e, jnp.zeros_like(j_e))
+    return a_e, b_e, c_e, eta_e, j_e
+
+
+def _mv(mat, vec):
+    """Batched matrix-vector product over arbitrary leading axes."""
+    return (mat @ vec[..., None])[..., 0]
+
+
+def _combine(e1, e2):
+    """Associative composition of filtering elements (ibid., lemma 8).
+    ``e1`` is the earlier interval. Batched over the leading axis by
+    ``associative_scan``."""
+    a1, b1, c1, eta1, j1 = e1
+    a2, b2, c2, eta2, j2 = e2
+    m = a1.shape[-1]
+    eye = jnp.eye(m, dtype=a1.dtype)
+    # (I + C1 J2)^-1 appears twice (once transposed) — one LU each.
+    d_mat = eye + c1 @ j2
+    a2d = jnp.linalg.solve(
+        jnp.swapaxes(d_mat, -1, -2), jnp.swapaxes(a2, -1, -2)
+    )
+    a2d = jnp.swapaxes(a2d, -1, -2)  # A2 (I + C1 J2)^-1
+    a_new = a2d @ a1
+    b_new = _mv(a2d, b1 + _mv(c1, eta2)) + b2
+    c_new = _symmetrize(a2d @ c1 @ jnp.swapaxes(a2, -1, -2) + c2)
+    e_mat = eye + j2 @ c1
+    einv_t_a1 = jnp.linalg.solve(jnp.swapaxes(e_mat, -1, -2), a1)
+    a1t_einv = jnp.swapaxes(einv_t_a1, -1, -2)  # A1^T (I + J2 C1)^-1
+    eta_new = _mv(a1t_einv, eta2 - _mv(j2, b1)) + eta1
+    j_new = _symmetrize(a1t_einv @ j2 @ a1 + j1)
+    return a_new, b_new, c_new, eta_new, j_new
+
+
+def parallel_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
+    """Log-depth Kalman filter: ``jax.lax.associative_scan`` over the
+    filtering semigroup. Identical output contract to
+    :func:`kalman_filter` (filtered means/covs and the exact total MLL);
+    every scan level is a batched (T, m, m) matmul — MXU work, depth
+    O(log T) instead of O(T).
+
+    The first step's element folds the prior in directly (A=0): its
+    (b, C) are the filtered posterior at step 0, which makes every prefix
+    composition the exact filtered result with no special-casing in the
+    combine.
+
+    The log-likelihood is recovered after the scan from the one-step
+    predictive densities ``N(y_i; H A_i m_{i-1}, H (A_i P_{i-1} A_i^T +
+    Q_i) H^T + R)`` — a batched ``vmap`` over the scan's outputs.
+    """
+    t_steps, n_o = ys.shape
+    m_dim = p0.shape[0]
+    dtype = p0.dtype
+    if m0 is None:
+        m0 = jnp.zeros((m_dim,), dtype)
+    r_var = jnp.broadcast_to(jnp.asarray(r_var, dtype), (t_steps, n_o))
+    if mask is None:
+        mask = jnp.ones((t_steps,), dtype)
+    if a.ndim == 2:
+        a = jnp.broadcast_to(a, (t_steps, m_dim, m_dim))
+        q = jnp.broadcast_to(q, (t_steps, m_dim, m_dim))
+
+    elems = jax.vmap(_filter_element, in_axes=(0, 0, None, 0, 0, 0))(
+        a, q, h, r_var, ys, mask
+    )
+
+    # Fold the prior into element 0: predict (m0, p0) through step 0's
+    # transition, then measurement-update -> (A=0, b=m_f0, C=P_f0).
+    m_pred0 = a[0] @ m0
+    p_pred0 = _symmetrize(a[0] @ p0 @ a[0].T + q[0])
+    m_f0, p_f0, _ = _joseph_update(m_pred0, p_pred0, h, r_var[0], ys[0])
+    m_f0 = jnp.where(mask[0] > 0, m_f0, m_pred0)
+    p_f0 = jnp.where(mask[0] > 0, p_f0, p_pred0)
+    a_e, b_e, c_e, eta_e, j_e = elems
+    a_e = a_e.at[0].set(jnp.zeros((m_dim, m_dim), dtype))
+    b_e = b_e.at[0].set(m_f0)
+    c_e = c_e.at[0].set(p_f0)
+    eta_e = eta_e.at[0].set(jnp.zeros((m_dim,), dtype))
+    j_e = j_e.at[0].set(jnp.zeros((m_dim, m_dim), dtype))
+
+    _, ms, ps, _, _ = jax.lax.associative_scan(
+        _combine, (a_e, b_e, c_e, eta_e, j_e)
+    )
+
+    # Exact per-step predictive log-densities from the filtered prefix.
+    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
+    p_prev = jnp.concatenate([p0[None], ps[:-1]], axis=0)
+
+    def step_ll(a_i, q_i, m_im1, p_im1, rv_i, y_i):
+        m_pred = a_i @ m_im1
+        p_pred = a_i @ p_im1 @ a_i.T + q_i
+        s_mat = h @ p_pred @ h.T + jnp.diag(rv_i)
+        return _gauss_ll(y_i - h @ m_pred, s_mat)
+
+    lls = jax.vmap(step_ll)(a, q, m_prev, p_prev, r_var, ys)
+    return ms, ps, jnp.sum(mask * lls)
+
+
+def rts_smoother(a, q, ms, ps):
+    """Rauch-Tung-Striebel backward pass over filtered results.
+
+    ``a``/``q``: (m, m) or (T, m, m) as in :func:`kalman_filter`.
+    Returns smoothed means (T, m) and covariances (T, m, m).
+    """
+    t_steps, m_dim = ms.shape
+    shared_aq = a.ndim == 2
+    # Ridge on the predicted covariance before the gain solve: P_pred is
+    # EXACTLY singular wherever the model is deterministic — the t=0
+    # convention zeroes the gene block of P0, and duplicate times on a
+    # union grid give dt=0 steps with Q=0. The filter never inverts P, but
+    # the RTS gain does.
+    eps = jnp.asarray(
+        1e-9 if ms.dtype == jnp.float64 else 1e-6, ms.dtype
+    )
+    ridge = eps * jnp.eye(m_dim, dtype=ms.dtype)
+
+    def step(carry, xs):
+        m_next_s, p_next_s = carry
+        if shared_aq:
+            m_f, p_f = xs
+            a_i, q_i = a, q
+        else:
+            m_f, p_f, a_i, q_i = xs
+        p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i) + ridge
+        gain = jnp.linalg.solve(p_pred.T, a_i @ p_f).T  # P_f A^T P_pred^-1
+        m_s = m_f + gain @ (m_next_s - a_i @ m_f)
+        p_s = _symmetrize(p_f + gain @ (p_next_s - p_pred) @ gain.T)
+        return (m_s, p_s), (m_s, p_s)
+
+    if shared_aq:
+        xs = (ms[:-1], ps[:-1])
+    else:
+        xs = (ms[:-1], ps[:-1], a[1:], q[1:])
+    (_, _), (ms_s, ps_s) = jax.lax.scan(
+        step, (ms[-1], ps[-1]), xs, reverse=True
+    )
+    ms_s = jnp.concatenate([ms_s, ms[-1:]], axis=0)
+    ps_s = jnp.concatenate([ps_s, ps[-1:]], axis=0)
+    return ms_s, ps_s
+
+
+# ---------------------------------------------------------------------------
+# Model-level entry points.
+# ---------------------------------------------------------------------------
+
+
+def lfm_mll_ss(
+    params,
+    timepoints,
+    y,
+    *,
+    jitter: float,
+    replicates: int = 1,
+    order: int = 10,
+    parallel: bool | None = None,
+    uniform: bool = True,
+):
+    """State-space marginal log-likelihood of gridded SIMM data.
+
+    Same data layout as ``ExactSIMM.mll_gridded`` (gene-major blocks of
+    one shared time grid, replicate-tiled) and the same noise convention
+    (``jitter + obs_stddev^2``, per-point variances excluded — reference
+    ``src/objectives.py:70-73``), evaluated in O(T (p+G)^3) by Kalman
+    filtering instead of O((GTR)^3) by Cholesky.
+
+    ``params``: a SIMMParams-like namedtuple (basal/sensitivity/decay/
+    lengthscale/obs_stddev). ``parallel=None`` auto-selects the
+    associative-scan filter on TPU for T >= 64 (log-depth beats the
+    sequential scan's T small-matmul chain there); explicit True/False
+    forces it. ``uniform=True`` (a static promise about the grid — every
+    gridded caller passes linspace) discretizes ONCE and shares (A, Q)
+    across steps; the step from the t=0 prior to ``t[0]`` gets its own
+    transition and runs outside the scan, so grids starting anywhere are
+    handled exactly. ``uniform=False`` discretizes per step (vmapped
+    expm) for arbitrary sorted grids.
+    """
+    t = jnp.asarray(timepoints)
+    dtype = t.dtype
+    t_steps = t.shape[0]
+    g = params.decay.shape[0]
+    if parallel is None:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        parallel = on_tpu and t_steps >= 64
+
+    f_aug, p_inf, p0, _ = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    h = gene_observation_matrix(order, g, replicates, dtype)
+    mean = params.basal / params.decay  # (G,)
+    # y arrives gene-major ((R blocks of) G blocks of T): reshape to (T, G*R).
+    y = y.reshape(replicates * g, t_steps)  # rows: replicate-major gene blocks
+    ys = y.T - jnp.tile(mean, (replicates,))[None, :]
+    r_var = jnp.full((replicates * g,), jitter, dtype) + params.obs_stddev**2
+
+    fil = parallel_filter if parallel else kalman_filter
+    if uniform and t_steps >= 2:
+        # Step 0 (prior at t=0 -> first observation) outside the scan;
+        # steps 1..T-1 share one (A, Q).
+        a0, q0 = discretize(f_aug, p_inf, t[0])
+        p_pred0 = _symmetrize(a0 @ p0 @ a0.T + q0)  # mean stays 0 (centered)
+        m_f0, p_f0, ll0 = _joseph_update(
+            jnp.zeros((p0.shape[0],), dtype), p_pred0, h, r_var, ys[0]
+        )
+        a, q = discretize(f_aug, p_inf, (t[-1] - t[0]) / (t_steps - 1))
+        _, _, ll = fil(a, q, h, r_var, ys[1:], p_f0, m0=m_f0)
+        return ll0 + ll
+    dts = jnp.diff(t, prepend=jnp.zeros((1,), dtype))
+    a, q = discretize(f_aug, p_inf, dts)
+    _, _, ll = fil(a, q, h, r_var, ys, p0)
+    return ll
+
+
+def lfm_predict_ss(
+    params,
+    timepoints,
+    y,
+    t_test,
+    *,
+    noise_var,
+    replicates: int = 1,
+    order: int = 10,
+):
+    """Smoothed latent-force posterior at ``t_test`` (and the gene states).
+
+    The state-space analogue of ``ExactSIMM.latent_predict``: filter +
+    RTS smoother on the union grid of train and test times, observation
+    updates masked to train steps. Matches the dense path's *posterior
+    mean* (the cross-covariances k_xf are consistent with k_xx); the
+    posterior *variance* is that of the self-consistent model — the dense
+    path's test-test prior block uses the reference's quirky ``2l``
+    ``k_ff``, which is NOT the prior its own k_xx integrates (see
+    ``ops.lfm_kernels.k_ff_consistent``), so variances agree only in
+    shape, not value.
+
+    ``noise_var``: observation noise variance — scalar, (G*R,), or
+    (T_train, G*R). ``latent_predict`` parity is per-point variances +
+    jitter with NO learned noise (reference ``src/model.py:446-449``);
+    the training convention would be ``jitter + obs_stddev**2``. The
+    caller picks.
+
+    Returns ``(f_mean, f_var, x_mean, x_var)`` at ``t_test`` — x_mean/var
+    per gene, mean added back.
+    """
+    t_train = jnp.asarray(timepoints)
+    t_test = jnp.asarray(t_test)
+    dtype = t_train.dtype
+    g = params.decay.shape[0]
+
+    t_all = jnp.concatenate([t_train, t_test])
+    order_idx = jnp.argsort(t_all, stable=True)
+    t_sorted = t_all[order_idx]
+    is_train = jnp.concatenate(
+        [jnp.ones_like(t_train), jnp.zeros_like(t_test)]
+    )[order_idx]
+
+    f_aug, p_inf, p0, h_force = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    dts = jnp.diff(t_sorted, prepend=jnp.zeros((1,), dtype))
+    a, q = discretize(f_aug, p_inf, dts)
+
+    h = gene_observation_matrix(order, g, replicates, dtype)
+    mean = params.basal / params.decay
+    y = y.reshape(replicates * g, t_train.shape[0])
+    ys_train = y.T - jnp.tile(mean, (replicates,))[None, :]
+    # Scatter train observations into the union grid (zeros elsewhere —
+    # masked steps never read them).
+    n_all = t_sorted.shape[0]
+    n_o = replicates * g
+    ys = jnp.zeros((n_all, n_o), dtype)
+    train_pos = jnp.nonzero(is_train, size=t_train.shape[0])[0]
+    ys = ys.at[train_pos].set(ys_train)
+
+    noise_var = jnp.broadcast_to(
+        jnp.asarray(noise_var, dtype), (t_train.shape[0], n_o)
+    )
+    # Masked steps never use their noise row; 1.0 keeps Cholesky happy.
+    rv_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(noise_var)
+
+    ms, ps, _ = kalman_filter(a, q, h, rv_all, ys, p0, mask=is_train)
+    ms_s, ps_s = rts_smoother(a, q, ms, ps)
+
+    test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
+    m_t = ms_s[test_pos]
+    p_t = ps_s[test_pos]
+    f_mean = m_t @ h_force
+    f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
+    p = order
+    x_mean = m_t[:, p:] + mean[None, :]
+    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:]
+    return f_mean, f_var, x_mean, x_var

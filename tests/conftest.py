@@ -82,6 +82,13 @@ SLOW_NODEID_PATTERNS = (
     "test_cli.py::TestPipelineEntry::test_resume_from_legacy_checkpoint",
     # second-order route end-to-end (~70 s CPU: complex-erf Gram compiles)
     "test_cli.py::TestPipelineEntry::test_second_order_route_smoke",
+    # state-space Kalman engine: compile-heavy variants (the core parity
+    # tests — by-order MLL, gradients, parallel==sequential — stay fast)
+    "test_statespace.py::TestF32",
+    "test_statespace.py::TestTraining",
+    "test_statespace.py::TestPredict",
+    "test_statespace.py::TestParallelFilter::test_parallel_equals_sequential_long_grid",
+    "test_statespace.py::TestParallelFilter::test_masked_filter_matches_subset",
     # checkpoint/resume end-to-end
     "test_observability.py::TestCheckpointResume",
     # gridded/table-Gram heavy parity sweeps

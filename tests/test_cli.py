@@ -160,6 +160,21 @@ class TestPipelineEntry:
         )
         entry.run_dense(c)
 
+    def test_dense_route_ss_engine_smoke(self, tmp_path):
+        """run_dense with --mll-engine ss: the O(T) state-space Kalman
+        MLL as the training objective; recovery sanity on a short fit."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=32,
+            mll_engine="ss",
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+
     def test_multiforce_route_smoke(self, tmp_path):
         """run_multiforce end-to-end at toy scale: 2-force fit on the
         p53-shaped synthetic data, per-force latent plots written."""

@@ -1,0 +1,345 @@
+"""State-space (Kalman) LFM engine: correctness vs the dense closed-form
+path, parallel-vs-sequential filter equivalence, smoother-based predict
+parity, and f32 robustness of the balanced realization.
+
+The dense MLL (``ExactSIMM.mll_gridded``) is the oracle everywhere: the
+only approximation in ``ops.statespace`` is the order-p SDE of the RBF
+force prior, so the MLL error must match the measured kernel-approximation
+scale (6.0e-4 at p=8, 1.28e-4 at p=10, 2.9e-5 at p=12) and shrink
+monotonically with the order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dis_project_tpu.data import synthetic
+from dis_project_tpu.data.dataset import train_arrays
+from dis_project_tpu.models import simm
+from dis_project_tpu.ops import statespace as ss
+
+
+@pytest.fixture(scope="module")
+def p53_shaped():
+    """Canonical p53-shaped problem: 5 genes x 7 timepoints, prior draw."""
+    scfg = synthetic.SyntheticConfig(
+        num_genes=5, num_timepoints=7, num_replicates=1, noise_std=0.1
+    )
+    data = synthetic.sample_prior(jax.random.PRNGKey(0), scfg)
+    X, y, var = train_arrays(data)
+    return (
+        jnp.asarray(data.timepoints),
+        X,
+        y.reshape(-1),
+        var.reshape(-1),
+        simm.init_params(5),
+        simm.ExactSIMM(num_genes=5, jitter=1e-4),
+    )
+
+
+class TestCanonicalSystem:
+    def test_balanced_realization_is_well_conditioned(self):
+        """Balancing is the f32 enabler: every constant O(1)-ish, the
+        stationary covariance exactly diagonal (the companion form carries
+        ~p!-scale coefficients and is unusable in f32 past p~6)."""
+        for order in (6, 8, 10, 12):
+            f_c, h_c, _, p_diag = ss.canonical_system(order)
+            assert np.abs(f_c).max() < 10.0
+            assert np.abs(h_c).max() < 2.0
+            assert (p_diag > 0).all()
+
+    def test_kernel_approximation_error_is_monotone(self):
+        """Reconstructed k(tau) = h expm(F tau) P h^T converges to the
+        Lawrence-convention RBF as the order grows, at the measured rates.
+        The canonical system lives at unit time-scale l/2 = 1, i.e. it
+        realises exp(-tau^2 / 4)."""
+        from scipy.linalg import expm
+
+        taus = np.linspace(0.0, 6.0, 13)
+        errs = {}
+        for order in (8, 10, 12):
+            f_c, h_c, _, p_diag = ss.canonical_system(order)
+            p_ff = np.diag(p_diag)
+            k = np.array([h_c @ expm(f_c * t) @ p_ff @ h_c for t in taus])
+            errs[order] = np.abs(k - np.exp(-(taus**2) / 4.0)).max()
+        assert errs[8] < 7e-4
+        assert errs[10] < 1.5e-4
+        assert errs[12] < 4e-5
+        assert errs[12] < errs[10] < errs[8]
+
+    def test_stationary_variance_is_unit(self):
+        _, h_c, _, p_diag = ss.canonical_system(10)
+        var0 = h_c @ np.diag(p_diag) @ h_c
+        assert abs(var0 - 1.0) < 2e-4
+
+
+class TestMllParity:
+    def test_matches_dense_mll_by_order(self, p53_shaped):
+        t, X, y, var, params, model = p53_shaped
+        exact = float(model.mll_gridded(params, t, y))
+        tol = {8: 2e-2, 10: 4e-3, 12: 6e-4}
+        prev = np.inf
+        for order in (8, 10, 12):
+            val = float(
+                ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=order,
+                              parallel=False)
+            )
+            err = abs(val - exact)
+            assert err < tol[order], (order, val, exact)
+            assert err < prev + 1e-12
+            prev = err
+
+    def test_matches_dense_mll_off_init(self, p53_shaped):
+        """Not just at the init point: perturbed kinetics and lengthscale."""
+        t, X, y, var, params, model = p53_shaped
+        params = params._replace(
+            decay=params.decay * jnp.asarray([1.5, 0.7, 1.0, 2.0, 0.9]),
+            sensitivity=params.sensitivity
+            * jnp.asarray([0.8, 1.2, 1.0, 0.6, 1.4]),
+            lengthscale=jnp.asarray(1.3, params.lengthscale.dtype),
+        )
+        exact = float(model.mll_gridded(params, t, y))
+        val = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=10, parallel=False)
+        )
+        assert abs(val - exact) < 5e-3 * max(1.0, abs(exact))
+
+    def test_replicates(self, p53_shaped):
+        t, X, y, var, params, model = p53_shaped
+        rng = np.random.default_rng(1)
+        mean = np.repeat(np.asarray(params.basal / params.decay), t.shape[0])
+        yr = jnp.asarray(rng.normal(size=(3 * y.shape[0],)) + np.tile(mean, 3))
+        exact = float(model.mll_gridded(params, t, yr, replicates=3))
+        val = float(
+            ss.lfm_mll_ss(params, t, yr, jitter=1e-4, replicates=3, order=10,
+                          parallel=False)
+        )
+        assert abs(val - exact) < 1e-3
+
+    def test_nonuniform_grid(self):
+        """uniform=False (per-step expm) on an irregular sorted grid,
+        against the dense closed forms on the same grid."""
+        from dis_project_tpu.ops import lfm_kernels as lk
+        from dis_project_tpu.ops import mll as mll_ops
+
+        rng = np.random.default_rng(2)
+        t = jnp.asarray(np.sort(rng.uniform(0.1, 12.0, size=17)))
+        params = simm.init_params(3)
+        params = params._replace(
+            decay=jnp.asarray([0.4, 0.9, 1.3]),
+            sensitivity=jnp.asarray([1.0, 0.7, 1.2]),
+        )
+        y = jnp.asarray(rng.normal(size=(3 * 17,)))
+        K = lk.k_xx_block(
+            t, t, params.decay, params.sensitivity, params.lengthscale
+        )
+        sigma = mll_ops.add_diagonal(K, 1e-4 + params.obs_stddev**2)
+        mean = jnp.repeat(params.basal / params.decay, 17)
+        exact = float(mll_ops.mvn_logpdf(y, mean, sigma))
+        val = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=10,
+                          parallel=False, uniform=False)
+        )
+        assert abs(val - exact) < 2e-3 * max(1.0, abs(exact))
+
+    def test_gradients_match_dense(self, p53_shaped):
+        t, X, y, var, params, model = p53_shaped
+        raw = simm.unconstrain(params)
+        g_ss = jax.grad(
+            lambda r: ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, order=10, parallel=False
+            )
+        )(raw)
+        g_ex = jax.grad(
+            lambda r: model.mll_gridded(simm.constrain(r), t, y)
+        )(raw)
+        for name in raw._fields:
+            a = np.asarray(getattr(g_ss, name))
+            b = np.asarray(getattr(g_ex, name))
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+            assert rel < 5e-3, (name, a, b)
+
+
+class TestParallelFilter:
+    def test_parallel_equals_sequential(self, p53_shaped):
+        """The associative-scan filter is the SAME algorithm: f64
+        agreement to near machine precision on value and gradient."""
+        t, X, y, var, params, model = p53_shaped
+        v_seq = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=10, parallel=False)
+        )
+        v_par = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=10, parallel=True)
+        )
+        assert abs(v_seq - v_par) < 1e-9
+
+        raw = simm.unconstrain(params)
+        g_seq = jax.grad(
+            lambda r: ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, order=10, parallel=False
+            )
+        )(raw)
+        g_par = jax.grad(
+            lambda r: ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, order=10, parallel=True
+            )
+        )(raw)
+        for name in raw._fields:
+            a, b = np.asarray(getattr(g_seq, name)), np.asarray(
+                getattr(g_par, name)
+            )
+            assert np.abs(a - b).max() < 1e-9 * (np.abs(a).max() + 1.0)
+
+    def test_parallel_equals_sequential_long_grid(self):
+        """T=257 (odd, forces unbalanced scan tree) uniform grid."""
+        rng = np.random.default_rng(3)
+        T = 257
+        t = jnp.linspace(0.0, 40.0, T)
+        params = simm.init_params(2)
+        y = jnp.asarray(rng.normal(size=(2 * T,)))
+        v_seq = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-5, order=10, parallel=False)
+        )
+        v_par = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-5, order=10, parallel=True)
+        )
+        assert abs(v_seq - v_par) < 1e-8 * max(1.0, abs(v_seq))
+
+    def test_masked_filter_matches_subset(self):
+        """A masked step contributes nothing: filtering a union grid with
+        mask == filtering the observed subset only."""
+        rng = np.random.default_rng(4)
+        params = simm.init_params(2)
+        t_obs = jnp.asarray([1.0, 3.0, 5.0, 9.0])
+        y = jnp.asarray(rng.normal(size=(2 * 4,)))
+        ll_direct = float(
+            ss.lfm_mll_ss(params, t_obs, y, jitter=1e-4, order=8,
+                          parallel=False, uniform=False)
+        )
+        # Union grid with interleaved unobserved times.
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=8
+        )
+        t_all = jnp.asarray([1.0, 2.0, 3.0, 4.0, 5.0, 7.0, 9.0])
+        mask = jnp.asarray([1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0])
+        dts = jnp.diff(t_all, prepend=jnp.zeros((1,), t_all.dtype))
+        a, q = ss.discretize(f_aug, p_inf, dts)
+        h = ss.gene_observation_matrix(8, 2, 1, t_all.dtype)
+        mean = params.basal / params.decay
+        ys_obs = y.reshape(2, 4).T - mean[None, :]
+        ys = jnp.zeros((7, 2)).at[jnp.asarray([0, 2, 4, 6])].set(ys_obs)
+        r_var = jnp.full((2,), 1e-4) + params.obs_stddev**2
+        for fil in (ss.kalman_filter, ss.parallel_filter):
+            _, _, ll = fil(a, q, h, r_var, ys, p0, mask=mask)
+            assert abs(float(ll) - ll_direct) < 1e-9
+
+
+class TestPredict:
+    def test_latent_mean_matches_dense(self, p53_shaped):
+        """The k_xf cross-covariances are consistent with k_xx, so the
+        smoothed force mean must match ``latent_predict``'s to the SDE
+        approximation error."""
+        t, X, y, var, params, model = p53_shaped
+        tt = jnp.linspace(0.0, 13.0, 100)
+        test_rows = jnp.stack(
+            [tt, -jnp.ones_like(tt), jnp.zeros_like(tt)], axis=1
+        )
+        post = model.latent_predict(params, test_rows, X, y, var)
+        nv = var.reshape(5, t.shape[0]).T + 1e-4
+        f_mean, f_var, x_mean, x_var = ss.lfm_predict_ss(
+            params, t, y, tt, noise_var=nv
+        )
+        em = np.asarray(post.mean)
+        assert np.corrcoef(em, np.asarray(f_mean))[0, 1] > 0.9999
+        assert np.abs(em - np.asarray(f_mean)).max() < 2e-3
+        # Variance: the self-consistent model's — same scale as the dense
+        # path's quirky-prior variance, strictly positive.
+        assert float(f_var.min()) > 0.0
+        ev = np.asarray(post.variance())
+        assert float(f_var.max()) < 3.0 * ev.max() + 1e-6
+
+    def test_gene_posterior_contracts_toward_data(self, p53_shaped):
+        """Smoothed gene states at the train times move toward the
+        observations relative to the prior mean. (Exact interpolation is
+        impossible by construction: at the shared init kinetics all genes
+        are driven by ONE latent force through identical ODEs, so their
+        posterior trajectories coincide — a model property, not a bug.)"""
+        t, X, y, var, params, model = p53_shaped
+        f_mean, f_var, x_mean, x_var = ss.lfm_predict_ss(
+            params, t, y, t, noise_var=1e-4
+        )
+        y_gm = np.asarray(y).reshape(5, t.shape[0]).T  # (T, G)
+        prior_mean = np.asarray(params.basal / params.decay)[None, :]
+        rms_post = np.sqrt(np.mean((np.asarray(x_mean) - y_gm) ** 2))
+        rms_prior = np.sqrt(np.mean((prior_mean - y_gm) ** 2))
+        assert rms_post < 0.8 * rms_prior
+        assert np.isfinite(np.asarray(x_mean)).all()
+        assert (np.asarray(x_var) >= 0.0).all()
+
+
+class TestF32:
+    def test_f32_matches_f64(self, p53_shaped):
+        """The balanced realization keeps even order 12 usable in f32
+        (the companion form would overflow float32 conditioning)."""
+        t, X, y, var, params, model = p53_shaped
+        exact = float(model.mll_gridded(params, t, y))
+        p32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float32), params
+        )
+        t32 = jnp.asarray(np.asarray(t), jnp.float32)
+        y32 = jnp.asarray(np.asarray(y), jnp.float32)
+        for order in (10, 12):
+            for parallel in (False, True):
+                val = float(
+                    ss.lfm_mll_ss(p32, t32, y32, jitter=1e-4, order=order,
+                                  parallel=parallel)
+                )
+                assert abs(val - exact) < 5e-3 * max(1.0, abs(exact))
+
+
+class TestTraining:
+    def test_adam_descends_and_tracks_dense_trajectory(self, p53_shaped):
+        """50 Adam steps on the SS objective: the loss descends and the
+        endpoint matches the dense-objective endpoint closely (the two
+        objectives differ by ~1e-4, far below the optimization scale)."""
+        import optax
+
+        t, X, y, var, params, model = p53_shaped
+        raw0 = simm.unconstrain(params)
+        opt = optax.adam(0.01)
+
+        def fit(objective):
+            @jax.jit
+            def run(raw):
+                state = opt.init(raw)
+
+                def step(carry, _):
+                    raw, state = carry
+                    loss, g = jax.value_and_grad(objective)(raw)
+                    upd, state = opt.update(g, state)
+                    return (optax.apply_updates(raw, upd), state), loss
+
+                (raw, _), hist = jax.lax.scan(
+                    step, (raw, state), None, length=50
+                )
+                return raw, hist
+
+            return run(raw0)
+
+        raw_ss, hist_ss = fit(
+            lambda r: -ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, order=10, parallel=False
+            )
+        )
+        raw_dn, hist_dn = fit(
+            lambda r: -model.mll_gridded(simm.constrain(r), t, y)
+        )
+        assert float(hist_ss[-1]) < float(hist_ss[0])
+        assert abs(float(hist_ss[-1]) - float(hist_dn[-1])) < 1e-2
+        p_ss = simm.constrain(raw_ss)
+        p_dn = simm.constrain(raw_dn)
+        for name in ("decay", "sensitivity", "lengthscale"):
+            a = np.asarray(getattr(p_ss, name))
+            b = np.asarray(getattr(p_dn, name))
+            assert np.abs(a - b).max() < 1e-2, name
