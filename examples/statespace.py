@@ -1,0 +1,181 @@
+# %% [markdown]
+# # The state-space engine: O(T) latent force models
+#
+# The exact SIMM marginal likelihood costs O(N^3) through a dense Gram
+# factorisation (reference `src/objectives.py:70-78`). But the LFM is
+# secretly a *Markov* model: the gene ODE `dx/dt = B + S f - D x` is
+# linear state evolution, and the RBF force prior is approximated to
+# ~1e-4 by an order-10 linear SDE (Hartikainen & Sarkka 2010). Stack the
+# two and the exact MLL of the joint model is a **Kalman filter** —
+# O(T (p+G)^3), linear in the number of timepoints.
+#
+# This walkthrough shows (1) the engine agreeing with the dense MLL to
+# the SDE approximation error, (2) training on a grid the dense path
+# could never touch (N = 200,000 observations), and (3) the log-depth
+# associative-scan filter that makes the recursion TPU-shaped.
+#
+# Run with `python examples/statespace.py` (CPU, ~2 min).
+
+# %%
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dis_project_tpu.data import synthetic
+from dis_project_tpu.data.dataset import train_arrays
+from dis_project_tpu.models import simm
+from dis_project_tpu.ops import statespace as ss
+
+# %% [markdown]
+# ## 1. The approximation, measured
+#
+# The only approximation in the engine is the order-p SDE of the force
+# prior. Everything downstream (the filter) is the exact MLL of the
+# approximated model, so the MLL error IS the kernel error: ~6e-4 at
+# p=8, ~1.3e-4 at p=10, ~3e-5 at p=12.
+
+# %%
+scfg = synthetic.SyntheticConfig(
+    num_genes=5, num_timepoints=7, num_replicates=1, noise_std=0.1
+)
+data = synthetic.sample_prior(jax.random.PRNGKey(0), scfg)
+X, y, var = train_arrays(data)
+y = y.reshape(-1)
+t = jnp.asarray(data.timepoints)
+params = simm.init_params(5)
+model = simm.ExactSIMM(num_genes=5, jitter=1e-4)
+
+dense = float(model.mll_gridded(params, t, y))
+print(f"dense MLL (Cholesky, exact):      {dense:.6f}")
+for order in (8, 10, 12):
+    val = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=order))
+    print(f"state-space MLL (order {order:2d}):      {val:.6f}"
+          f"   |err| = {abs(val - dense):.2e}")
+
+# %% [markdown]
+# ## 2. Sequential vs parallel: one algorithm, two schedules
+#
+# `lax.scan` runs the filter as T small sequential steps — right for CPU
+# and tiny T. `jax.lax.associative_scan` runs the SAME recursion as a
+# parallel prefix over the filtering semigroup (Sarkka &
+# Garcia-Fernandez 2021): depth log2(T), every level a batched (T, m, m)
+# matmul on the MXU. The two agree to machine precision — value AND
+# gradient — because they compute the same thing.
+
+# %%
+v_seq = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4, parallel=False))
+v_par = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4, parallel=True))
+print(f"sequential scan:       {v_seq:.12f}")
+print(f"associative scan:      {v_par:.12f}")
+print(f"difference:            {abs(v_seq - v_par):.2e}")
+
+# %% [markdown]
+# ## 3. Training beyond the dense wall: N = 200,000
+#
+# G=10 genes observed at T=20,000 timepoints is N=2e5 observations. The
+# dense Gram would be 2e5 x 2e5 (320 GB in f64) — not storable, let
+# alone factorisable. The Kalman engine's state is 20-dimensional and its
+# per-step cost never sees N; the whole MLL is ~20k tiny matrix ops.
+
+# %%
+G, T = 10, 20_000
+key = jax.random.PRNGKey(1)
+true_params = simm.init_params(G)
+true_params = true_params._replace(
+    decay=jnp.asarray(np.random.default_rng(0).uniform(0.3, 1.4, G)),
+    sensitivity=jnp.asarray(np.random.default_rng(1).uniform(0.5, 1.5, G)),
+    lengthscale=jnp.asarray(1.8),
+)
+t_big = jnp.linspace(0.0, 120.0, T)
+
+# Simulate FROM the state-space model itself (a single forward pass):
+# exact draws from the order-10 prior at any T.
+f_aug, p_inf, p0, h_force = ss.build_lfm_ssm(
+    true_params.decay, true_params.sensitivity, true_params.lengthscale
+)
+a_step, q_step = ss.discretize(f_aug, p_inf, t_big[1] - t_big[0])
+# Cholesky of Q for sampling (PSD up to roundoff; tiny ridge).
+lq = jnp.linalg.cholesky(q_step + 1e-12 * jnp.eye(q_step.shape[0]))
+
+
+def sim_step(z, eps):
+    z = a_step @ z + lq @ eps
+    return z, z
+
+
+z0 = jnp.zeros((p0.shape[0],))
+eps = jax.random.normal(key, (T - 1, p0.shape[0]))
+_, zs = jax.lax.scan(sim_step, z0, eps)
+zs = jnp.concatenate([z0[None], zs], axis=0)
+x_states = zs[:, 10:] + (true_params.basal / true_params.decay)[None, :]
+noise = 0.05 * jax.random.normal(jax.random.PRNGKey(2), x_states.shape)
+y_big = (x_states + noise).T.reshape(-1)  # gene-major flat, like dataset_3d
+print(f"simulated N = {G * T:,} observations "
+      f"({G} genes x {T:,} timepoints)")
+
+# %%
+raw0 = simm.unconstrain(simm.init_params(G))
+opt = optax.adam(0.02)
+
+
+@jax.jit
+def fit(raw, steps=60):
+    state = opt.init(raw)
+
+    def step(carry, _):
+        raw, state = carry
+        loss, g = jax.value_and_grad(
+            lambda r: -ss.lfm_mll_ss(
+                simm.constrain(r), t_big, y_big, jitter=1e-5, parallel=False
+            )
+        )(raw)
+        upd, state = opt.update(g, state)
+        return (optax.apply_updates(raw, upd), state), loss
+
+    (raw, _), hist = jax.lax.scan(step, (raw, state), None, length=steps)
+    return raw, hist
+
+
+t0 = time.perf_counter()
+raw_f, hist = fit(raw0)
+hist = jax.block_until_ready(hist)
+wall = time.perf_counter() - t0
+fitted = simm.constrain(raw_f)
+corr_d = np.corrcoef(np.asarray(fitted.decay), np.asarray(true_params.decay))[0, 1]
+corr_s = np.corrcoef(
+    np.asarray(fitted.sensitivity), np.asarray(true_params.sensitivity)
+)[0, 1]
+print(f"60 Adam steps over N=200,000 in {wall:.1f}s "
+      f"(loss {float(hist[0]):.1f} -> {float(hist[-1]):.1f})")
+print(f"kinetics recovery: corr(decay)={corr_d:.3f} "
+      f"corr(sensitivity)={corr_s:.3f} "
+      f"lengthscale {float(fitted.lengthscale):.2f} (true 1.80)")
+assert corr_d > 0.95 and corr_s > 0.95
+
+# %% [markdown]
+# ## 4. The latent force, smoothed
+#
+# Prediction is an RTS smoother pass on the union grid — the same O(T)
+# machinery gives the force posterior everywhere.
+
+# %%
+t_test = jnp.linspace(0.0, 13.0, 80)
+nv = var.reshape(5, 7).T + 1e-4
+f_mean, f_var, x_mean, x_var = ss.lfm_predict_ss(
+    params, t, y, t_test, noise_var=nv
+)
+print(f"force posterior on {t_test.shape[0]} test points: "
+      f"mean in [{float(f_mean.min()):.2f}, {float(f_mean.max()):.2f}], "
+      f"all variances positive: {bool((f_var > 0).all())}")
+print("done.")
