@@ -89,6 +89,7 @@ SLOW_NODEID_PATTERNS = (
     "test_statespace.py::TestPredict",
     "test_statespace.py::TestParallelFilter::test_parallel_equals_sequential_long_grid",
     "test_statespace.py::TestParallelFilter::test_masked_filter_matches_subset",
+    "test_statespace.py::TestShardedFilter::test_gradients_match_single_device",
     # checkpoint/resume end-to-end
     "test_observability.py::TestCheckpointResume",
     # gridded/table-Gram heavy parity sweeps

@@ -235,6 +235,98 @@ class TestParallelFilter:
             assert abs(float(ll) - ll_direct) < 1e-9
 
 
+class TestShardedFilter:
+    """Temporal (sequence) parallelism: the time axis sharded over the
+    8-device virtual mesh. The semigroup factorisation is exact, so
+    values AND gradients must match the single-device filter to machine
+    precision — this is a scheduling change, not an approximation."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()).reshape(8), ("t",))
+
+    def test_matches_single_device(self, mesh):
+        rng = np.random.default_rng(5)
+        params = simm.init_params(4)
+        T = 37  # T-1 = 36 pads to 40 over 8 devices: exercises masking
+        t = jnp.linspace(0.0, 20.0, T)
+        y = jnp.asarray(rng.normal(size=(4 * T,)))
+        v_ref = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-4, parallel=False)
+        )
+        v_sh = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-4, shard=(mesh, "t"))
+        )
+        assert abs(v_ref - v_sh) < 1e-10 * max(1.0, abs(v_ref))
+
+    def test_gradients_match_single_device(self, mesh):
+        rng = np.random.default_rng(6)
+        params = simm.init_params(3)
+        T = 33
+        t = jnp.linspace(0.0, 16.0, T)
+        y = jnp.asarray(rng.normal(size=(3 * T,)))
+        raw = simm.unconstrain(params)
+        g1 = jax.grad(
+            lambda r: ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, parallel=False
+            )
+        )(raw)
+        g2 = jax.grad(
+            lambda r: ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, shard=(mesh, "t")
+            )
+        )(raw)
+        for name in raw._fields:
+            a = np.asarray(getattr(g1, name))
+            b = np.asarray(getattr(g2, name))
+            assert np.abs(a - b).max() < 1e-10 * (np.abs(a).max() + 1.0)
+
+    def test_prior_element_composition(self):
+        """The prior-as-element form underpinning the sharded start-state:
+        composing (0, m0, P0, 0, 0) left of the step elements reproduces
+        the sequential filter's states exactly."""
+        rng = np.random.default_rng(7)
+        params = simm.init_params(3)
+        T = 12
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(rng.normal(size=(3 * T,)))
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=8
+        )
+        dts = jnp.diff(t, prepend=jnp.zeros((1,), t.dtype))
+        a, q = ss.discretize(f_aug, p_inf, dts)
+        h = ss.gene_observation_matrix(8, 3, 1, t.dtype)
+        ys = y.reshape(3, T).T - (params.basal / params.decay)[None, :]
+        r_var = jnp.full((3,), 1e-4) + params.obs_stddev**2
+        ms_ref, ps_ref, _ = ss.kalman_filter(a, q, h, r_var, ys, p0)
+
+        rv = jnp.broadcast_to(r_var, (T, 3))
+        mask = jnp.ones((T,))
+        elems = jax.vmap(ss._filter_element, in_axes=(0, 0, None, 0, 0, 0))(
+            a, q, h, rv, ys, mask
+        )
+        cur = ss._prior_element(jnp.zeros((p0.shape[0],)), p0)
+        for i in range(T):
+            cur = ss._combine(cur, jax.tree_util.tree_map(
+                lambda x: x[i], elems
+            ))
+        assert np.abs(np.asarray(cur[1] - ms_ref[-1])).max() < 1e-12
+        assert np.abs(np.asarray(cur[2] - ps_ref[-1])).max() < 1e-12
+
+    def test_indivisible_t_fails_loudly(self, mesh):
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            jnp.asarray([0.4]), jnp.asarray([1.0]), jnp.asarray(2.5), order=8
+        )
+        a, q = ss.discretize(f_aug, p_inf, jnp.asarray(1.0))
+        h = ss.gene_observation_matrix(8, 1, 1, jnp.float64)
+        with pytest.raises(ValueError, match="divide"):
+            ss.sharded_parallel_filter(
+                a, q, h, jnp.ones((1,)), jnp.zeros((13, 1)), p0, mesh, "t"
+            )
+
+
 class TestPredict:
     def test_latent_mean_matches_dense(self, p53_shaped):
         """The k_xf cross-covariances are consistent with k_xx, so the
