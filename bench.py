@@ -414,6 +414,46 @@ def bench_train_step_at_scale(n=4096, genes=50, dtype=jnp.float32):
     }
 
 
+def bench_ss_engine(n=8192, genes=64, dtype=jnp.float32):
+    """One value+grad step of the O(T) state-space Kalman engine
+    (ops.statespace) at the SAME gridded shape as the N=8192 train-step
+    probe — the like-for-like number against ``train_step_s_8192``.
+
+    Guarded: the probe is additive context (the engine is approximate —
+    ~1e-4 nats at order 10 — so it extends the table rather than moving
+    the headline); a failure degrades to an explicit note field instead
+    of killing the bench.
+    """
+    import numpy as np
+
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.ops import statespace as ss_ops
+    from dis_project_tpu.utils.benchmarking import time_op
+
+    try:
+        rng = np.random.default_rng(0)
+        T = n // genes
+        n = genes * T
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        y = jnp.asarray(rng.standard_normal(n) * 0.5 + 1.0, dtype)
+        raw0 = simm.unconstrain(simm.init_params(genes, dtype=dtype))
+        vg = jax.value_and_grad(
+            lambda r, yy: -ss_ops.lfm_mll_ss(
+                simm.constrain(r), t, yy, jitter=1e-4, parallel=False
+            )
+        )
+
+        def op(eps, raw, yy):
+            v, g = vg(raw, yy + eps.astype(yy.dtype))
+            leaves = jax.tree_util.tree_leaves(g)
+            return v + sum(jnp.sum(le) for le in leaves) * 1e-30
+
+        s = time_op(op, raw0, y, iters=3)
+        return {"ss_step_n": n, "ss_step_s": round(s, 6)}
+    except Exception as e:  # noqa: BLE001 — degrade honestly, never hang
+        return {"ss_probe_failed": f"{type(e).__name__}: {e}"[:200]}
+
+
 # Iterations per headline training program: enough to converge the
 # canonical run (measured flat at ~-23.7 from ~iteration 450 on) with
 # headroom; the headline divides out the tail via steps_to_target.
@@ -474,6 +514,7 @@ def main():
         probes = bench_gram_chol()
         probes.update(bench_train_step_at_scale())
         probes.update(bench_train_step_at_scale(n=8192, genes=64))
+        probes.update(bench_ss_engine(n=8192, genes=64))
     else:
         # CPU fallback: keep the stress probes small — the point of the
         # fallback line is the headline + the like-for-like ratio, not

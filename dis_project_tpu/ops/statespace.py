@@ -206,6 +206,169 @@ def build_lfm_ssm(decay, sens, lengthscale, order: int = 10):
     return f_aug, p_inf, p0, h_force
 
 
+def build_multiforce_ssm(decay, sens, lengthscales, order: int = 10):
+    """Augmented SSM for the R-force SIMM (``models.multisimm``):
+    ``dx_j/dt = B_j + sum_r S_jr f_r - D_j x_j`` with R INDEPENDENT
+    Lawrence-convention RBF force priors (``k_ff_consistent`` per force —
+    exactly the prior the multi-force closed forms integrate).
+
+    State ``z = [f_1-state (p), ..., f_R-state (p), x (G)]``. The force
+    blocks are independent, so ``P_ff`` is block-diagonal in the SAME
+    constant balanced stationary covariance (it is lengthscale-invariant),
+    the cross blocks solve one (p, p) Sylvester system per (force, gene),
+    and the gene-gene block sums the per-force closed forms.
+
+    ``sens``: (G, R); ``lengthscales``: (R,). Returns
+    ``(F, P_inf, P0, h_forces)`` with ``h_forces`` (R, m) reading each
+    force out of the state.
+    """
+    dtype = jnp.result_type(decay, sens, lengthscales)
+    f_c, h_c, _, p_diag = canonical_system(order)
+    p = order
+    g, r = sens.shape
+    m = r * p + g
+
+    f_c = jnp.asarray(f_c, dtype)
+    h_c = jnp.asarray(h_c, dtype)
+    p_ff1 = jnp.asarray(np.diag(p_diag), dtype)
+
+    inv_lp = 2.0 / lengthscales  # (R,)
+    f_blocks = f_c[None, :, :] * inv_lp[:, None, None]  # (R, p, p)
+    f_force = jax.scipy.linalg.block_diag(*[f_blocks[i] for i in range(r)])
+
+    # Gene coupling: row j reads sum_r S_jr f_r; f_r = h_c . z_r-block.
+    coupling = (sens[:, :, None] * h_c[None, None, :]).reshape(g, r * p)
+    top = jnp.concatenate([f_force, jnp.zeros((r * p, g), dtype)], axis=1)
+    bottom = jnp.concatenate([coupling, -jnp.diag(decay)], axis=1)
+    f_aug = jnp.concatenate([top, bottom], axis=0)
+
+    # Stationary blocks. Per force r, gene j:
+    #   (F_r - D_j I) c_rj = -S_jr P_ff1 h_c
+    rhs = p_ff1 @ h_c
+    eye_p = jnp.eye(p, dtype=dtype)
+
+    def col(f_r, d_j, s_jr):
+        return -s_jr * jnp.linalg.solve(f_r - d_j * eye_p, rhs)
+
+    # (R, p, G): vmap over forces (with each force's F block) then genes.
+    p_fx = jax.vmap(
+        lambda f_r, s_col: jax.vmap(col, in_axes=(None, 0, 0), out_axes=1)(
+            f_r, decay, s_col
+        ),
+    )(f_blocks, sens.T)  # sens.T: (R, G)
+    # Gene-gene: (D_i + D_j) P_xx[i,j] = sum_r sym(S_ir (h_c P_fx_r)_j).
+    hp = jnp.einsum("k,rkj->rj", h_c, p_fx)  # (R, G)
+    mx = jnp.einsum("ir,rj->ij", sens, hp)  # sum_r S_ir (h P_fx_r)_j
+    p_xx = (mx + mx.T) / (decay[:, None] + decay[None, :])
+
+    p_fx_flat = p_fx.reshape(r * p, g)
+    p_ff = jax.scipy.linalg.block_diag(*([p_ff1] * r))
+    p_inf = jnp.concatenate(
+        [
+            jnp.concatenate([p_ff, p_fx_flat], axis=1),
+            jnp.concatenate([p_fx_flat.T, p_xx], axis=1),
+        ],
+        axis=0,
+    )
+    p0 = jnp.zeros((m, m), dtype).at[: r * p, : r * p].set(p_ff)
+    h_forces = jnp.zeros((r, m), dtype)
+    for i in range(r):
+        h_forces = h_forces.at[i, i * p : (i + 1) * p].set(h_c)
+    return f_aug, p_inf, p0, h_forces
+
+
+def build_lfm2_ssm(alpha, omega, sens, lengthscale, order: int = 10):
+    """Augmented SSM for the second-order (spring-damper) LFM
+    (``models.simm2``): ``x_j'' + 2 alpha_j x_j' + k_j x_j = B_j + S_j f``
+    with ``k_j = alpha_j^2 + omega_j^2`` — linear state evolution in
+    ``(x_j, v_j)``, same Lawrence-convention force prior.
+
+    State ``z = [f-state (p), x (G), v (G)]``; the t=0 convention matches
+    the closed forms (``ops.lfm_kernels2``): position at the steady state
+    ``B/k`` and velocity 0, both deterministic, force stationary.
+
+    Unlike the complex-erf closed forms — whose intermediates scale like
+    ``exp((omega l / 2)^2)`` and overflow past ``omega*l ~ 12`` — the SSM
+    has no such hazard: its only transcendental is ``expm`` of a stable
+    matrix, so this engine is also the numerically safe route to the
+    strongly-oscillatory corner of parameter space.
+
+    Returns ``(F, P_inf, P0, h_force)``.
+    """
+    dtype = jnp.result_type(alpha, omega, sens, lengthscale)
+    f_c, h_c, _, p_diag = canonical_system(order)
+    p = order
+    g = alpha.shape[0]
+    m = p + 2 * g
+    spring = alpha**2 + omega**2
+
+    f_c = jnp.asarray(f_c, dtype)
+    h_c = jnp.asarray(h_c, dtype)
+    p_ff = jnp.asarray(np.diag(p_diag), dtype)
+    f_force = f_c * (2.0 / lengthscale)
+
+    f_aug = jnp.zeros((m, m), dtype)
+    f_aug = f_aug.at[:p, :p].set(f_force)
+    idx = jnp.arange(g)
+    f_aug = f_aug.at[p + idx, p + g + idx].set(1.0)  # dx = v
+    f_aug = f_aug.at[p + g :, :p].set(sens[:, None] * h_c[None, :])  # S f
+    f_aug = f_aug.at[p + g + idx, p + idx].set(-spring)
+    f_aug = f_aug.at[p + g + idx, p + g + idx].set(-2.0 * alpha)
+
+    # Stationary blocks. Per gene j with A_j = [[0, 1], [-k_j, -2a_j]]
+    # and coupling M_j = [0; S_j h_c] (2, p):
+    #   F_f C_j + C_j A_j^T + P_ff M_j^T = 0      (C_j: (p, 2))
+    # vec (row-major on C): (F_f (x) I_2 + I_p (x) A_j) vec(C_j) =
+    #   -vec(P_ff M_j^T).
+    eye2 = jnp.eye(2, dtype=dtype)
+    eye_p = jnp.eye(p, dtype=dtype)
+    rhs_base = p_ff @ h_c  # (p,)
+
+    def cross_col(a_j, k_j, s_j):
+        a_mat = jnp.array([[0.0, 1.0], [-k_j, -2.0 * a_j]], dtype)
+        lhs = jnp.kron(f_force, eye2) + jnp.kron(eye_p, a_mat)
+        b = jnp.zeros((p, 2), dtype).at[:, 1].set(s_j * rhs_base)
+        return jnp.linalg.solve(lhs, -b.reshape(-1)).reshape(p, 2)
+
+    c_blocks = jax.vmap(cross_col)(alpha, spring, sens)  # (G, p, 2)
+
+    # Gene-pair blocks: A_i P_ij + P_ij A_j^T + M_i C_j + (M_j C_i)^T = 0
+    # (P_ij: (2, 2)); same row-major vec recipe with 4x4 solves.
+    def pair_block(a_i, k_i, s_i, c_i, a_j, k_j, s_j, c_j):
+        a_mat_i = jnp.array([[0.0, 1.0], [-k_i, -2.0 * a_i]], dtype)
+        a_mat_j = jnp.array([[0.0, 1.0], [-k_j, -2.0 * a_j]], dtype)
+        m_i_c_j = jnp.zeros((2, 2), dtype).at[1, :].set(s_i * (h_c @ c_j))
+        m_j_c_i = jnp.zeros((2, 2), dtype).at[1, :].set(s_j * (h_c @ c_i))
+        b = m_i_c_j + m_j_c_i.T
+        lhs = jnp.kron(a_mat_i, eye2) + jnp.kron(eye2, a_mat_j)
+        return jnp.linalg.solve(lhs, -b.reshape(-1)).reshape(2, 2)
+
+    pair = jax.vmap(
+        jax.vmap(pair_block, in_axes=(None,) * 4 + (0,) * 4),
+        in_axes=(0,) * 4 + (None,) * 4,
+    )(alpha, spring, sens, c_blocks, alpha, spring, sens, c_blocks)
+    # pair: (G, G, 2, 2) with [i, j] = P_{(x_i,v_i),(x_j,v_j)}.
+
+    p_inf = jnp.zeros((m, m), dtype)
+    p_inf = p_inf.at[:p, :p].set(p_ff)
+    # State layout is [x-block, v-block], so scatter the 2x2 entries.
+    c_x = c_blocks[:, :, 0].T  # (p, G) -> cov(f-state, x)
+    c_v = c_blocks[:, :, 1].T
+    p_inf = p_inf.at[:p, p : p + g].set(c_x)
+    p_inf = p_inf.at[:p, p + g :].set(c_v)
+    p_inf = p_inf.at[p : p + g, :p].set(c_x.T)
+    p_inf = p_inf.at[p + g :, :p].set(c_v.T)
+    p_inf = p_inf.at[p : p + g, p : p + g].set(pair[:, :, 0, 0])
+    p_inf = p_inf.at[p : p + g, p + g :].set(pair[:, :, 0, 1])
+    p_inf = p_inf.at[p + g :, p : p + g].set(pair[:, :, 1, 0])
+    p_inf = p_inf.at[p + g :, p + g :].set(pair[:, :, 1, 1])
+    p_inf = _symmetrize(p_inf)
+
+    p0 = jnp.zeros((m, m), dtype).at[:p, :p].set(p_ff)
+    h_force = jnp.concatenate([h_c, jnp.zeros((2 * g,), dtype)])
+    return f_aug, p_inf, p0, h_force
+
+
 def discretize(f_aug, p_inf, dts):
     """Exact discretization over step sizes ``dts`` (scalar or (T,)).
 
@@ -669,23 +832,36 @@ def lfm_mll_ss(
     all-gather of chunk composites is the only collective. Requires
     ``uniform=True``.
     """
+    f_aug, p_inf, p0, _ = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    g = params.decay.shape[0]
     t = jnp.asarray(timepoints)
+    h = gene_observation_matrix(order, g, replicates, t.dtype)
+    mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
+    r_var = (
+        jnp.full((replicates * g,), jitter, t.dtype) + params.obs_stddev**2
+    )
+    return _gridded_ssm_mll(
+        f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
+        parallel=parallel, uniform=uniform, shard=shard,
+    )
+
+
+def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
+                     parallel, uniform, shard):
+    """Shared filter driver for every gridded SSM family: center the
+    gene-major flat ``y``, discretize per the grid promise, run the
+    selected filter schedule. See :func:`lfm_mll_ss` for the contract."""
     dtype = t.dtype
     t_steps = t.shape[0]
-    g = params.decay.shape[0]
+    n_o = mean_obs.shape[0]
     if parallel is None:
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         parallel = on_tpu and t_steps >= 64
 
-    f_aug, p_inf, p0, _ = build_lfm_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
-    )
-    h = gene_observation_matrix(order, g, replicates, dtype)
-    mean = params.basal / params.decay  # (G,)
-    # y arrives gene-major ((R blocks of) G blocks of T): reshape to (T, G*R).
-    y = y.reshape(replicates * g, t_steps)  # rows: replicate-major gene blocks
-    ys = y.T - jnp.tile(mean, (replicates,))[None, :]
-    r_var = jnp.full((replicates * g,), jitter, dtype) + params.obs_stddev**2
+    # y arrives block-major ((R blocks of) G blocks of T): -> (T, n_o).
+    ys = y.reshape(n_o, t_steps).T - mean_obs[None, :]
 
     fil = parallel_filter if parallel else kalman_filter
     if uniform and t_steps >= 2:
@@ -721,6 +897,83 @@ def lfm_mll_ss(
     a, q = discretize(f_aug, p_inf, dts)
     _, _, ll = fil(a, q, h, r_var, ys, p0)
     return ll
+
+
+def multisimm_mll_ss(
+    params,
+    timepoints,
+    y,
+    *,
+    jitter: float,
+    replicates: int = 1,
+    order: int = 10,
+    parallel: bool | None = None,
+    uniform: bool = True,
+    shard=None,
+):
+    """State-space MLL for the R-force family (``models.multisimm``):
+    same contract as :func:`lfm_mll_ss` with ``params`` a
+    MultiSIMMParams-like namedtuple (sensitivity (G, R), lengthscale (R,)).
+    O(T (Rp + G)^3) instead of O((GTR)^3)."""
+    f_aug, p_inf, p0, _ = build_multiforce_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    g, r = params.sensitivity.shape
+    t = jnp.asarray(timepoints)
+    h = gene_observation_matrix(r * order, g, replicates, t.dtype)
+    mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
+    r_var = (
+        jnp.full((replicates * g,), jitter, t.dtype) + params.obs_stddev**2
+    )
+    return _gridded_ssm_mll(
+        f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
+        parallel=parallel, uniform=uniform, shard=shard,
+    )
+
+
+def lfm2_mll_ss(
+    params,
+    timepoints,
+    y,
+    *,
+    jitter: float,
+    replicates: int = 1,
+    order: int = 10,
+    parallel: bool | None = None,
+    uniform: bool = True,
+    shard=None,
+):
+    """State-space MLL for the second-order family (``models.simm2``):
+    same contract as :func:`lfm_mll_ss` with ``params`` a
+    SIMM2Params-like namedtuple (alpha/omega instead of decay).
+    O(T (p + 2G)^3); also the overflow-free route where the complex-erf
+    closed forms leave their ``omega*l`` safe region (see
+    :func:`build_lfm2_ssm`)."""
+    f_aug, p_inf, p0, _ = build_lfm2_ssm(
+        params.alpha, params.omega, params.sensitivity, params.lengthscale,
+        order=order,
+    )
+    g = params.alpha.shape[0]
+    t = jnp.asarray(timepoints)
+    # Observe the position block only: H = [0 | I_G | 0], replicate-tiled.
+    h_x = jnp.concatenate(
+        [
+            jnp.zeros((g, order), t.dtype),
+            jnp.eye(g, dtype=t.dtype),
+            jnp.zeros((g, g), t.dtype),
+        ],
+        axis=1,
+    )
+    h = jnp.tile(h_x, (replicates, 1))
+    spring = params.alpha**2 + params.omega**2
+    mean_obs = jnp.tile(params.basal / spring, (replicates,))
+    r_var = (
+        jnp.full((replicates * g,), jitter, t.dtype) + params.obs_stddev**2
+    )
+    return _gridded_ssm_mll(
+        f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
+        parallel=parallel, uniform=uniform, shard=shard,
+    )
 
 
 def lfm_predict_ss(

@@ -235,6 +235,181 @@ class TestParallelFilter:
             assert abs(float(ll) - ll_direct) < 1e-9
 
 
+class TestMultiForceFamily:
+    """The R-force family through the same filter: only the SSM builder
+    changes. Oracle: ``ExactMultiSIMM.mll`` (the closed forms sum the
+    single-force kernels over independent Lawrence-convention priors —
+    exactly what the block-diagonal force state realises)."""
+
+    def _problem(self):
+        from dis_project_tpu.models import multisimm
+
+        G, R, T = 3, 2, 9
+        mp = multisimm.init_params(G, R)
+        mp = mp._replace(
+            sensitivity=jnp.asarray(
+                np.random.default_rng(0).uniform(0.4, 1.4, (G, R))
+            ),
+            lengthscale=jnp.asarray([1.2, 3.0]),
+            decay=jnp.asarray([0.4, 0.8, 1.2]),
+        )
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(1).normal(size=(G * T,)))
+        model = multisimm.ExactMultiSIMM(
+            num_genes=G, num_forces=R, jitter=1e-4
+        )
+        X = jnp.stack(
+            [
+                jnp.tile(t, G),
+                jnp.repeat(jnp.arange(G), T).astype(t.dtype),
+                jnp.ones(G * T),
+            ],
+            axis=1,
+        )
+        return mp, t, y, model, X
+
+    def test_mll_matches_dense(self):
+        mp, t, y, model, X = self._problem()
+        exact = float(model.mll(mp, X, y))
+        prev = np.inf
+        for order, tol in ((8, 2e-3), (10, 5e-4)):
+            v = float(
+                ss.multisimm_mll_ss(mp, t, y, jitter=1e-4, order=order,
+                                    parallel=False)
+            )
+            err = abs(v - exact)
+            assert err < tol, (order, v, exact)
+            assert err < prev + 1e-12
+            prev = err
+
+    def test_gradients_match_dense(self):
+        from dis_project_tpu.models import multisimm
+
+        mp, t, y, model, X = self._problem()
+        raw = multisimm.unconstrain(mp)
+        g_ss = jax.grad(
+            lambda r: ss.multisimm_mll_ss(
+                multisimm.constrain(r), t, y, jitter=1e-4, parallel=False
+            )
+        )(raw)
+        g_ex = jax.grad(
+            lambda r: model.mll(multisimm.constrain(r), X, y)
+        )(raw)
+        for name in raw._fields:
+            a = np.asarray(getattr(g_ss, name))
+            b = np.asarray(getattr(g_ex, name))
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+            assert rel < 1e-2, (name, a, b)
+
+    def test_stationary_covariance_is_lyapunov_consistent(self):
+        """F P + P F^T must be a NEGATIVE-semidefinite residual confined
+        to the force blocks (noise enters the forces only) — pins the
+        closed-form block assembly against the full Lyapunov equation."""
+        mp, t, y, model, X = self._problem()
+        f_aug, p_inf, p0, _ = ss.build_multiforce_ssm(
+            mp.decay, mp.sensitivity, mp.lengthscale, order=8
+        )
+        resid = np.asarray(f_aug @ p_inf + p_inf @ f_aug.T)
+        rp = 2 * 8
+        assert np.abs(resid[rp:, :]).max() < 1e-12
+        assert np.abs(resid[:, rp:]).max() < 1e-12
+        ev = np.linalg.eigvalsh(-resid[:rp, :rp])
+        assert ev.min() > -1e-10
+
+
+class TestSecondOrderFamily:
+    """The spring-damper family through the filter. Oracle:
+    ``SecondOrderSIMM.mll`` (complex-erf closed forms) — agreement here is
+    ALSO an independent cross-validation of those closed forms, since the
+    two computations share no code past the force prior."""
+
+    def _problem(self):
+        from dis_project_tpu.models import simm2
+
+        G, T = 3, 9
+        p2 = simm2.init_params(G)
+        p2 = p2._replace(
+            alpha=jnp.asarray([0.4, 0.7, 1.0]),
+            omega=jnp.asarray([0.8, 1.2, 0.5]),
+            sensitivity=jnp.asarray([1.0, 0.7, 1.3]),
+        )
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(1).normal(size=(G * T,)))
+        model = simm2.SecondOrderSIMM(num_genes=G, jitter=1e-4)
+        X = jnp.stack(
+            [
+                jnp.tile(t, G),
+                jnp.repeat(jnp.arange(G), T).astype(t.dtype),
+                jnp.ones(G * T),
+            ],
+            axis=1,
+        )
+        return p2, t, y, model, X
+
+    def test_mll_matches_complex_erf_closed_forms(self):
+        p2, t, y, model, X = self._problem()
+        exact = float(model.mll(p2, X, y))
+        for order, tol in ((8, 1e-3), (10, 2e-4), (12, 3e-5)):
+            v = float(
+                ss.lfm2_mll_ss(p2, t, y, jitter=1e-4, order=order,
+                               parallel=False)
+            )
+            assert abs(v - exact) < tol, (order, v, exact)
+
+    def test_gradients_match_dense(self):
+        from dis_project_tpu.models import simm2
+
+        p2, t, y, model, X = self._problem()
+        raw = simm2.unconstrain(p2)
+        g_ss = jax.grad(
+            lambda r: ss.lfm2_mll_ss(
+                simm2.constrain(r), t, y, jitter=1e-4, parallel=False
+            )
+        )(raw)
+        g_ex = jax.grad(lambda r: model.mll(simm2.constrain(r), X, y))(raw)
+        for name in raw._fields:
+            a = np.asarray(getattr(g_ss, name))
+            b = np.asarray(getattr(g_ex, name))
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+            assert rel < 1e-2, (name, a, b)
+
+    def test_stationary_covariance_is_lyapunov_consistent(self):
+        p2, t, y, model, X = self._problem()
+        f_aug, p_inf, p0, _ = ss.build_lfm2_ssm(
+            p2.alpha, p2.omega, p2.sensitivity, p2.lengthscale, order=8
+        )
+        resid = np.asarray(f_aug @ p_inf + p_inf @ f_aug.T)
+        assert np.abs(resid[8:, :]).max() < 1e-12
+        assert np.abs(resid[:, 8:]).max() < 1e-12
+        ev = np.linalg.eigvalsh(-resid[:8, :8])
+        assert ev.min() > -1e-10
+
+    def test_survives_beyond_closed_form_overflow_region(self):
+        """The complex-erf closed forms carry exp((omega*l/2)^2)
+        intermediates and die past omega*l ~ 12 in f64; the SSM's only
+        transcendental is expm of a stable matrix. At omega*l = 30 the
+        engine must return a finite MLL and gradient."""
+        from dis_project_tpu.models import simm2
+
+        p2, t, y, model, X = self._problem()
+        p_hot = p2._replace(omega=jnp.asarray([10.0, 12.0, 9.0]),
+                            lengthscale=jnp.asarray(3.0))
+        v = float(
+            ss.lfm2_mll_ss(p_hot, t, y, jitter=1e-4, parallel=False)
+        )
+        assert np.isfinite(v)
+        raw = simm2.unconstrain(p_hot)
+        g = jax.grad(
+            lambda r: ss.lfm2_mll_ss(
+                simm2.constrain(r), t, y, jitter=1e-4, parallel=False
+            )
+        )(raw)
+        assert all(
+            np.isfinite(np.asarray(le)).all()
+            for le in jax.tree_util.tree_leaves(g)
+        )
+
+
 class TestShardedFilter:
     """Temporal (sequence) parallelism: the time axis sharded over the
     8-device virtual mesh. The semigroup factorisation is exact, so
