@@ -1169,6 +1169,8 @@ def run_dense(config: cfg.RunConfig):
     )
     if config.model == "simm2":
         return _run_dense_second_order(config, scfg)
+    if config.model == "multisimm":
+        return _run_dense_multiforce(config, scfg)
     print(f"Sampling synthetic LFM dataset: {scfg.num_genes} genes x "
           f"{scfg.num_timepoints} timepoints (N={scfg.n_points})...")
     data = synthetic.sample_prior(jax.random.PRNGKey(config.seed), scfg)
@@ -1388,16 +1390,29 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
 
     # The data sits on one uniform grid, so the per-step Gram build goes
     # through the order-2 table Gram (milliseconds at N=1e4 vs ~2.4 s for
-    # the direct complex-erf build).
+    # the direct complex-erf build) — or, with --mll-engine ss, through
+    # the O(T) state-space Kalman engine (ops.statespace.lfm2_mll_ss),
+    # which is also the overflow-free route where the complex-erf closed
+    # forms leave their omega*l safe region.
     tgrid = jnp.asarray(data.timepoints, X.dtype)
+    if config.mll_engine == "ss":
+        from dis_project_tpu.ops import statespace as ss_ops
+
+        engine = "state-space Kalman engine (O(T), order-10 SDE)"
+        objective = lambda r: -ss_ops.lfm2_mll_ss(  # noqa: E731
+            simm2.constrain(r), tgrid, y, jitter=config.exact_jitter
+        )
+    else:
+        engine = "order-2 table Gram, Cholesky engine"
+        objective = lambda r: -model.mll_gridded(  # noqa: E731
+            simm2.constrain(r), tgrid, y
+        )
 
     @functools.partial(jax.jit, static_argnames=("length",))
     def fit_segment(raw, state, length):
         def step(carry, _):
             raw, state = carry
-            l, g = jax.value_and_grad(
-                lambda r: -model.mll_gridded(simm2.constrain(r), tgrid, y)
-            )(raw)
+            l, g = jax.value_and_grad(objective)(raw)
             upd, state = opt.update(g, state)
             return (optax.apply_updates(raw, upd), state), l
 
@@ -1405,7 +1420,7 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
                                           length=length)
         return raw, state, hist
 
-    print("Training (full-batch exact second-order MLL)...")
+    print(f"Training (full-batch exact second-order MLL, {engine})...")
     t0 = time.perf_counter()
     raw_f, state = raw0, opt.init(raw0)
     chunks = []
@@ -1424,6 +1439,103 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     corr_w = float(np.corrcoef(np.asarray(p.omega), w_true)[0, 1])
     print(f"Ground-truth recovery: corr(alpha)={corr_a:.3f} "
           f"corr(omega)={corr_w:.3f}")
+    if config.metrics_path:
+        with open(config.metrics_path, "w") as f:
+            for i, l in enumerate(hist.tolist()):
+                f.write(json.dumps({"step": i, "loss": l}) + "\n")
+    return p, hist
+
+
+def _run_dense_multiforce(config: cfg.RunConfig, scfg):
+    """Dense multi-force stress run: full-batch exact MLL on R-force
+    quadrature-generated data via the O(T (Rp+G)^3) state-space engine
+    (``ops.statespace.multisimm_mll_ss``) — the engine is what makes this
+    config tractable (no table/Kronecker Gram exists for the R-force
+    family), so the route is state-space only (gated in :func:`main`)."""
+    import functools
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dis_project_tpu.data import synthetic
+    from dis_project_tpu.data.dataset import train_arrays
+    from dis_project_tpu.models import multisimm
+    from dis_project_tpu.ops import statespace as ss_ops
+
+    R = config.num_forces
+    if R < 1:
+        raise SystemExit("--num-forces must be >= 1")
+    print(f"Sampling synthetic {R}-force ODE dataset via quadrature: "
+          f"{scfg.num_genes} x {scfg.num_timepoints} (N={scfg.n_points})...")
+    data = synthetic.generate_ode_multi(
+        jax.random.PRNGKey(config.seed), scfg, num_forces=R, oversample=4
+    )
+    X, y, var = train_arrays(data)
+    tgrid = jnp.asarray(data.timepoints, X.dtype)
+    raw0 = multisimm.unconstrain_jit(
+        multisimm.init_params(scfg.num_genes, R, dtype=X.dtype)
+    )
+    opt = optax.adam(config.learning_rate)
+    objective = lambda r: -ss_ops.multisimm_mll_ss(  # noqa: E731
+        multisimm.constrain(r), tgrid, y, jitter=config.exact_jitter
+    )
+
+    # Same segmented dispatch as the other dense routes: bound every
+    # device dispatch at <= 25 scan steps (remote-transport patience).
+    n_segs = max(1, -(-config.num_iters // 25))
+    seg_q, seg_r = divmod(config.num_iters, n_segs)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def fit_segment(raw, state, length):
+        def step(carry, _):
+            raw, state = carry
+            l, g = jax.value_and_grad(objective)(raw)
+            upd, state = opt.update(g, state)
+            return (optax.apply_updates(raw, upd), state), l
+
+        (raw, state), hist = jax.lax.scan(step, (raw, state), None,
+                                          length=length)
+        return raw, state, hist
+
+    print(f"Training (full-batch exact {R}-force MLL, state-space Kalman "
+          "engine (O(T), order-10 SDE))...")
+    t0 = time.perf_counter()
+    raw_f, state = raw0, opt.init(raw0)
+    chunks = []
+    for i in range(n_segs):
+        n_seg = seg_q + (1 if i < seg_r else 0)
+        raw_f, state, h = fit_segment(raw_f, state, n_seg)
+        chunks.append(np.asarray(h))  # host fetch = segment sync point
+    hist = jnp.asarray(np.concatenate(chunks)) if chunks else jnp.zeros(0)
+    final = _final_loss(hist)
+    print(f"Trained {config.num_iters} iters in "
+          f"{time.perf_counter() - t0:.2f}s (final loss {final:.4f}, "
+          f"N={scfg.n_points})")
+    p = multisimm.constrain_jit(raw_f)
+    s_true = np.asarray(data.params_true["sensitivity"])  # (G, R)
+    d_true = np.asarray(data.params_true["decay"])
+    corr_d = float(np.corrcoef(np.asarray(p.decay), d_true)[0, 1])
+    # Per-force sensitivity-column recovery under a UNIQUE greedy |corr|
+    # matching (the MLL is invariant to force relabeling — same rationale
+    # as the sparse multi-force route's matching).
+    s_fit = np.asarray(p.sensitivity)
+    cors = np.array([
+        [float(np.corrcoef(s_fit[:, r], s_true[:, j])[0, 1])
+         for j in range(R)]
+        for r in range(R)
+    ])
+    match, taken = {}, set()
+    for r, j in sorted(((r, j) for r in range(R) for j in range(R)),
+                       key=lambda rj: -abs(cors[rj])):
+        if r not in match and j not in taken:
+            match[r] = j
+            taken.add(j)
+    corr_s = [cors[r, match[r]] for r in range(R)]
+    print(f"Ground-truth recovery: corr(decay)={corr_d:.3f} "
+          + " ".join(f"corr(S[:,{r}])={c:.3f}" for r, c in enumerate(corr_s)))
     if config.metrics_path:
         with open(config.metrics_path, "w") as f:
             for i, l in enumerate(hist.tolist()):
@@ -1604,12 +1716,12 @@ def main(argv=None):
             "(second-order routes: the default preset, dense10k, sparse100k)"
         )
     if config.model == "multisimm" and config.preset not in (
-        "p53", "sparse100k"
+        "p53", "sparse100k", "dense10k"
     ):
         raise SystemExit(
             f"--model multisimm is not supported with --preset "
-            f"{config.preset} (multi-force routes: the default preset "
-            "and sparse100k)"
+            f"{config.preset} (multi-force routes: the default preset, "
+            "dense10k with --mll-engine ss, and sparse100k)"
         )
     if config.model == "nlfm" and config.preset != "p53":
         raise SystemExit(
@@ -1624,12 +1736,25 @@ def main(argv=None):
         )
     if config.ensemble and config.preset != "p53-replicates":
         raise SystemExit("--ensemble requires --preset p53-replicates")
-    if config.mll_engine != "cholesky" and (
-        config.preset != "dense10k" or config.model == "simm2"
-    ):
+    if config.mll_engine != "cholesky":
+        # Engine support matrix: the first-order dense route takes every
+        # engine; simm2/multisimm dense routes take the state-space engine
+        # only (no CG probes or row-sharded Gram exist for those
+        # families). Everything else is Cholesky-only.
+        engine_ok = config.preset == "dense10k" and (
+            config.model == "simm" or config.mll_engine == "ss"
+        )
+        if not engine_ok:
+            raise SystemExit(
+                f"--mll-engine {config.mll_engine} is only supported by "
+                "the dense10k routes (--model simm: any engine; simm2/"
+                "multisimm: --mll-engine ss only)"
+            )
+    elif config.model == "multisimm" and config.preset == "dense10k":
         raise SystemExit(
-            f"--mll-engine {config.mll_engine} is only supported by the "
-            "first-order dense10k route (--preset dense10k --model simm)"
+            "--preset dense10k --model multisimm requires --mll-engine ss "
+            "(the R-force family has no dense table Gram; the O(T) "
+            "state-space engine is the dense-scale route)"
         )
     if config.posterior_chains < 1:
         raise SystemExit("--posterior-chains must be >= 1")

@@ -175,6 +175,41 @@ class TestPipelineEntry:
         )
         entry.run_dense(c)
 
+    def test_dense_multiforce_ss_route_smoke(self, tmp_path):
+        """run_dense with --model multisimm --mll-engine ss: dense-scale
+        R-force training through the block-diagonal-force Kalman engine
+        (the family's only dense-scale route), recovery report printed."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            model="multisimm",
+            num_forces=2,
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=32,
+            mll_engine="ss",
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+
+    def test_dense_second_order_ss_route_smoke(self, tmp_path):
+        """run_dense with --model simm2 --mll-engine ss: the spring-damper
+        family through the (x, v)-state Kalman engine instead of the
+        order-2 table Gram."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            model="simm2",
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=32,
+            mll_engine="ss",
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+
     def test_multiforce_route_smoke(self, tmp_path):
         """run_multiforce end-to-end at toy scale: 2-force fit on the
         p53-shaped synthetic data, per-force latent plots written."""
@@ -533,6 +568,15 @@ class TestPipelineEntry:
                 ["--preset", "dense10k", "--model", "simm2",
                  "--mll-engine", "cg"]
             )
+        # simm2/multisimm dense routes accept the state-space engine ONLY;
+        # multisimm additionally REQUIRES it (no dense table Gram exists).
+        with pytest.raises(SystemExit, match="mll-engine"):
+            entry.main(
+                ["--preset", "dense10k", "--model", "multisimm",
+                 "--mll-engine", "dist"]
+            )
+        with pytest.raises(SystemExit, match="requires --mll-engine ss"):
+            entry.main(["--preset", "dense10k", "--model", "multisimm"])
 
     def test_sparse_route_smoke(self, tmp_path):
         """run_sparse end-to-end at toy scale (the sparse100k preset's
