@@ -1344,6 +1344,33 @@ def run_dense(config: cfg.RunConfig):
     corr_s = float(np.corrcoef(np.asarray(res.params.sensitivity), s)[0, 1])
     print(f"Ground-truth recovery: corr(decay)={corr_d:.3f} "
           f"corr(sensitivity)={corr_s:.3f}")
+    if config.mll_engine == "ss":
+        # Smoothed latent-force artifact: the dense conditional is O(N^3)
+        # at stress scale, but the engine's RTS pass gives the force
+        # posterior in O(T) — plotted against the generating force.
+        from dis_project_tpu.models.base import Gaussian
+        from dis_project_tpu.ops import statespace as ss_ops
+        from dis_project_tpu.reporting import plotter
+
+        grid = jnp.linspace(
+            float(timepoints[0]), float(timepoints[-1]) * 13.0 / 12.0,
+            200, dtype=X.dtype,
+        )
+        nv = var.reshape(scfg.num_genes, timepoints.shape[0]).T \
+            + model.jitter
+        f_mean, f_var, _, _ = ss_ops.lfm_predict_ss(
+            res.params, timepoints, y, grid, noise_var=nv
+        )
+        plotter.plot_lf(
+            grid[:, None],  # plotters read time from column 0
+            Gaussian(mean=f_mean, cov=jnp.diag(f_var)),
+            y_scatter=np.asarray(data.f_true),
+            scatter_times=np.asarray(timepoints),
+            title="Smoothed latent force (state-space engine)",
+            save_name="dense_ss_lf",
+            out_dir=config.out_dir,
+        )
+        print(f"Smoothed latent-force plot saved under {config.out_dir}/")
     if config.metrics_path:
         with open(config.metrics_path, "w") as f:
             for i, l in enumerate(res.history.tolist()):

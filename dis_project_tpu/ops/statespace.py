@@ -754,15 +754,21 @@ def rts_smoother(a, q, ms, ps):
     """
     t_steps, m_dim = ms.shape
     shared_aq = a.ndim == 2
-    # Ridge on the predicted covariance before the gain solve: P_pred is
-    # EXACTLY singular wherever the model is deterministic — the t=0
-    # convention zeroes the gene block of P0, and duplicate times on a
-    # union grid give dt=0 steps with Q=0. The filter never inverts P, but
-    # the RTS gain does.
-    eps = jnp.asarray(
-        1e-9 if ms.dtype == jnp.float64 else 1e-6, ms.dtype
+    # The RTS gain solves against P_pred, which is EXACTLY singular
+    # wherever the model is deterministic — the t=0 convention zeroes the
+    # gene block of P0, and duplicate times on a union grid give dt=0
+    # steps with Q=0. A fixed additive ridge is the obvious fix but a bad
+    # one: the balanced realization's Hankel spectrum reaches ~1e-8 of
+    # lambda_max by order 14, and a 1e-9 ridge perturbs the gain by
+    # eps/lambda_min in those directions — measured 2e-2 posterior-
+    # variance error vs the brute-force joint-Gaussian oracle, GROWING
+    # with order. Instead: eigendecomposition pseudo-solve with a
+    # RELATIVE cutoff — deterministic directions get zero correction
+    # (their filtered moments are already exact), live directions are
+    # untouched.
+    rcond = jnp.asarray(
+        1e-12 if ms.dtype == jnp.float64 else 1e-6, ms.dtype
     )
-    ridge = eps * jnp.eye(m_dim, dtype=ms.dtype)
 
     def step(carry, xs):
         m_next_s, p_next_s = carry
@@ -771,8 +777,10 @@ def rts_smoother(a, q, ms, ps):
             a_i, q_i = a, q
         else:
             m_f, p_f, a_i, q_i = xs
-        p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i) + ridge
-        gain = jnp.linalg.solve(p_pred.T, a_i @ p_f).T  # P_f A^T P_pred^-1
+        p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i)
+        w, v = jnp.linalg.eigh(p_pred)
+        w_inv = jnp.where(w > rcond * w[-1], 1.0 / w, 0.0)
+        gain = ((p_f @ a_i.T) @ v) * w_inv[None, :] @ v.T
         m_s = m_f + gain @ (m_next_s - a_i @ m_f)
         p_s = _symmetrize(p_f + gain @ (p_next_s - p_pred) @ gain.T)
         return (m_s, p_s), (m_s, p_s)
@@ -1009,8 +1017,35 @@ def lfm_predict_ss(
     """
     t_train = jnp.asarray(timepoints)
     t_test = jnp.asarray(t_test)
-    dtype = t_train.dtype
     g = params.decay.shape[0]
+
+    f_aug, p_inf, p0, h_force = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    h = gene_observation_matrix(order, g, replicates, t_train.dtype)
+    mean = params.basal / params.decay
+    m_t, p_t = _union_grid_smooth(
+        f_aug, p_inf, p0, h, t_train, t_test, y,
+        jnp.tile(mean, (replicates,)), noise_var,
+    )
+    f_mean = m_t @ h_force
+    f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
+    p = order
+    x_mean = m_t[:, p:] + mean[None, :]
+    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:]
+    return f_mean, f_var, x_mean, x_var
+
+
+def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
+                       noise_var):
+    """Shared smoothing driver for every gridded SSM family: filter + RTS
+    smoother on the union grid of train and test times, observation
+    updates masked to train steps. ``y`` arrives block-major flat (n_o
+    blocks of T_train); ``mean_obs`` (n_o,) is subtracted. Returns the
+    smoothed state ``(m_t, p_t)`` at the test times (means centered —
+    callers add their family's observation mean back)."""
+    dtype = t_train.dtype
+    n_o = mean_obs.shape[0]
 
     t_all = jnp.concatenate([t_train, t_test])
     order_idx = jnp.argsort(t_all, stable=True)
@@ -1019,20 +1054,13 @@ def lfm_predict_ss(
         [jnp.ones_like(t_train), jnp.zeros_like(t_test)]
     )[order_idx]
 
-    f_aug, p_inf, p0, h_force = build_lfm_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
-    )
     dts = jnp.diff(t_sorted, prepend=jnp.zeros((1,), dtype))
     a, q = discretize(f_aug, p_inf, dts)
 
-    h = gene_observation_matrix(order, g, replicates, dtype)
-    mean = params.basal / params.decay
-    y = y.reshape(replicates * g, t_train.shape[0])
-    ys_train = y.T - jnp.tile(mean, (replicates,))[None, :]
+    ys_train = y.reshape(n_o, t_train.shape[0]).T - mean_obs[None, :]
     # Scatter train observations into the union grid (zeros elsewhere —
     # masked steps never read them).
     n_all = t_sorted.shape[0]
-    n_o = replicates * g
     ys = jnp.zeros((n_all, n_o), dtype)
     train_pos = jnp.nonzero(is_train, size=t_train.shape[0])[0]
     ys = ys.at[train_pos].set(ys_train)
@@ -1047,11 +1075,93 @@ def lfm_predict_ss(
     ms_s, ps_s = rts_smoother(a, q, ms, ps)
 
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
-    m_t = ms_s[test_pos]
-    p_t = ps_s[test_pos]
+    return ms_s[test_pos], ps_s[test_pos]
+
+
+def multisimm_predict_ss(
+    params,
+    timepoints,
+    y,
+    t_test,
+    *,
+    noise_var,
+    replicates: int = 1,
+    order: int = 10,
+):
+    """Smoothed posterior for the R-force family: the state-space
+    analogue of ``ExactMultiSIMM.latent_predict`` across ALL forces in
+    one filter pass. Unlike the first-order family, the multi-force
+    closed forms use the self-consistent force prior
+    (``k_ff_consistent``), so both the posterior mean AND variance match
+    the dense path (to SDE-order error).
+
+    Returns ``(f_mean, f_var, x_mean, x_var)`` with f_mean/f_var shaped
+    (R, T_test) and x_mean/x_var (T_test, G)."""
+    t_train = jnp.asarray(timepoints)
+    t_test = jnp.asarray(t_test)
+    g, _ = params.sensitivity.shape
+
+    f_aug, p_inf, p0, h_forces = build_multiforce_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    r = h_forces.shape[0]
+    h = gene_observation_matrix(r * order, g, replicates, t_train.dtype)
+    mean = params.basal / params.decay
+    m_t, p_t = _union_grid_smooth(
+        f_aug, p_inf, p0, h, t_train, t_test, y,
+        jnp.tile(mean, (replicates,)), noise_var,
+    )
+    f_mean = (m_t @ h_forces.T).T  # (R, T_test)
+    f_var = jnp.einsum("ri,tij,rj->rt", h_forces, p_t, h_forces)
+    x_mean = m_t[:, r * order:] + mean[None, :]
+    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, r * order:]
+    return f_mean, f_var, x_mean, x_var
+
+
+def lfm2_predict_ss(
+    params,
+    timepoints,
+    y,
+    t_test,
+    *,
+    noise_var,
+    replicates: int = 1,
+    order: int = 10,
+):
+    """Smoothed posterior for the second-order family: the state-space
+    analogue of ``SecondOrderSIMM.latent_predict``. The simm2 closed
+    forms use the self-consistent force prior, so posterior mean AND
+    variance match the dense path (to SDE-order error) — and this route
+    stays finite past the complex-erf forms' ``omega*l ~ 12`` wall.
+
+    Returns ``(f_mean, f_var, x_mean, x_var)`` — x is the position
+    block, mean ``B/k`` added back."""
+    t_train = jnp.asarray(timepoints)
+    t_test = jnp.asarray(t_test)
+    g = params.alpha.shape[0]
+
+    f_aug, p_inf, p0, h_force = build_lfm2_ssm(
+        params.alpha, params.omega, params.sensitivity, params.lengthscale,
+        order=order,
+    )
+    h_x = jnp.concatenate(
+        [
+            jnp.zeros((g, order), t_train.dtype),
+            jnp.eye(g, dtype=t_train.dtype),
+            jnp.zeros((g, g), t_train.dtype),
+        ],
+        axis=1,
+    )
+    h = jnp.tile(h_x, (replicates, 1))
+    spring = params.alpha**2 + params.omega**2
+    mean = params.basal / spring
+    m_t, p_t = _union_grid_smooth(
+        f_aug, p_inf, p0, h, t_train, t_test, y,
+        jnp.tile(mean, (replicates,)), noise_var,
+    )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
     p = order
-    x_mean = m_t[:, p:] + mean[None, :]
-    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:]
+    x_mean = m_t[:, p:p + g] + mean[None, :]
+    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:p + g]
     return f_mean, f_var, x_mean, x_var

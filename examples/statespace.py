@@ -178,4 +178,31 @@ f_mean, f_var, x_mean, x_var = ss.lfm_predict_ss(
 print(f"force posterior on {t_test.shape[0]} test points: "
       f"mean in [{float(f_mean.min()):.2f}, {float(f_mean.max()):.2f}], "
       f"all variances positive: {bool((f_var > 0).all())}")
+
+# %% [markdown]
+# ## 5. Every family, one smoother
+#
+# The same union-grid smoother drives the multi-force and second-order
+# families (`multisimm_predict_ss`, `lfm2_predict_ss`). Those families'
+# closed forms use the self-consistent force prior, so the smoothed
+# posterior matches the dense path in mean AND variance — and the
+# second-order route stays finite past the complex-erf forms'
+# `omega*l ~ 12` overflow wall, where a dense posterior cannot even be
+# evaluated.
+
+# %%
+from dis_project_tpu.models import simm2
+
+p_hot = simm2.init_params(3)._replace(
+    alpha=jnp.asarray([0.4, 0.7, 1.0]),
+    omega=jnp.asarray([10.0, 12.0, 9.0]),   # omega*l up to 36
+    lengthscale=jnp.asarray(3.0),
+)
+t9 = jnp.linspace(0.0, 12.0, 9)
+y9 = jnp.asarray(np.random.default_rng(5).normal(size=(3 * 9,)))
+f2_mean, f2_var, x2_mean, x2_var = ss.lfm2_predict_ss(
+    p_hot, t9, y9, jnp.linspace(0.0, 13.0, 50), noise_var=1e-2
+)
+print(f"second-order force posterior past the overflow wall: finite="
+      f"{bool(jnp.isfinite(f2_mean).all() & jnp.isfinite(f2_var).all())}")
 print("done.")

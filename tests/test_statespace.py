@@ -301,6 +301,34 @@ class TestMultiForceFamily:
             rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
             assert rel < 1e-2, (name, a, b)
 
+    def test_predict_matches_dense(self):
+        """Smoothed posterior vs ``ExactMultiSIMM.latent_predict`` for
+        BOTH forces in one pass: the multi-force closed forms use the
+        self-consistent force prior, so mean AND variance must agree (to
+        SDE-order + the dense path's double-jitter quirk)."""
+        from dis_project_tpu.models import multisimm
+
+        mp, t, y, model, X = self._problem()
+        tt = jnp.linspace(0.0, 13.0, 40)
+        var = jnp.full((y.shape[0],), 1e-3)
+        f_mean, f_var, x_mean, x_var = ss.multisimm_predict_ss(
+            mp, t, y, tt, noise_var=1e-3 + 1e-4, order=12
+        )
+        assert f_mean.shape == (2, 40) and f_var.shape == (2, 40)
+        for r in range(2):
+            post = model.latent_predict(
+                mp, multisimm.force_rows(tt, r, t.dtype), X, y, var
+            )
+            em = np.asarray(post.mean)
+            sm = np.asarray(f_mean[r])
+            assert np.abs(em - sm).max() < 3e-3, r
+            ev = np.asarray(jnp.diagonal(post.cov))
+            sv = np.asarray(f_var[r])
+            assert np.abs(ev - sv).max() < 3e-3, r
+            assert sv.min() > 0.0
+        assert np.isfinite(np.asarray(x_mean)).all()
+        assert (np.asarray(x_var) >= 0.0).all()
+
     def test_stationary_covariance_is_lyapunov_consistent(self):
         """F P + P F^T must be a NEGATIVE-semidefinite residual confined
         to the force blocks (noise enters the forces only) — pins the
@@ -372,6 +400,36 @@ class TestSecondOrderFamily:
             b = np.asarray(getattr(g_ex, name))
             rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
             assert rel < 1e-2, (name, a, b)
+
+    def test_predict_matches_dense(self):
+        """Smoothed posterior vs ``SecondOrderSIMM.latent_predict``: the
+        simm2 closed forms use the self-consistent prior, so force mean
+        AND variance must agree; the position block must match the dense
+        ``output_predict`` mean at the per-point-variance convention."""
+        from dis_project_tpu.models import simm2
+
+        p2, t, y, model, X = self._problem()
+        tt = jnp.linspace(0.0, 13.0, 40)
+        var = jnp.full((y.shape[0],), 1e-3)
+        rows_f = jnp.stack(
+            [tt, -jnp.ones_like(tt), jnp.zeros_like(tt)], axis=-1
+        )
+        post = model.latent_predict(p2, rows_f, X, y, var)
+        # Order 14, not the default 10: with near-noiseless conditioning
+        # (1e-3) the SDE prior error is amplified through K^-1 — measured
+        # mean error 2.2e-2 @10, 5.6e-3 @12, 1.2e-3 @14 (then f64
+        # roundoff turns it around at 16).
+        f_mean, f_var, x_mean, x_var = ss.lfm2_predict_ss(
+            p2, t, y, tt, noise_var=1e-3 + 1e-4, order=14
+        )
+        em = np.asarray(post.mean)
+        assert np.abs(em - np.asarray(f_mean)).max() < 3e-3
+        ev = np.asarray(jnp.diagonal(post.cov))
+        assert np.abs(ev - np.asarray(f_var)).max() < 3e-3
+        assert float(f_var.min()) > 0.0
+        assert x_mean.shape == (40, 3) and x_var.shape == (40, 3)
+        assert np.isfinite(np.asarray(x_mean)).all()
+        assert (np.asarray(x_var) >= 0.0).all()
 
     def test_stationary_covariance_is_lyapunov_consistent(self):
         p2, t, y, model, X = self._problem()
@@ -525,6 +583,94 @@ class TestPredict:
         assert float(f_var.min()) > 0.0
         ev = np.asarray(post.variance())
         assert float(f_var.max()) < 3.0 * ev.max() + 1e-6
+
+    def test_smoother_matches_brute_force_joint(self):
+        """Filter+RTS on the union grid vs the EXACT posterior of the
+        same discrete SSM, computed by materialising the full joint
+        Gaussian over all grid states and conditioning densely.
+
+        Regression for the fixed-ridge bug: the balanced realization's
+        Hankel spectrum reaches ~1e-8 rel by order 14, and the old
+        additive 1e-9 ridge in the RTS gain solve perturbed posterior
+        variances by eps/lambda_min — 2e-2 absolute at order 14, GROWING
+        with order. The eigendecomposition pseudo-solve must track the
+        brute force to f64 roundoff at every order."""
+        decay = jnp.asarray([0.4, 1.2])
+        sens = jnp.asarray([1.0, 0.9])
+        ell = jnp.asarray(2.0)
+        G, T = 2, 9
+        t_train = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(3).normal(size=(G * T,)))
+        noise = 1e-3
+        tt = jnp.linspace(0.0, 13.0, 25)
+        params = simm.init_params(G)._replace(
+            decay=decay, sensitivity=sens, lengthscale=ell,
+            basal=jnp.zeros(G),
+        )
+        for order in (10, 14):
+            f_aug, p_inf, p0, hf = ss.build_lfm_ssm(
+                decay, sens, ell, order=order
+            )
+            m = p0.shape[0]
+            f_mean, f_var, _, _ = ss.lfm_predict_ss(
+                params, t_train, y, tt, noise_var=noise, order=order
+            )
+
+            t_all = jnp.concatenate([t_train, tt])
+            idx = jnp.argsort(t_all, stable=True)
+            t_sorted = np.asarray(t_all[idx])
+            is_train = np.asarray(
+                jnp.concatenate(
+                    [jnp.ones_like(t_train), jnp.zeros_like(tt)]
+                )[idx]
+            )
+            n_all = t_sorted.shape[0]
+            dts = np.diff(t_sorted, prepend=0.0)
+            A = [
+                np.asarray(jax.scipy.linalg.expm(f_aug * float(dt)))
+                for dt in dts
+            ]
+            Pinf = np.asarray(p_inf)
+            Q = [Pinf - a @ Pinf @ a.T for a in A]
+            P = []
+            prev = np.asarray(p0)
+            for i in range(n_all):
+                prev = A[i] @ prev @ A[i].T + Q[i]
+                prev = 0.5 * (prev + prev.T)
+                P.append(prev)
+            J = np.zeros((n_all * m, n_all * m))
+            for i in range(n_all):
+                J[i * m:(i + 1) * m, i * m:(i + 1) * m] = P[i]
+                Phi = np.eye(m)
+                for j in range(i + 1, n_all):
+                    Phi = A[j] @ Phi
+                    C = P[i] @ Phi.T
+                    J[i * m:(i + 1) * m, j * m:(j + 1) * m] = C
+                    J[j * m:(j + 1) * m, i * m:(i + 1) * m] = C.T
+
+            H = np.asarray(
+                ss.gene_observation_matrix(order, G, 1, t_train.dtype)
+            )
+            hfn = np.asarray(hf)
+            train_pos = np.nonzero(is_train)[0]
+            test_pos = np.nonzero(1 - is_train)[0]
+            n_tr = len(train_pos)
+            Obs = np.zeros((n_tr * G, n_all * m))
+            for k, i in enumerate(train_pos):
+                Obs[k * G:(k + 1) * G, i * m:(i + 1) * m] = H
+            Fsel = np.zeros((len(test_pos), n_all * m))
+            for k, i in enumerate(test_pos):
+                Fsel[k, i * m:(i + 1) * m] = hfn
+
+            S = Obs @ J @ Obs.T + noise * np.eye(n_tr * G)
+            Kfy = Fsel @ J @ Obs.T
+            yv = np.asarray(y).reshape(G, T).T.reshape(-1)
+            bf_mean = Kfy @ np.linalg.solve(S, yv)
+            bf_var = np.diag(
+                Fsel @ J @ Fsel.T - Kfy @ np.linalg.solve(S, Kfy.T)
+            )
+            assert np.abs(np.asarray(f_mean) - bf_mean).max() < 1e-4, order
+            assert np.abs(np.asarray(f_var) - bf_var).max() < 1e-6, order
 
     def test_gene_posterior_contracts_toward_data(self, p53_shaped):
         """Smoothed gene states at the train times move toward the
