@@ -67,6 +67,27 @@ import numpy as np
 LOG_2PI = 1.8378770664093453
 
 
+def _pin_precision(fn):
+    """Pin HIGHEST matmul precision over the function's trace.
+
+    TPU's default f32 matmul is a single-pass bf16 product (~1e-2 rel
+    error); a Gram matmul tolerates it, but the filter's T-step covariance
+    recurrence ``P <- A P A^T + Q`` compounds it — measured on v5e
+    (G=10, T=40, f32): the MLL is ~1.7 nats off at init and the training
+    trajectory is NaN within one Adam step, while the identical program on
+    CPU f32 is clean. Every matrix in the engine is tiny (m = p + G), so
+    3-pass precision costs nothing; this makes f32-on-TPU match
+    f32-on-CPU and is pinned by the on-device lane
+    (``tests/test_tpu_lane.py``)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # Canonical (unit-time-scale) balanced SDE of the RBF prior — host-side
 # f64 constants per order, cached.
@@ -369,6 +390,7 @@ def build_lfm2_ssm(alpha, omega, sens, lengthscale, order: int = 10):
     return f_aug, p_inf, p0, h_force
 
 
+@_pin_precision
 def discretize(f_aug, p_inf, dts):
     """Exact discretization over step sizes ``dts`` (scalar or (T,)).
 
@@ -439,6 +461,7 @@ def _joseph_update(m_pred, p_pred, h, r_var, y):
     return m_new, _symmetrize(p_new), _gauss_ll(r, s_mat)
 
 
+@_pin_precision
 def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
     """Sequential Kalman filter (one ``lax.scan``).
 
@@ -549,6 +572,7 @@ def _combine(e1, e2):
     return a_new, b_new, c_new, eta_new, j_new
 
 
+@_pin_precision
 def parallel_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
     """Log-depth Kalman filter: ``jax.lax.associative_scan`` over the
     filtering semigroup. Identical output contract to
@@ -640,6 +664,7 @@ def _prior_element(m0, p0):
     )
 
 
+@_pin_precision
 def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
                             m0=None, mask=None):
     """Temporally-sharded Kalman filter: the TIME axis split over a mesh.
@@ -746,6 +771,7 @@ def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
     return jax.jit(fil)(a, q, h, r_var, ys, mask, m0, p0)
 
 
+@_pin_precision
 def rts_smoother(a, q, ms, ps):
     """Rauch-Tung-Striebel backward pass over filtered results.
 
@@ -802,6 +828,7 @@ def rts_smoother(a, q, ms, ps):
 # ---------------------------------------------------------------------------
 
 
+@_pin_precision
 def lfm_mll_ss(
     params,
     timepoints,
@@ -907,6 +934,7 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
     return ll
 
 
+@_pin_precision
 def multisimm_mll_ss(
     params,
     timepoints,
@@ -939,6 +967,7 @@ def multisimm_mll_ss(
     )
 
 
+@_pin_precision
 def lfm2_mll_ss(
     params,
     timepoints,
@@ -984,6 +1013,7 @@ def lfm2_mll_ss(
     )
 
 
+@_pin_precision
 def lfm_predict_ss(
     params,
     timepoints,
@@ -1078,6 +1108,7 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
     return ms_s[test_pos], ps_s[test_pos]
 
 
+@_pin_precision
 def multisimm_predict_ss(
     params,
     timepoints,
@@ -1118,6 +1149,7 @@ def multisimm_predict_ss(
     return f_mean, f_var, x_mean, x_var
 
 
+@_pin_precision
 def lfm2_predict_ss(
     params,
     timepoints,

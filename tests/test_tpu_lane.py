@@ -252,6 +252,47 @@ def test_dispatch_thresholds_on_device():
     assert model._resolve_gram(1024, jnp.float64) == "xla"
 
 
+def test_statespace_mll_precision_pinned_on_device():
+    """The Kalman engine's precision pin (`ops/statespace._pin_precision`)
+    as a permanent on-device test. TPU's default f32 matmul is a
+    single-pass bf16 product; the T-step covariance recurrence
+    ``P <- A P A^T + Q`` compounds its ~1e-2 relative error — measured
+    pre-fix at G=10/T=40: the MLL lands ~1.7 nats off the CPU-f32 value
+    and the training trajectory NaNs within one Adam step. Pinned
+    HIGHEST, device and host f32 agree to f32 roundoff."""
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.ops import statespace as ss
+
+    genes, steps = 10, 40
+    rng = np.random.default_rng(3)
+    t = jnp.asarray(np.linspace(0.0, 12.0, steps), jnp.float32)
+    params = simm.init_params(genes, dtype=jnp.float32)
+    mean = np.repeat(np.asarray(params.basal / params.decay), steps)
+    y = jnp.asarray(
+        rng.normal(0.0, 0.3, size=(genes * steps,)) + mean, jnp.float32
+    )
+
+    def loss(raw, t, y):
+        return -ss.lfm_mll_ss(
+            simm.constrain(raw), t, y, jitter=1e-4, order=10, parallel=True
+        )
+
+    raw = simm.unconstrain(params)
+    v_dev, g_dev = jax.jit(jax.value_and_grad(loss))(raw, t, y)
+    v_dev = float(v_dev)
+    assert np.isfinite(v_dev)
+    assert all(
+        np.isfinite(np.asarray(g)).all()
+        for g in jax.tree_util.tree_leaves(g_dev)
+    )
+
+    cpu = jax.devices("cpu")[0]
+    raw_c, t_c, y_c = jax.device_put((raw, t, y), cpu)
+    v_cpu = float(jax.jit(jax.value_and_grad(loss))(raw_c, t_c, y_c)[0])
+    # Pre-fix the gap here is ~1.7 nats; post-fix it is f32 roundoff.
+    assert abs(v_dev - v_cpu) < 5e-4 * max(1.0, abs(v_cpu)), (v_dev, v_cpu)
+
+
 def test_gram_dispatch_uses_sym_kernel_on_device():
     """ExactSIMM.gram at an in-window size must produce the symmetric-
     kernel result (exact symmetry is its signature: the dense XLA build is
