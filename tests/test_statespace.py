@@ -516,6 +516,78 @@ class TestShardedFilter:
             b = np.asarray(getattr(g2, name))
             assert np.abs(a - b).max() < 1e-10 * (np.abs(a).max() + 1.0)
 
+    def test_multiforce_family_matches_single_device(self, mesh):
+        """The sharded filter is family-agnostic: the R-force block-diagonal
+        force state rides the same semigroup, so `multisimm_mll_ss` with
+        `shard=` must match its sequential value and gradient exactly."""
+        from dis_project_tpu.models import multisimm
+
+        G, R, T = 3, 2, 21  # T-1 = 20 pads to 24 over 8 devices
+        mp = multisimm.init_params(G, R)
+        mp = mp._replace(
+            sensitivity=jnp.asarray(
+                np.random.default_rng(0).uniform(0.4, 1.4, (G, R))
+            ),
+            lengthscale=jnp.asarray([1.2, 3.0]),
+            decay=jnp.asarray([0.4, 0.8, 1.2]),
+        )
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(8).normal(size=(G * T,)))
+        raw = multisimm.unconstrain(mp)
+
+        def mll(r, shard):
+            return ss.multisimm_mll_ss(
+                multisimm.constrain(r), t, y, jitter=1e-4,
+                parallel=False if shard is None else None,
+                shard=shard,
+            )
+
+        v_ref, g_ref = jax.value_and_grad(lambda r: mll(r, None))(raw)
+        v_sh, g_sh = jax.value_and_grad(
+            lambda r: mll(r, (mesh, "t"))
+        )(raw)
+        assert abs(float(v_ref) - float(v_sh)) < 1e-10 * max(
+            1.0, abs(float(v_ref))
+        )
+        for name in raw._fields:
+            a = np.asarray(getattr(g_ref, name))
+            b = np.asarray(getattr(g_sh, name))
+            assert np.abs(a - b).max() < 1e-10 * (np.abs(a).max() + 1.0)
+
+    def test_second_order_family_matches_single_device(self, mesh):
+        """Same for the spring-damper family's (x, v) gene pairs."""
+        from dis_project_tpu.models import simm2
+
+        G, T = 3, 19
+        p2 = simm2.init_params(G)
+        p2 = p2._replace(
+            alpha=jnp.asarray([0.4, 0.7, 1.0]),
+            omega=jnp.asarray([0.8, 1.2, 0.5]),
+            sensitivity=jnp.asarray([1.0, 0.7, 1.3]),
+        )
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(9).normal(size=(G * T,)))
+        raw = simm2.unconstrain(p2)
+
+        def mll(r, shard):
+            return ss.lfm2_mll_ss(
+                simm2.constrain(r), t, y, jitter=1e-4,
+                parallel=False if shard is None else None,
+                shard=shard,
+            )
+
+        v_ref, g_ref = jax.value_and_grad(lambda r: mll(r, None))(raw)
+        v_sh, g_sh = jax.value_and_grad(
+            lambda r: mll(r, (mesh, "t"))
+        )(raw)
+        assert abs(float(v_ref) - float(v_sh)) < 1e-10 * max(
+            1.0, abs(float(v_ref))
+        )
+        for name in raw._fields:
+            a = np.asarray(getattr(g_ref, name))
+            b = np.asarray(getattr(g_sh, name))
+            assert np.abs(a - b).max() < 1e-10 * (np.abs(a).max() + 1.0)
+
     def test_prior_element_composition(self):
         """The prior-as-element form underpinning the sharded start-state:
         composing (0, m0, P0, 0, 0) left of the step elements reproduces
