@@ -50,6 +50,9 @@ class RunConfig:
     # dense-preset MLL engine: cholesky (exact) | cg (matmul-only BBMM —
     # unbiased stochastic logdet/gradients, O(N^2 * iters))
     mll_engine: str = "cholesky"
+    # state-space engine: split the TIME axis of the Kalman filter over
+    # every visible device (sequence parallelism; requires --mll-engine ss)
+    ss_shard: bool = False
     # model. None = path default: 1e-4 for the exact paths (reference
     # src/main.py:41), 1e-6 for the sparse path (tighter; SparseSIMM applies
     # its own f32 Kuu floor). A user-passed --jitter is honored by BOTH —
@@ -146,6 +149,12 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         "SDE approximation of the force prior — ~1e-4 MLL "
                         "accuracy, log-depth associative-scan filter on "
                         "TPU)")
+    parser.add_argument("--ss-shard", action="store_true",
+                        help="state-space engine: run the temporally-"
+                        "sharded filter — the time axis split over every "
+                        "visible device, local associative scans, one "
+                        "all-gather of chunk composites (exact; requires "
+                        "--mll-engine ss)")
     parser.add_argument("--ensemble", action="store_true",
                         help="p53-replicates: per-replicate model ensemble "
                         "as one SPMD mesh program")
@@ -230,6 +239,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         mll_engine=args.mll_engine,
+        ss_shard=args.ss_shard,
         ensemble=args.ensemble,
         mesh_shape=(
             tuple(int(v) for v in args.mesh_shape.split(","))

@@ -79,7 +79,7 @@ def _final_loss(hist) -> float:
 
 
 def _finish_posterior(post, t0, config, data, save_name,
-                      kin_from=lambda s: s):
+                      kin_from=lambda s: s, max_report_genes=None):
     """Shared post-sampling tail for every HMC route: timing + accept
     line, split-R-hat / ESS convergence diagnostics when more than one
     chain ran, chain pooling, and the credible-interval report.  Returns
@@ -87,6 +87,9 @@ def _finish_posterior(post, t0, config, data, save_name,
 
     ``kin_from`` extracts the SIMMParams-like kinetics view from the
     samples (identity for the exact/delay routes; ``.kinetics`` for nlfm).
+    ``max_report_genes`` caps the credible-interval table and histogram
+    grid (the dense stress routes have 50 genes; the full samples are
+    still returned and marginalised).
     """
     import jax
     import numpy as np
@@ -109,7 +112,8 @@ def _finish_posterior(post, t0, config, data, save_name,
             lambda a: a.reshape((-1,) + a.shape[2:]), samples
         )
     _report_kinetics_posterior(
-        kin_from(samples), data, save_name, config.out_dir
+        kin_from(samples), data, save_name, config.out_dir,
+        max_genes=max_report_genes,
     )
     return samples
 
@@ -161,12 +165,16 @@ def _plot_bma_latent(predict_fn, samples, plugin_dist, t_grid, data, config,
     )
 
 
-def _report_kinetics_posterior(kin_samples, data, save_name, out_dir):
+def _report_kinetics_posterior(kin_samples, data, save_name, out_dir,
+                               max_genes=None):
     """Unclamped-model note + credible-interval table + histogram grid for
     HMC kinetics samples (shared by the exact and nlfm posterior routes).
 
     ``kin_samples`` is any pytree with stacked (num_samples, G) ``basal``/
     ``sensitivity``/``decay`` leaves (``SIMMParams`` of samples).
+    ``max_genes`` truncates the table and the histogram grid to the first
+    K genes (the dense stress routes have 50; a 3 x 50 subplot grid is
+    unreadable and the table would be 150 lines).
     """
     import numpy as np
 
@@ -179,12 +187,25 @@ def _report_kinetics_posterior(kin_samples, data, save_name, out_dir):
         "(S x force amplitude, and decays through them) show the "
         "broad/shifted intervals the clamp exists to resolve."
     )
+    names = list(data.gene_names)
+    if max_genes is not None and len(names) > max_genes:
+        print(f"(reporting the first {max_genes} of {len(names)} genes)")
+        names = names[:max_genes]
+        kin = {k: np.asarray(v) for k, v in kin_samples._asdict().items()}
+        for k in ("basal", "sensitivity", "decay"):  # per-gene leaves only
+            kin[k] = kin[k][..., :max_genes]
+        kin_samples = type(kin_samples)(**kin)
+        truth = tuple(
+            np.asarray(v).ravel()[:max_genes]
+            for v in data.params_ground_truth()
+        )
+        data = _KineticsReportView(names, truth)
     print("\nPosterior kinetics (mean +/- std [5%, 95%]):")
     for key in ("basal", "sensitivity", "decay"):
         vals = np.asarray(getattr(kin_samples, key))
         if vals.ndim == 1:
             vals = vals[:, None]
-        for g, name in enumerate(data.gene_names[: vals.shape[1]]):
+        for g, name in enumerate(names[: vals.shape[1]]):
             lo, hi = np.percentile(vals[:, g], [5, 95])
             print(f"  {key[:4]:<5} {name:<10} "
                   f"{vals[:, g].mean():.4f} +/- {vals[:, g].std():.4f} "
@@ -199,6 +220,18 @@ def _report_kinetics_posterior(kin_samples, data, save_name, out_dir):
         save_name=save_name,
         out_dir=out_dir,
     )
+
+
+class _KineticsReportView:
+    """Gene-truncated view of a dataset for the posterior report plots:
+    just the two members ``plot_posterior_kinetics`` reads."""
+
+    def __init__(self, gene_names, truth):
+        self.gene_names = gene_names
+        self._truth = truth
+
+    def params_ground_truth(self):
+        return self._truth
 
 
 def _write_metrics(path, result):
@@ -1145,6 +1178,30 @@ def run_alfi_parity(config: cfg.RunConfig):
     return corr
 
 
+def _ss_shard_spec(config: cfg.RunConfig):
+    """``(mesh, axis)`` for the temporally-sharded Kalman filter when
+    ``--ss-shard`` is set, else None.
+
+    The mesh is 1-D over EVERY visible device with axis name "t": the
+    filter splits the time-step axis across it (sequence parallelism —
+    local associative scans, one all-gather of chunk composites). On a
+    single chip this is a degenerate 1-device mesh (same program, no
+    collective traffic); the 8-device virtual CPU mesh in the tests is
+    the real exercise.
+    """
+    if not config.ss_shard:
+        return None
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices())
+    print(f"Temporally-sharded filter: time axis over {devices.size} "
+          "device(s)")
+    return Mesh(devices, ("t",)), "t"
+
+
 def run_dense(config: cfg.RunConfig):
     """Dense exact-GP stress run (BASELINE config 4): synthetic first-order
     data at N = genes x timepoints, full-batch exact MLL training with the
@@ -1297,8 +1354,10 @@ def run_dense(config: cfg.RunConfig):
             # scales). The associative-scan filter auto-engages on TPU.
             from dis_project_tpu.ops import statespace as ss_ops
 
+            shard = _ss_shard_spec(config)
             objective = lambda r: -ss_ops.lfm_mll_ss(
-                simm.constrain(r), timepoints, y, jitter=model.jitter
+                simm.constrain(r), timepoints, y, jitter=model.jitter,
+                shard=shard,
             )
         elif on_tpu_f32:
             objective = lambda r: -model.mll(simm.constrain(r), X, y)
@@ -1371,6 +1430,45 @@ def run_dense(config: cfg.RunConfig):
             out_dir=config.out_dir,
         )
         print(f"Smoothed latent-force plot saved under {config.out_dir}/")
+        if config.posterior_samples > 0:
+            # Full-Bayes kinetics AT DENSE SCALE: the O(T) state-space
+            # likelihood makes every leapfrog gradient ~constant-time in
+            # N = G x T, so HMC is feasible where the exact O(N^3)-per-
+            # gradient route is not (the guard in main() only admits
+            # --posterior-samples here with --mll-engine ss).
+            from dis_project_tpu.training import hmc
+
+            n_draws = config.posterior_samples
+            print(f"Sampling hyperparameter posterior at N={scfg.n_points} "
+                  f"via the O(T) state-space likelihood: {n_draws} HMC "
+                  f"draws ({n_draws} warmup)...")
+            t0p = time.perf_counter()
+            post = hmc.kinetics_posterior_ss(
+                res.params, timepoints, y,
+                jax.random.PRNGKey(config.seed + 7),
+                jitter=model.jitter,
+                num_warmup=n_draws, num_samples=n_draws,
+                num_chains=config.posterior_chains,
+            )
+            jax.block_until_ready(post.log_probs)
+            samples = _finish_posterior(
+                post, t0p, config, data, "dense_ss",
+                max_report_genes=10,
+            )
+
+            def _predict(p):
+                fm, fv, _, _ = ss_ops.lfm_predict_ss(
+                    p, timepoints, y, grid, noise_var=nv
+                )
+                return Gaussian(mean=fm, cov=jnp.diag(fv))
+
+            _plot_bma_latent(
+                _predict, samples,
+                Gaussian(mean=f_mean, cov=jnp.diag(f_var)),
+                grid[:, None], data, config,
+                "dense_ss_bma",
+                "Smoothed latent force (BMA over the kinetics posterior)",
+            )
     if config.metrics_path:
         with open(config.metrics_path, "w") as f:
             for i, l in enumerate(res.history.tolist()):
@@ -1426,8 +1524,10 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
         from dis_project_tpu.ops import statespace as ss_ops
 
         engine = "state-space Kalman engine (O(T), order-10 SDE)"
+        shard = _ss_shard_spec(config)
         objective = lambda r: -ss_ops.lfm2_mll_ss(  # noqa: E731
-            simm2.constrain(r), tgrid, y, jitter=config.exact_jitter
+            simm2.constrain(r), tgrid, y, jitter=config.exact_jitter,
+            shard=shard,
         )
     else:
         engine = "order-2 table Gram, Cholesky engine"
@@ -1506,8 +1606,10 @@ def _run_dense_multiforce(config: cfg.RunConfig, scfg):
         multisimm.init_params(scfg.num_genes, R, dtype=X.dtype)
     )
     opt = optax.adam(config.learning_rate)
+    ss_shard = _ss_shard_spec(config)
     objective = lambda r: -ss_ops.multisimm_mll_ss(  # noqa: E731
-        multisimm.constrain(r), tgrid, y, jitter=config.exact_jitter
+        multisimm.constrain(r), tgrid, y, jitter=config.exact_jitter,
+        shard=ss_shard,
     )
 
     # Same segmented dispatch as the other dense routes: bound every
@@ -1787,16 +1889,30 @@ def main(argv=None):
         raise SystemExit("--posterior-chains must be >= 1")
     if config.posterior_chains > 1 and not config.posterior_samples:
         raise SystemExit("--posterior-chains requires --posterior-samples")
+    if config.ss_shard and config.mll_engine != "ss":
+        raise SystemExit(
+            "--ss-shard requires --mll-engine ss (it shards the Kalman "
+            "filter's time axis)"
+        )
+    # dense10k + the state-space engine admits the posterior route: the
+    # O(T) likelihood is what makes HMC feasible at N >= 1e4.
+    dense_ss_posterior = (
+        config.preset == "dense10k"
+        and config.mll_engine == "ss"
+        and config.model == "simm"
+    )
     if config.posterior_samples and (
-        config.preset in ("alfi-parity", "dense10k", "sparse100k")
+        (config.preset in ("alfi-parity", "dense10k", "sparse100k")
+         and not dense_ss_posterior)
         or config.model in ("simm2", "multisimm")
         or config.ensemble
     ):
         raise SystemExit(
             "--posterior-samples is only supported on the exact "
             "first-order p53 routes (the default preset, and "
-            "--preset p53-replicates without --ensemble) and the "
-            "nlfm route"
+            "--preset p53-replicates without --ensemble), the "
+            "nlfm route, and --preset dense10k --mll-engine ss "
+            "(the O(T) state-space likelihood)"
         )
 
     if config.preset == "alfi-parity":

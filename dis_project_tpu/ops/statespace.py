@@ -461,8 +461,36 @@ def _joseph_update(m_pred, p_pred, h, r_var, y):
     return m_new, _symmetrize(p_new), _gauss_ll(r, s_mat)
 
 
+def _mask_obs(h, r_var, ys, obs_mask):
+    """Per-ENTRY observation masking as an exact input transform.
+
+    A missing entry i (``obs_mask[t, i] == 0``) is deleted from the
+    update by zeroing H's i-th row, setting its noise variance to 1 and
+    its (possibly NaN) observation to 0: the innovation coordinate
+    becomes N(0; 0, 1), decoupled from the rest (S turns block-diagonal,
+    the gain column is exactly 0), so the update and the likelihood of
+    the OBSERVED coordinates are bit-for-bit those of the row-deleted
+    model — up to the constant ``-log(2*pi)/2`` each deleted coordinate
+    still contributes, which :func:`_mask_ll_correction` adds back.
+    Returns per-step ``h`` of shape (T, n_o, m) and sanitised
+    ``(r_var, ys)``.
+    """
+    h_t = h[None, :, :] * obs_mask[:, :, None]
+    r_var = jnp.where(obs_mask > 0, r_var, jnp.ones_like(r_var))
+    ys = jnp.where(obs_mask > 0, ys, jnp.zeros_like(ys))
+    return h_t, r_var, ys
+
+
+def _mask_ll_correction(obs_mask):
+    """(T,) per-step log-lik corrections for :func:`_mask_obs`'s
+    placeholder N(0; 0, 1) coordinates: +log(2*pi)/2 per masked entry."""
+    n_o = obs_mask.shape[1]
+    return 0.5 * LOG_2PI * (n_o - obs_mask.sum(axis=1))
+
+
 @_pin_precision
-def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
+def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None,
+                  obs_mask=None):
     """Sequential Kalman filter (one ``lax.scan``).
 
     ``a``/``q``: (m, m) shared by all steps (uniform grid) or (T, m, m);
@@ -471,7 +499,11 @@ def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
     prior covariance *at the first step's predict input* (the state at
     t=0, before the first transition); ``mask``: optional (T,) {0,1} —
     steps with mask 0 skip the measurement update and contribute no
-    likelihood (used by the smoother-based predict on union grids).
+    likelihood (used by the smoother-based predict on union grids);
+    ``obs_mask``: optional (T, n_o) {0,1} — per-ENTRY missingness
+    (dropouts, irregular per-gene sampling): entries with 0 are exactly
+    deleted from the update and the likelihood (see :func:`_mask_obs`);
+    their ``ys`` values may be NaN.
 
     Returns ``(ms, ps, ll)``: filtered means (T, m), covariances
     (T, m, m), and the total marginal log-likelihood.
@@ -484,24 +516,35 @@ def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
     r_var = jnp.broadcast_to(jnp.asarray(r_var, dtype), (t_steps, n_o))
     if mask is None:
         mask = jnp.ones((t_steps,), dtype)
+    if obs_mask is not None:
+        obs_mask = jnp.asarray(obs_mask, dtype)
+        h_t, r_var, ys = _mask_obs(h, r_var, ys, obs_mask)
+        ll_corr = _mask_ll_correction(obs_mask)
+    else:
+        h_t = None
+        ll_corr = jnp.zeros((t_steps,), dtype)
     shared_aq = a.ndim == 2
 
     def step(carry, xs):
         m_cur, p_cur, ll = carry
         if shared_aq:
-            y_i, rv_i, mk_i = xs
+            y_i, rv_i, mk_i, corr_i, h_i = xs
             a_i, q_i = a, q
         else:
-            y_i, rv_i, mk_i, a_i, q_i = xs
+            y_i, rv_i, mk_i, corr_i, h_i, a_i, q_i = xs
+        if h_i is None:
+            h_i = h
         m_pred = a_i @ m_cur
         p_pred = _symmetrize(a_i @ p_cur @ a_i.T + q_i)
-        m_up, p_up, ll_i = _joseph_update(m_pred, p_pred, h, rv_i, y_i)
+        m_up, p_up, ll_i = _joseph_update(m_pred, p_pred, h_i, rv_i, y_i)
         m_new = jnp.where(mk_i > 0, m_up, m_pred)
         p_new = jnp.where(mk_i > 0, p_up, p_pred)
-        ll = ll + mk_i * ll_i
+        ll = ll + mk_i * (ll_i + corr_i)
         return (m_new, p_new, ll), (m_new, p_new)
 
-    xs = (ys, r_var, mask) if shared_aq else (ys, r_var, mask, a, q)
+    xs = (ys, r_var, mask, ll_corr, h_t)
+    if not shared_aq:
+        xs = xs + (a, q)
     (_, _, ll), (ms, ps) = jax.lax.scan(
         step, (m0, p0, jnp.zeros((), dtype)), xs
     )
@@ -573,12 +616,13 @@ def _combine(e1, e2):
 
 
 @_pin_precision
-def parallel_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
+def parallel_filter(a, q, h, r_var, ys, p0, m0=None, mask=None,
+                    obs_mask=None):
     """Log-depth Kalman filter: ``jax.lax.associative_scan`` over the
     filtering semigroup. Identical output contract to
-    :func:`kalman_filter` (filtered means/covs and the exact total MLL);
-    every scan level is a batched (T, m, m) matmul — MXU work, depth
-    O(log T) instead of O(T).
+    :func:`kalman_filter` (filtered means/covs and the exact total MLL,
+    including per-entry ``obs_mask`` missingness); every scan level is a
+    batched (T, m, m) matmul — MXU work, depth O(log T) instead of O(T).
 
     The first step's element folds the prior in directly (A=0): its
     (b, C) are the filtered posterior at step 0, which makes every prefix
@@ -597,19 +641,29 @@ def parallel_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
     r_var = jnp.broadcast_to(jnp.asarray(r_var, dtype), (t_steps, n_o))
     if mask is None:
         mask = jnp.ones((t_steps,), dtype)
+    if obs_mask is not None:
+        obs_mask = jnp.asarray(obs_mask, dtype)
+        h_t, r_var, ys = _mask_obs(h, r_var, ys, obs_mask)
+        ll_corr = _mask_ll_correction(obs_mask)
+        h_ax = 0
+    else:
+        h_t = h
+        ll_corr = jnp.zeros((t_steps,), dtype)
+        h_ax = None
     if a.ndim == 2:
         a = jnp.broadcast_to(a, (t_steps, m_dim, m_dim))
         q = jnp.broadcast_to(q, (t_steps, m_dim, m_dim))
 
-    elems = jax.vmap(_filter_element, in_axes=(0, 0, None, 0, 0, 0))(
-        a, q, h, r_var, ys, mask
+    elems = jax.vmap(_filter_element, in_axes=(0, 0, h_ax, 0, 0, 0))(
+        a, q, h_t, r_var, ys, mask
     )
 
     # Fold the prior into element 0: predict (m0, p0) through step 0's
     # transition, then measurement-update -> (A=0, b=m_f0, C=P_f0).
+    h0 = h_t if h_ax is None else h_t[0]
     m_pred0 = a[0] @ m0
     p_pred0 = _symmetrize(a[0] @ p0 @ a[0].T + q[0])
-    m_f0, p_f0, _ = _joseph_update(m_pred0, p_pred0, h, r_var[0], ys[0])
+    m_f0, p_f0, _ = _joseph_update(m_pred0, p_pred0, h0, r_var[0], ys[0])
     m_f0 = jnp.where(mask[0] > 0, m_f0, m_pred0)
     p_f0 = jnp.where(mask[0] > 0, p_f0, p_pred0)
     a_e, b_e, c_e, eta_e, j_e = elems
@@ -627,14 +681,16 @@ def parallel_filter(a, q, h, r_var, ys, p0, m0=None, mask=None):
     m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
     p_prev = jnp.concatenate([p0[None], ps[:-1]], axis=0)
 
-    def step_ll(a_i, q_i, m_im1, p_im1, rv_i, y_i):
+    def step_ll(a_i, q_i, h_i, m_im1, p_im1, rv_i, y_i):
         m_pred = a_i @ m_im1
         p_pred = a_i @ p_im1 @ a_i.T + q_i
-        s_mat = h @ p_pred @ h.T + jnp.diag(rv_i)
-        return _gauss_ll(y_i - h @ m_pred, s_mat)
+        s_mat = h_i @ p_pred @ h_i.T + jnp.diag(rv_i)
+        return _gauss_ll(y_i - h_i @ m_pred, s_mat)
 
-    lls = jax.vmap(step_ll)(a, q, m_prev, p_prev, r_var, ys)
-    return ms, ps, jnp.sum(mask * lls)
+    lls = jax.vmap(step_ll, in_axes=(0, 0, h_ax, 0, 0, 0, 0))(
+        a, q, h_t, m_prev, p_prev, r_var, ys
+    )
+    return ms, ps, jnp.sum(mask * (lls + ll_corr))
 
 
 def _identity_element(m_dim, dtype):
@@ -666,7 +722,7 @@ def _prior_element(m0, p0):
 
 @_pin_precision
 def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
-                            m0=None, mask=None):
+                            m0=None, mask=None, obs_mask=None):
     """Temporally-sharded Kalman filter: the TIME axis split over a mesh.
 
     The filtering semigroup is associative, so the parallel-prefix
@@ -689,8 +745,10 @@ def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
 
     ``T`` must divide by the mesh axis size — pad with ``mask=0`` steps
     (prediction-only; they provably do not change the likelihood of the
-    observed prefix). ``a``/``q``: (m, m) shared or (T, m, m) per-step.
-    Returns ``(ms, ps, ll)`` with ``ms``/``ps`` sharded over time.
+    observed prefix). ``a``/``q``: (m, m) shared or (T, m, m) per-step;
+    ``obs_mask``: optional (T, n_o) per-entry missingness, exactly as in
+    :func:`kalman_filter`. Returns ``(ms, ps, ll)`` with ``ms``/``ps``
+    sharded over time.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -708,18 +766,24 @@ def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
     r_var = jnp.broadcast_to(jnp.asarray(r_var, dtype), (t_steps, n_o))
     if mask is None:
         mask = jnp.ones((t_steps,), dtype)
+    if obs_mask is None:
+        obs_mask = jnp.ones((t_steps, n_o), dtype)
+    else:
+        obs_mask = jnp.asarray(obs_mask, dtype)
     shared_aq = a.ndim == 2
     aq_spec = P(None, None) if shared_aq else P(axis, None, None)
 
-    def local_filter(a_l, q_l, h_l, rv_l, ys_l, mask_l, m0_l, p0_l):
+    def local_filter(a_l, q_l, h_l, rv_l, ys_l, mask_l, om_l, m0_l, p0_l):
         t_local = ys_l.shape[0]
         if shared_aq:
             a_steps = jnp.broadcast_to(a_l, (t_local, m_dim, m_dim))
             q_steps = jnp.broadcast_to(q_l, (t_local, m_dim, m_dim))
         else:
             a_steps, q_steps = a_l, q_l
-        elems = jax.vmap(_filter_element, in_axes=(0, 0, None, 0, 0, 0))(
-            a_steps, q_steps, h_l, rv_l, ys_l, mask_l
+        h_steps, rv_l, ys_l = _mask_obs(h_l, rv_l, ys_l, om_l)
+        ll_corr = _mask_ll_correction(om_l)
+        elems = jax.vmap(_filter_element, in_axes=(0, 0, 0, 0, 0, 0))(
+            a_steps, q_steps, h_steps, rv_l, ys_l, mask_l
         )
         local_prefix = jax.lax.associative_scan(_combine, elems)
         composite = jax.tree_util.tree_map(lambda x: x[-1], local_prefix)
@@ -748,27 +812,30 @@ def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
         m_prev = jnp.concatenate([start[1][None], ms_l[:-1]], axis=0)
         p_prev = jnp.concatenate([start[2][None], ps_l[:-1]], axis=0)
 
-        def step_ll(a_i, q_i, m_im1, p_im1, rv_i, y_i):
+        def step_ll(a_i, q_i, h_i, m_im1, p_im1, rv_i, y_i):
             m_pred = a_i @ m_im1
             p_pred = a_i @ p_im1 @ a_i.T + q_i
-            s_mat = h_l @ p_pred @ h_l.T + jnp.diag(rv_i)
-            return _gauss_ll(y_i - h_l @ m_pred, s_mat)
+            s_mat = h_i @ p_pred @ h_i.T + jnp.diag(rv_i)
+            return _gauss_ll(y_i - h_i @ m_pred, s_mat)
 
-        lls = jax.vmap(step_ll)(a_steps, q_steps, m_prev, p_prev, rv_l, ys_l)
-        ll = jax.lax.psum(jnp.sum(mask_l * lls), axis)
+        lls = jax.vmap(step_ll)(
+            a_steps, q_steps, h_steps, m_prev, p_prev, rv_l, ys_l
+        )
+        ll = jax.lax.psum(jnp.sum(mask_l * (lls + ll_corr)), axis)
         return ms_l, ps_l, ll
 
     fil = jax.shard_map(
         local_filter,
         mesh=mesh,
         in_specs=(aq_spec, aq_spec, P(None, None), P(axis, None),
-                  P(axis, None), P(axis), P(None), P(None, None)),
+                  P(axis, None), P(axis), P(axis, None), P(None),
+                  P(None, None)),
         out_specs=(P(axis, None), P(axis, None, None), P()),
     )
     # jit so eager callers' (replicated) inputs are re-sharded to the
     # in_specs instead of tripping the eager-shard_map layout check; under
     # an outer jit this inner jit is inlined.
-    return jax.jit(fil)(a, q, h, r_var, ys, mask, m0, p0)
+    return jax.jit(fil)(a, q, h, r_var, ys, mask, obs_mask, m0, p0)
 
 
 @_pin_precision
@@ -840,6 +907,7 @@ def lfm_mll_ss(
     parallel: bool | None = None,
     uniform: bool = True,
     shard=None,
+    obs_mask=None,
 ):
     """State-space marginal log-likelihood of gridded SIMM data.
 
@@ -866,6 +934,14 @@ def lfm_mll_ss(
     multiple of the axis size — provably likelihood-neutral), one tiny
     all-gather of chunk composites is the only collective. Requires
     ``uniform=True``.
+
+    ``obs_mask``: optional {0,1} per-entry missingness in the SAME
+    gene-major flat layout as ``y`` (dropouts / irregular per-gene
+    sampling — something the gridded DENSE paths cannot express without
+    falling back to the O(N^3) row path on the observed subset). Masked
+    entries are EXACTLY deleted from the likelihood (zero-H-row
+    reduction, see :func:`_mask_obs`) and may hold NaN in ``y``.
+    Composes with every schedule, including ``shard``.
     """
     f_aug, p_inf, p0, _ = build_lfm_ssm(
         params.decay, params.sensitivity, params.lengthscale, order=order
@@ -880,14 +956,18 @@ def lfm_mll_ss(
     return _gridded_ssm_mll(
         f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
         parallel=parallel, uniform=uniform, shard=shard,
+        obs_mask=obs_mask,
     )
 
 
 def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
-                     parallel, uniform, shard):
+                     parallel, uniform, shard, obs_mask=None):
     """Shared filter driver for every gridded SSM family: center the
     gene-major flat ``y``, discretize per the grid promise, run the
-    selected filter schedule. See :func:`lfm_mll_ss` for the contract."""
+    selected filter schedule. See :func:`lfm_mll_ss` for the contract.
+    ``obs_mask``: optional per-entry missingness in the SAME gene-major
+    flat layout as ``y`` (or pre-shaped (n_o, T)); masked entries are
+    exactly deleted from the likelihood and may hold NaN in ``y``."""
     dtype = t.dtype
     t_steps = t.shape[0]
     n_o = mean_obs.shape[0]
@@ -897,6 +977,11 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
 
     # y arrives block-major ((R blocks of) G blocks of T): -> (T, n_o).
     ys = y.reshape(n_o, t_steps).T - mean_obs[None, :]
+    om = (
+        None
+        if obs_mask is None
+        else jnp.asarray(obs_mask, dtype).reshape(n_o, t_steps).T
+    )
 
     fil = parallel_filter if parallel else kalman_filter
     if uniform and t_steps >= 2:
@@ -904,9 +989,19 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
         # steps 1..T-1 share one (A, Q).
         a0, q0 = discretize(f_aug, p_inf, t[0])
         p_pred0 = _symmetrize(a0 @ p0 @ a0.T + q0)  # mean stays 0 (centered)
+        if om is None:
+            h0, rv0, y0 = h, r_var, ys[0]
+            corr0 = jnp.zeros((), dtype)
+        else:
+            h_both, rv_both, ys_both = _mask_obs(
+                h, jnp.broadcast_to(r_var, (1, n_o)), ys[:1], om[:1]
+            )
+            h0, rv0, y0 = h_both[0], rv_both[0], ys_both[0]
+            corr0 = _mask_ll_correction(om[:1])[0]
         m_f0, p_f0, ll0 = _joseph_update(
-            jnp.zeros((p0.shape[0],), dtype), p_pred0, h, r_var, ys[0]
+            jnp.zeros((p0.shape[0],), dtype), p_pred0, h0, rv0, y0
         )
+        ll0 = ll0 + corr0
         a, q = discretize(f_aug, p_inf, (t[-1] - t[0]) / (t_steps - 1))
         if shard is not None:
             mesh, axis = shard
@@ -919,18 +1014,28 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
             mask = jnp.concatenate(
                 [jnp.ones((t_rest,), dtype), jnp.zeros((pad,), dtype)]
             )
+            om_rest = (
+                None
+                if om is None
+                else jnp.concatenate(
+                    [om[1:], jnp.ones((pad, n_o), dtype)], axis=0
+                )
+            )
             _, _, ll = sharded_parallel_filter(
                 a, q, h, r_var, ys_rest, p_f0, mesh, axis,
-                m0=m_f0, mask=mask,
+                m0=m_f0, mask=mask, obs_mask=om_rest,
             )
             return ll0 + ll
-        _, _, ll = fil(a, q, h, r_var, ys[1:], p_f0, m0=m_f0)
+        _, _, ll = fil(
+            a, q, h, r_var, ys[1:], p_f0, m0=m_f0,
+            obs_mask=None if om is None else om[1:],
+        )
         return ll0 + ll
     if shard is not None:
         raise ValueError("shard requires uniform=True (shared-step grid)")
     dts = jnp.diff(t, prepend=jnp.zeros((1,), dtype))
     a, q = discretize(f_aug, p_inf, dts)
-    _, _, ll = fil(a, q, h, r_var, ys, p0)
+    _, _, ll = fil(a, q, h, r_var, ys, p0, obs_mask=om)
     return ll
 
 
@@ -946,6 +1051,7 @@ def multisimm_mll_ss(
     parallel: bool | None = None,
     uniform: bool = True,
     shard=None,
+    obs_mask=None,
 ):
     """State-space MLL for the R-force family (``models.multisimm``):
     same contract as :func:`lfm_mll_ss` with ``params`` a
@@ -964,6 +1070,7 @@ def multisimm_mll_ss(
     return _gridded_ssm_mll(
         f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
         parallel=parallel, uniform=uniform, shard=shard,
+        obs_mask=obs_mask,
     )
 
 
@@ -979,6 +1086,7 @@ def lfm2_mll_ss(
     parallel: bool | None = None,
     uniform: bool = True,
     shard=None,
+    obs_mask=None,
 ):
     """State-space MLL for the second-order family (``models.simm2``):
     same contract as :func:`lfm_mll_ss` with ``params`` a
@@ -1010,6 +1118,7 @@ def lfm2_mll_ss(
     return _gridded_ssm_mll(
         f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
         parallel=parallel, uniform=uniform, shard=shard,
+        obs_mask=obs_mask,
     )
 
 
@@ -1023,6 +1132,7 @@ def lfm_predict_ss(
     noise_var,
     replicates: int = 1,
     order: int = 10,
+    obs_mask=None,
 ):
     """Smoothed latent-force posterior at ``t_test`` (and the gene states).
 
@@ -1056,7 +1166,7 @@ def lfm_predict_ss(
     mean = params.basal / params.decay
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
-        jnp.tile(mean, (replicates,)), noise_var,
+        jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
@@ -1067,12 +1177,14 @@ def lfm_predict_ss(
 
 
 def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
-                       noise_var):
+                       noise_var, obs_mask=None):
     """Shared smoothing driver for every gridded SSM family: filter + RTS
     smoother on the union grid of train and test times, observation
     updates masked to train steps. ``y`` arrives block-major flat (n_o
-    blocks of T_train); ``mean_obs`` (n_o,) is subtracted. Returns the
-    smoothed state ``(m_t, p_t)`` at the test times (means centered —
+    blocks of T_train); ``mean_obs`` (n_o,) is subtracted; ``obs_mask``
+    is optional per-entry missingness in ``y``'s layout (masked entries
+    are exactly excluded from the conditioning and may be NaN). Returns
+    the smoothed state ``(m_t, p_t)`` at the test times (means centered —
     callers add their family's observation mean back)."""
     dtype = t_train.dtype
     n_o = mean_obs.shape[0]
@@ -1101,7 +1213,15 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
     # Masked steps never use their noise row; 1.0 keeps Cholesky happy.
     rv_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(noise_var)
 
-    ms, ps, _ = kalman_filter(a, q, h, rv_all, ys, p0, mask=is_train)
+    om_all = None
+    if obs_mask is not None:
+        om_train = jnp.asarray(obs_mask, dtype).reshape(
+            n_o, t_train.shape[0]
+        ).T
+        om_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(om_train)
+
+    ms, ps, _ = kalman_filter(a, q, h, rv_all, ys, p0, mask=is_train,
+                              obs_mask=om_all)
     ms_s, ps_s = rts_smoother(a, q, ms, ps)
 
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
@@ -1118,6 +1238,7 @@ def multisimm_predict_ss(
     noise_var,
     replicates: int = 1,
     order: int = 10,
+    obs_mask=None,
 ):
     """Smoothed posterior for the R-force family: the state-space
     analogue of ``ExactMultiSIMM.latent_predict`` across ALL forces in
@@ -1140,7 +1261,7 @@ def multisimm_predict_ss(
     mean = params.basal / params.decay
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
-        jnp.tile(mean, (replicates,)), noise_var,
+        jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
     )
     f_mean = (m_t @ h_forces.T).T  # (R, T_test)
     f_var = jnp.einsum("ri,tij,rj->rt", h_forces, p_t, h_forces)
@@ -1159,6 +1280,7 @@ def lfm2_predict_ss(
     noise_var,
     replicates: int = 1,
     order: int = 10,
+    obs_mask=None,
 ):
     """Smoothed posterior for the second-order family: the state-space
     analogue of ``SecondOrderSIMM.latent_predict``. The simm2 closed
@@ -1189,7 +1311,7 @@ def lfm2_predict_ss(
     mean = params.basal / spring
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
-        jnp.tile(mean, (replicates,)), noise_var,
+        jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)

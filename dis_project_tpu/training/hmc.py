@@ -513,3 +513,57 @@ def kinetics_posterior(
         dict(num_warmup=num_warmup, num_samples=num_samples,
              num_leapfrog=num_leapfrog),
     )
+
+
+def kinetics_posterior_ss(
+    params,
+    timepoints,
+    y,
+    key,
+    *,
+    jitter: float,
+    num_warmup: int = 400,
+    num_samples: int = 400,
+    num_leapfrog: int = 10,
+    num_chains: int = 1,
+    mesh=None,
+    order: int = 10,
+):
+    """Posterior over the SIMM hyperparameters with the O(T) state-space
+    likelihood (:func:`dis_project_tpu.ops.statespace.lfm_mll_ss`).
+
+    Full-Bayes kinetics at dense scale: every leapfrog step needs one MLL
+    gradient, and at N = G x T >= 1e4 the exact route's O(N^3)
+    factorisation per gradient makes HMC impractical (~30 ms/grad at
+    N=1e4, growing cubically), while the Kalman-filter likelihood is
+    O(T (p+G)^3) — constant in the replicate/timepoint product that blows
+    the dense path up. Same flat-prior-in-constrained-space convention as
+    :func:`kinetics_posterior`; the likelihood is the order-``p`` SDE
+    approximation of the force prior (~1e-4 nats at these scales), so the
+    posterior inherits that approximation.
+
+    ``num_leapfrog`` defaults lower than the exact route (10 vs 24): the
+    dense-scale gradient is ~14 ms on a v5e, and a warmup window is ONE
+    device dispatch of ``steps x leapfrog`` gradients — the remote-TPU
+    transport kills multi-minute dispatches, so the trajectory length is
+    the knob that bounds them.
+    """
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.ops import bijectors as bij
+    from dis_project_tpu.ops import statespace as ss_ops
+
+    y = y.reshape(-1)
+    t = jnp.asarray(timepoints)
+
+    def logdensity(raw):
+        p = simm.constrain(raw)
+        return ss_ops.lfm_mll_ss(
+            p, t, y, jitter=jitter, order=order
+        ) + bij.constrain_log_det(raw, simm.SIMM_BIJECTORS)
+
+    return sample_constrained(
+        logdensity, simm.unconstrain(params), key, num_chains, mesh,
+        simm.constrain,
+        dict(num_warmup=num_warmup, num_samples=num_samples,
+             num_leapfrog=num_leapfrog),
+    )

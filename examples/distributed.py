@@ -170,13 +170,63 @@ print(f"8 sharded chains: max split-R-hat {rhat_max:.4f}, "
 assert rhat_max < 1.1
 
 # %% [markdown]
-# ## 5. What runs where — the communication story
+# ## 5. Sequence parallelism — the Kalman filter's time axis on the mesh
+#
+# The state-space engine's filtering recursion is a semigroup, so chunks
+# of the TIME axis can run their associative scans on different devices:
+# each device reduces its local steps to one composite element, ONE
+# all-gather exchanges the D composites (D x (3m^2 + 2m) floats — the
+# only collective in the program), and each device prefixes its chunk
+# with the product of its predecessors. Exact — a scheduling change, not
+# an approximation. CLI: every `--mll-engine ss` route takes `--ss-shard`.
+
+# %%
+from dis_project_tpu.data import synthetic
+from dis_project_tpu.data.dataset import train_arrays
+from dis_project_tpu.models import simm
+from dis_project_tpu.ops import statespace as ss
+
+scfg = synthetic.SyntheticConfig(num_genes=4, num_timepoints=33,
+                                 num_replicates=1, noise_std=0.1)
+sdata = synthetic.sample_prior(jax.random.PRNGKey(7), scfg)
+_, y_ss, _ = train_arrays(sdata)
+t_ss = jnp.asarray(sdata.timepoints)
+raw_ss = simm.unconstrain(simm.init_params(4))
+t_mesh = Mesh(np.asarray(jax.devices()), ("t",))
+
+
+def mll_sharded(raw):
+    return ss.lfm_mll_ss(simm.constrain(raw), t_ss, y_ss, jitter=1e-4,
+                         shard=(t_mesh, "t"))
+
+
+def mll_single(raw):
+    return ss.lfm_mll_ss(simm.constrain(raw), t_ss, y_ss, jitter=1e-4,
+                         parallel=False)
+
+
+v_sh, g_sh = jax.value_and_grad(mll_sharded)(raw_ss)
+v_1d, g_1d = jax.value_and_grad(mll_single)(raw_ss)
+g_delta = max(
+    float(jnp.abs(a - b).max())
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_1d))
+)
+print(f"time axis over {t_mesh.shape['t']} devices: "
+      f"|value delta| {abs(float(v_sh) - float(v_1d)):.2e}, "
+      f"max |grad delta| {g_delta:.2e}")
+assert abs(float(v_sh) - float(v_1d)) < 1e-9
+
+# %% [markdown]
+# ## 6. What runs where — the communication story
 #
 # - **Ensemble step** (section 2): zero cross-member communication; the
 #   "data" axis is embarrassingly parallel, so it may span DCN.
 # - **Sharded factorisation** (section 3): each block column's panel is
 #   all-gathered over the "model" axis for the trailing SYRK — the
 #   bandwidth-critical collective, which `make_hybrid_mesh` pins to ICI.
+# - **Sharded filter** (section 5): one all-gather of D tiny chunk
+#   composites — sequence parallelism with O(T/D) work per device.
 # - **Gradients**: the custom VJP emits row-sharded matmuls; XLA inserts
 #   reduce-scatters/all-gathers as the shardings require. No NCCL/MPI
 #   analogue exists anywhere in the framework — collectives are derived

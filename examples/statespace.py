@@ -205,4 +205,36 @@ f2_mean, f2_var, x2_mean, x2_var = ss.lfm2_predict_ss(
 )
 print(f"second-order force posterior past the overflow wall: finite="
       f"{bool(jnp.isfinite(f2_mean).all() & jnp.isfinite(f2_var).all())}")
+
+# %% [markdown]
+# ## 6. Full Bayes where O(N^3) can't go
+#
+# HMC needs a likelihood gradient per leapfrog step — thousands of them.
+# With the dense MLL that is thousands of O(N^3) factorisations; with the
+# Kalman engine it is thousands of O(T) filter passes, so hyperparameter
+# posteriors are feasible at dense-stress scale. CLI:
+# `--preset dense10k --mll-engine ss --posterior-samples N`.
+
+# %%
+from dis_project_tpu.training import hmc
+
+G7, T7 = 8, 40
+scfg7 = synthetic.SyntheticConfig(num_genes=G7, num_timepoints=T7,
+                                  num_replicates=1, noise_std=0.1)
+data7 = synthetic.sample_prior(jax.random.PRNGKey(3), scfg7)
+_, y7, _ = train_arrays(data7)
+t7 = jnp.asarray(data7.timepoints)
+
+t0 = time.perf_counter()
+post = hmc.kinetics_posterior_ss(
+    simm.init_params(G7), t7, y7, jax.random.PRNGKey(11),
+    jitter=1e-4, num_warmup=60, num_samples=60,
+)
+post = jax.block_until_ready(post)
+print(f"60 HMC draws over {3 * G7 + 2} hyperparameters at N={G7 * T7} "
+      f"in {time.perf_counter() - t0:.1f}s "
+      f"(accept rate {float(post.accept_rate):.2f})")
+d_mean = np.asarray(post.samples.decay).mean(axis=0)
+corr = np.corrcoef(d_mean, np.asarray(data7.params_true.decay))[0, 1]
+print(f"posterior-mean decay vs generating truth: corr {corr:.3f}")
 print("done.")

@@ -90,6 +90,11 @@ SLOW_NODEID_PATTERNS = (
     "test_statespace.py::TestParallelFilter::test_parallel_equals_sequential_long_grid",
     "test_statespace.py::TestParallelFilter::test_masked_filter_matches_subset",
     "test_statespace.py::TestShardedFilter::test_gradients_match_single_device",
+    "test_statespace.py::TestShardedFilter::test_multiforce_family_matches_single_device",
+    "test_statespace.py::TestShardedFilter::test_second_order_family_matches_single_device",
+    # ss-engine CLI extensions (r3): sharded-filter training + dense HMC
+    "test_cli.py::TestPipelineEntry::test_dense_route_ss_shard_smoke",
+    "test_cli.py::TestPipelineEntry::test_dense_ss_posterior_smoke",
     # checkpoint/resume end-to-end
     "test_observability.py::TestCheckpointResume",
     # gridded/table-Gram heavy parity sweeps

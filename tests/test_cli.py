@@ -175,6 +175,57 @@ class TestPipelineEntry:
         )
         entry.run_dense(c)
 
+    def test_dense_route_ss_shard_smoke(self, tmp_path):
+        """run_dense with --mll-engine ss --ss-shard: the temporally-
+        sharded Kalman filter over the 8-device virtual mesh as the
+        training objective (T-1 = 32 splits over 8 devices), and the
+        trajectory matches the unsharded engine's exactly."""
+        import numpy as np
+
+        from dis_project_tpu import main as entry
+
+        kw = dict(
+            data_source="synthetic",
+            num_iters=4,
+            synth_genes=4,
+            synth_timepoints=33,
+            mll_engine="ss",
+        )
+        r_sh = entry.run_dense(cfg.RunConfig(
+            ss_shard=True, out_dir=str(tmp_path / "sh"), **kw
+        ))
+        r_ref = entry.run_dense(cfg.RunConfig(
+            out_dir=str(tmp_path / "ref"), **kw
+        ))
+        delta = np.abs(
+            np.asarray(r_sh.history) - np.asarray(r_ref.history)
+        ).max()
+        assert delta < 1e-8, delta
+
+    def test_dense_ss_posterior_smoke(self, tmp_path):
+        """run_dense --mll-engine ss --posterior-samples: full-Bayes
+        kinetics through the O(T) state-space likelihood — accept line,
+        capped credible-interval report, and the BMA smoothed-force band
+        (dense_ss_bma) written."""
+        import os
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=4,
+            synth_genes=4,
+            synth_timepoints=24,
+            mll_engine="ss",
+            posterior_samples=6,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+        assert os.path.exists(tmp_path / "plots" / "lf_dense_ss_bma.png")
+        assert os.path.exists(
+            tmp_path / "plots" / "posterior_kinetics_dense_ss.png"
+        )
+
     def test_dense_multiforce_ss_route_smoke(self, tmp_path):
         """run_dense with --model multisimm --mll-engine ss: dense-scale
         R-force training through the block-diagonal-force Kalman engine
@@ -577,6 +628,20 @@ class TestPipelineEntry:
             )
         with pytest.raises(SystemExit, match="requires --mll-engine ss"):
             entry.main(["--preset", "dense10k", "--model", "multisimm"])
+        # --ss-shard is a state-space-engine knob.
+        with pytest.raises(SystemExit, match="requires --mll-engine ss"):
+            entry.main(["--preset", "dense10k", "--ss-shard"])
+        # The dense posterior route exists ONLY through the O(T)
+        # state-space likelihood (and only for the first-order family).
+        with pytest.raises(SystemExit, match="only supported"):
+            entry.main(
+                ["--preset", "dense10k", "--posterior-samples", "4"]
+            )
+        with pytest.raises(SystemExit, match="only supported"):
+            entry.main(
+                ["--preset", "dense10k", "--mll-engine", "ss",
+                 "--model", "simm2", "--posterior-samples", "4"]
+            )
 
     def test_sparse_route_smoke(self, tmp_path):
         """run_sparse end-to-end at toy scale (the sparse100k preset's

@@ -828,3 +828,161 @@ class TestTraining:
             a = np.asarray(getattr(p_ss, name))
             b = np.asarray(getattr(p_dn, name))
             assert np.abs(a - b).max() < 1e-2, name
+
+
+class TestMissingData:
+    """Per-entry observation masking (``obs_mask``): dropouts and
+    irregular per-gene sampling. The masking is an EXACT row deletion
+    (zero-H-row reduction + the log(2*pi)/2 placeholder correction), so
+    the masked state-space MLL must match the dense MLL evaluated on the
+    observed ROWS ONLY to the same order-p approximation error as the
+    unmasked comparison — and all-ones must be bit-identical to no mask."""
+
+    @pytest.fixture(scope="class")
+    def masked_problem(self):
+        G, T = 4, 13
+        rng = np.random.default_rng(7)
+        params = simm.init_params(G)._replace(
+            decay=jnp.asarray([0.4, 0.8, 1.2, 0.6]),
+            sensitivity=jnp.asarray([1.0, 0.7, 1.3, 0.9]),
+            lengthscale=jnp.asarray(1.6),
+        )
+        t = jnp.linspace(0.0, 12.0, T)
+        mean = np.repeat(np.asarray(params.basal / params.decay), T)
+        y = jnp.asarray(rng.normal(size=(G * T,)) * 0.5 + mean)
+        om = jnp.asarray(rng.uniform(size=(G * T,)) > 0.35, y.dtype)
+        return params, t, y, om
+
+    def _dense_subset(self, params, t, y, om):
+        """Oracle: the exact dense MLL on the observed rows only (the row
+        path takes arbitrary row sets)."""
+        G = params.decay.shape[0]
+        T = t.shape[0]
+        model = simm.ExactSIMM(num_genes=G, jitter=1e-4)
+        times = jnp.tile(t, G)
+        genes = jnp.repeat(jnp.arange(G, dtype=t.dtype), T)
+        X = jnp.stack([times, genes, jnp.ones_like(times)], axis=-1)
+        keep = np.asarray(om) > 0
+        return float(model.mll(params, X[keep], y[keep]))
+
+    def test_all_ones_mask_is_identity(self, masked_problem):
+        params, t, y, _ = masked_problem
+        ones = jnp.ones_like(y)
+        for parallel in (False, True):
+            a = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4,
+                                    parallel=parallel))
+            b = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4,
+                                    parallel=parallel, obs_mask=ones))
+            assert a == b, parallel
+
+    def test_matches_dense_subset_oracle(self, masked_problem):
+        params, t, y, om = masked_problem
+        oracle = self._dense_subset(params, t, y, om)
+        val = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=10,
+                                  parallel=False, obs_mask=om))
+        assert abs(val - oracle) < 3e-4, (val, oracle)
+        # Tighter order tightens the match: the deletion itself is exact.
+        val12 = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=12,
+                                    parallel=False, obs_mask=om))
+        assert abs(val12 - oracle) < abs(val - oracle)
+
+    def test_parallel_equals_sequential(self, masked_problem):
+        params, t, y, om = masked_problem
+        raw = simm.unconstrain(params)
+
+        def mll(r, parallel):
+            return ss.lfm_mll_ss(simm.constrain(r), t, y, jitter=1e-4,
+                                 parallel=parallel, obs_mask=om)
+
+        v_s, g_s = jax.value_and_grad(lambda r: mll(r, False))(raw)
+        v_p, g_p = jax.value_and_grad(lambda r: mll(r, True))(raw)
+        assert abs(float(v_s) - float(v_p)) < 1e-10
+        for name in raw._fields:
+            a = np.asarray(getattr(g_s, name))
+            b = np.asarray(getattr(g_p, name))
+            assert np.abs(a - b).max() < 1e-9 * (np.abs(a).max() + 1.0)
+
+    def test_nan_at_masked_entries(self, masked_problem):
+        """Masked observations may be NaN (how real dropouts arrive):
+        value and gradient are finite and identical to a zero-filled y."""
+        params, t, y, om = masked_problem
+        y_nan = jnp.where(om > 0, y, jnp.nan)
+        raw = simm.unconstrain(params)
+
+        def mll(r, yy):
+            return ss.lfm_mll_ss(simm.constrain(r), t, yy, jitter=1e-4,
+                                 parallel=False, obs_mask=om)
+
+        v_nan, g_nan = jax.value_and_grad(mll)(raw, y_nan)
+        v_zero, g_zero = jax.value_and_grad(mll)(raw, jnp.where(om > 0, y, 0.0))
+        assert bool(jnp.isfinite(v_nan))
+        assert float(v_nan) == float(v_zero)
+        for name in raw._fields:
+            a = np.asarray(getattr(g_nan, name))
+            assert np.isfinite(a).all(), name
+            assert (a == np.asarray(getattr(g_zero, name))).all(), name
+
+    def test_nonuniform_grid_masked(self, masked_problem):
+        params, _, y, om = masked_problem
+        t_irr = jnp.asarray(
+            np.sort(np.random.default_rng(2).uniform(0.3, 12.0, 13))
+        )
+        oracle = self._dense_subset(params, t_irr, y, om)
+        val = float(ss.lfm_mll_ss(params, t_irr, y, jitter=1e-4, order=10,
+                                  parallel=False, uniform=False,
+                                  obs_mask=om))
+        assert abs(val - oracle) < 3e-4, (val, oracle)
+
+    def test_family_masks_accepted(self, masked_problem):
+        """The R-force and second-order families take obs_mask through the
+        same driver: all-ones == none bit-for-bit, masked value finite."""
+        from dis_project_tpu.models import multisimm, simm2
+
+        _, t, y, om = masked_problem
+        G = 4
+        mp = multisimm.init_params(G, 2)
+        a = float(ss.multisimm_mll_ss(mp, t, y, jitter=1e-4, parallel=False))
+        b = float(ss.multisimm_mll_ss(mp, t, y, jitter=1e-4, parallel=False,
+                                      obs_mask=jnp.ones_like(y)))
+        assert a == b
+        assert bool(jnp.isfinite(jnp.asarray(
+            ss.multisimm_mll_ss(mp, t, y, jitter=1e-4, parallel=False,
+                                obs_mask=om)
+        )))
+        p2 = simm2.init_params(G)
+        a2 = float(ss.lfm2_mll_ss(p2, t, y, jitter=1e-4, parallel=False))
+        b2 = float(ss.lfm2_mll_ss(p2, t, y, jitter=1e-4, parallel=False,
+                                  obs_mask=jnp.ones_like(y)))
+        assert a2 == b2
+        assert bool(jnp.isfinite(jnp.asarray(
+            ss.lfm2_mll_ss(p2, t, y, jitter=1e-4, parallel=False,
+                           obs_mask=om)
+        )))
+
+    def test_sharded_filter_masked(self, masked_problem):
+        """obs_mask composes with the temporally-sharded schedule: value
+        and gradient match the sequential masked filter exactly."""
+        from jax.sharding import Mesh
+
+        params, t, y, om = masked_problem
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("t",))
+        raw = simm.unconstrain(params)
+
+        def mll(r, shard):
+            return ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4,
+                parallel=False if shard is None else None,
+                shard=shard, obs_mask=om,
+            )
+
+        v_ref, g_ref = jax.value_and_grad(lambda r: mll(r, None))(raw)
+        v_sh, g_sh = jax.value_and_grad(
+            lambda r: mll(r, (mesh, "t"))
+        )(raw)
+        assert abs(float(v_ref) - float(v_sh)) < 1e-10 * max(
+            1.0, abs(float(v_ref))
+        )
+        for name in raw._fields:
+            a = np.asarray(getattr(g_ref, name))
+            b = np.asarray(getattr(g_sh, name))
+            assert np.abs(a - b).max() < 1e-10 * (np.abs(a).max() + 1.0)
