@@ -25,6 +25,7 @@ the loop semantics here are deliberately identical.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -42,6 +43,82 @@ class LoopResult:
     grad_norms: jnp.ndarray  # (num_iters,)
     param_trace: Optional[Any] = None  # stacked constrained params
     opt_state: Optional[Any] = None
+    guard_flags: Optional[jnp.ndarray] = None  # (num_iters,) bool — guard fired
+
+    @property
+    def guard_count(self) -> int:
+        """Number of finite-guard events (non-finite loss/grad recoveries)."""
+        if self.guard_flags is None:
+            return 0
+        return int(jnp.sum(self.guard_flags))
+
+
+def tree_isfinite(tree) -> jnp.ndarray:
+    """Scalar bool: every leaf of ``tree`` is entirely finite."""
+    leaves = [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(tree)]
+    return functools.reduce(jnp.logical_and, leaves, jnp.asarray(True))
+
+
+def guarded_transition(value_and_grad, do_update, raw, opt_state, good,
+                       streak, count):
+    """One finite-guarded optimizer transition (shared by both train loops).
+
+    The measured failure mode this protects against (PARITY.md r3 item 2):
+    the reference's quirky ``2l`` kernel family is genuinely indefinite in
+    reachable parameter regions, so one Adam step can land on a non-PSD
+    Sigma, NaN the Cholesky, and poison the optimizer moments for every
+    remaining step.  Skipping the update alone cannot recover — the *current*
+    point is the poisoned one — so the guard keeps the last known-good
+    ``(raw, opt_state)`` and, on a non-finite loss or gradient, **backtracks**
+    to it and retries the same update with a scale from the escalation
+    ladder ``1/2, 2, 1/4, 4, 1/8, 8, ...`` (consecutive-failure streak
+    ``s`` -> ``0.5^k`` for odd ``s``, ``2^k`` for even, ``k = (s+1)//2``,
+    capped at ``k=8``).  Shortened retries land short of a *narrow* non-PSD
+    pocket; lengthened ones hop over a *wide* one — either way the optimizer
+    state is never contaminated and the trajectory re-converges
+    (tests/test_trainer.py::TestFiniteGuard).
+
+    On a clean trajectory the guard applies the identical update rule
+    (updates go through unscaled); the only residual differences vs the
+    unguarded loop are XLA fusion-reordering roundoff from the added
+    ``lax.cond`` (measured ~1e-15 per step, amplified slowly by chaotic
+    trajectories — tests pin early-history agreement at 1e-9 rel).
+
+    ``do_update(grads, opt_state, raw, loss_val) -> (updates, new_opt_state)``
+    wraps the optimizer (the lbfgs value/grad/value_fn extras live with the
+    caller).  Returns ``(raw, opt_state, good, streak, count, loss, grads,
+    guard_fired)``; ``loss``/``grads`` are the values at the point the
+    applied update was computed from (the good point on a guard step, so the
+    recorded history stays finite — the event itself is surfaced via
+    ``guard_fired`` / ``guard_count``).
+    """
+    loss_val, grads = value_and_grad(raw)
+    ok = jnp.isfinite(loss_val) & tree_isfinite(grads)
+
+    def good_branch(_):
+        updates, opt2 = do_update(grads, opt_state, raw, loss_val)
+        new_raw = optax.apply_updates(raw, updates)
+        return (new_raw, opt2, (raw, opt_state), jnp.zeros_like(streak),
+                count, loss_val, grads)
+
+    def bad_branch(_):
+        g_raw, g_opt = good
+        loss_g, grads_g = value_and_grad(g_raw)
+        updates, opt2 = do_update(grads_g, g_opt, g_raw, loss_g)
+        s = streak + 1
+        k = jnp.minimum((s + 1) // 2, 8)
+        dt = jnp.result_type(loss_g)
+        scale = jnp.where(
+            s % 2 == 1,
+            jnp.power(jnp.asarray(0.5, dt), k),
+            jnp.power(jnp.asarray(2.0, dt), k),
+        )
+        scaled = jax.tree.map(lambda u: u * scale.astype(u.dtype), updates)
+        new_raw = optax.apply_updates(g_raw, scaled)
+        return new_raw, opt2, (g_raw, g_opt), s, count + 1, loss_g, grads_g
+
+    out = jax.lax.cond(ok, good_branch, bad_branch, None)
+    return out + (jnp.logical_not(ok),)
 
 
 def make_optimizer(name: str, learning_rate: float):
@@ -63,6 +140,7 @@ def fit_loop(
     clamp_raw: Optional[Callable[[Any], Any]] = None,
     track_parameters: bool = False,
     init_state: Optional[Tuple[Any, Any]] = None,
+    finite_guard: bool = True,
 ) -> LoopResult:
     """Minimise ``loss_fn`` over the raw pytree; ONE compiled program.
 
@@ -72,6 +150,11 @@ def fit_loop(
     replaces.  ``constrain_fn`` maps raw -> constrained parameters for the
     returned ``params`` and the optional per-step trace.  ``init_state``
     ``(raw, opt_state)`` continues an earlier run exactly (resume path).
+
+    ``finite_guard`` (default on) backtracks to the last good state on
+    non-finite loss/grad instead of poisoning the optimizer state — see
+    :func:`guarded_transition`; same update rule as the unguarded loop on
+    clean trajectories.
     """
     opt_name = optimizer if isinstance(optimizer, str) else None
     if isinstance(optimizer, str):
@@ -80,6 +163,14 @@ def fit_loop(
     is_lbfgs = opt_name == "lbfgs"
 
     value_and_grad = jax.value_and_grad(loss_fn)
+
+    def do_update(grads, opt_state, raw, loss_val):
+        if is_lbfgs:
+            return optimizer.update(
+                grads, opt_state, raw,
+                value=loss_val, grad=grads, value_fn=loss_fn,
+            )
+        return optimizer.update(grads, opt_state, raw)
 
     @jax.jit
     def run(raw0, init_state):
@@ -90,30 +181,52 @@ def fit_loop(
             opt_state = optimizer.init(raw)
 
         def step_fn(carry, _):
-            raw, opt_state = carry
-            loss_val, grads = value_and_grad(raw)
-            if is_lbfgs:
-                updates, opt_state2 = optimizer.update(
-                    grads, opt_state, raw,
-                    value=loss_val, grad=grads, value_fn=loss_fn,
+            if finite_guard:
+                raw, opt_state, good, streak, count = carry
+                (raw, opt_state2, good, streak, count, loss_val, grads,
+                 fired) = guarded_transition(
+                    value_and_grad, do_update, raw, opt_state, good,
+                    streak, count,
                 )
             else:
-                updates, opt_state2 = optimizer.update(grads, opt_state, raw)
-            raw = optax.apply_updates(raw, updates)
+                raw, opt_state = carry
+                loss_val, grads = value_and_grad(raw)
+                updates, opt_state2 = do_update(grads, opt_state, raw, loss_val)
+                raw = optax.apply_updates(raw, updates)
             if clamp_raw is not None:
                 raw = clamp_raw(raw)
             out = (loss_val, optax.global_norm(grads))
+            if finite_guard:
+                out = out + (fired,)
             if track_parameters:
                 out = out + (constrain_fn(raw),)
-            return (raw, opt_state2), out
+            carry = (
+                (raw, opt_state2, good, streak, count)
+                if finite_guard
+                else (raw, opt_state2)
+            )
+            return carry, out
 
-        (raw_final, opt_state_final), outs = jax.lax.scan(
-            step_fn, (raw, opt_state), None, length=num_iters
+        init_carry = (
+            (raw, opt_state, (raw, opt_state),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+            if finite_guard
+            else (raw, opt_state)
         )
-        return raw_final, opt_state_final, outs
+        final_carry, outs = jax.lax.scan(
+            step_fn, init_carry, None, length=num_iters
+        )
+        return final_carry[0], final_carry[1], outs
 
     raw_final, opt_state_final, outs = run(raw0, init_state)
-    if track_parameters:
+    guard_flags = None
+    if finite_guard:
+        if track_parameters:
+            history, grad_norms, guard_flags, trace = outs
+        else:
+            history, grad_norms, guard_flags = outs
+            trace = None
+    elif track_parameters:
         history, grad_norms, trace = outs
     else:
         history, grad_norms = outs
@@ -125,6 +238,7 @@ def fit_loop(
         grad_norms=grad_norms,
         param_trace=trace,
         opt_state=opt_state_final,
+        guard_flags=guard_flags,
     )
 
 

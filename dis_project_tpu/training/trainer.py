@@ -29,6 +29,7 @@ import optax
 
 from dis_project_tpu.models import simm
 from dis_project_tpu.models.simm import ExactSIMM, SIMMParams
+from dis_project_tpu.training import generic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +45,11 @@ class TrainConfig:
     clamp_decay: float = 0.8
     track_parameters: bool = False
     optimizer: str = "adam"  # or "lbfgs"
+    # Backtrack-and-retry on non-finite loss/grad (the measured indefinite-
+    # Sigma event, PARITY.md r3 item 2) instead of poisoning the Adam state;
+    # identical update rule on clean trajectories — see
+    # generic.guarded_transition.
+    finite_guard: bool = True
 
 
 @dataclasses.dataclass
@@ -54,6 +60,14 @@ class TrainResult:
     param_trace: Optional[SIMMParams] = None  # stacked constrained params
     raw_params: Optional[SIMMParams] = None  # final unconstrained params
     opt_state: Optional[object] = None  # final optimizer state (resume)
+    guard_flags: Optional[jnp.ndarray] = None  # (num_iters,) bool
+
+    @property
+    def guard_count(self) -> int:
+        """Number of finite-guard recovery events during the fit."""
+        if self.guard_flags is None:
+            return 0
+        return int(jnp.sum(self.guard_flags))
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -137,16 +151,26 @@ def fit(
 
     value_and_grad = jax.value_and_grad(loss_fn)
 
-    def step_fn(carry, step):
-        raw, opt_state = carry
-        loss_val, grads = value_and_grad(raw)
+    def do_update(grads, opt_state, raw, loss_val):
         if config.optimizer == "lbfgs":
-            updates, opt_state = optimizer.update(
-                grads, opt_state, raw, value=loss_val, grad=grads, value_fn=loss_fn
+            return optimizer.update(
+                grads, opt_state, raw, value=loss_val, grad=grads,
+                value_fn=loss_fn,
+            )
+        return optimizer.update(grads, opt_state, raw)
+
+    def step_fn(carry, step):
+        if config.finite_guard:
+            raw, opt_state, good, streak, count = carry
+            (raw, opt_state, good, streak, count, loss_val, grads,
+             fired) = generic.guarded_transition(
+                value_and_grad, do_update, raw, opt_state, good, streak, count
             )
         else:
-            updates, opt_state = optimizer.update(grads, opt_state, raw)
-        raw = optax.apply_updates(raw, updates)
+            raw, opt_state = carry
+            loss_val, grads = value_and_grad(raw)
+            updates, opt_state = do_update(grads, opt_state, raw, loss_val)
+            raw = optax.apply_updates(raw, updates)
         # fix_params is STATIC: skip the cond entirely when disabled (a
         # traced-False cond would still trace clamp_raw's both branches —
         # and clamp_params now raises loudly on out-of-bounds indices,
@@ -160,15 +184,30 @@ def fit(
             )
         grad_norm = optax.global_norm(grads)
         out = (loss_val, grad_norm)
+        if config.finite_guard:
+            out = out + (fired,)
         if config.track_parameters:
             out = out + (simm.constrain(raw),)
-        return (raw, opt_state), out
+        carry = (
+            (raw, opt_state, good, streak, count)
+            if config.finite_guard
+            else (raw, opt_state)
+        )
+        return carry, out
 
-    (raw_final, opt_state_final), outs = jax.lax.scan(
+    if config.finite_guard:
+        init_carry = (
+            raw0, opt_state0, (raw0, opt_state0),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        )
+    else:
+        init_carry = (raw0, opt_state0)
+    final_carry, outs = jax.lax.scan(
         step_fn,
-        (raw0, opt_state0),
+        init_carry,
         jnp.arange(step_offset, step_offset + config.num_iters),
     )
+    raw_final, opt_state_final = final_carry[0], final_carry[1]
 
     trained = simm.constrain(raw_final)
     if config.fix_params:
@@ -179,7 +218,14 @@ def fit(
             decay=config.clamp_decay,
         )
 
-    if config.track_parameters:
+    guard_flags = None
+    if config.finite_guard:
+        if config.track_parameters:
+            history, grad_norms, guard_flags, trace = outs
+        else:
+            history, grad_norms, guard_flags = outs
+            trace = None
+    elif config.track_parameters:
         history, grad_norms, trace = outs
     else:
         history, grad_norms = outs
@@ -191,6 +237,7 @@ def fit(
         param_trace=trace,
         raw_params=raw_final,
         opt_state=opt_state_final,
+        guard_flags=guard_flags,
     )
 
 
@@ -228,7 +275,7 @@ def fit_checkpointed(
         raw, opt_state = restored["raw"], restored["opt_state"]
         step = int(restored["step"])
 
-    histories, grad_norms = [], []
+    histories, grad_norms, guard_flags = [], [], []
     result = None
     while step < config.num_iters:
         seg = min(checkpoint_every, config.num_iters - step)
@@ -241,6 +288,8 @@ def fit_checkpointed(
         step += seg
         histories.append(np.asarray(result.history))
         grad_norms.append(np.asarray(result.grad_norms))
+        if result.guard_flags is not None:
+            guard_flags.append(np.asarray(result.guard_flags))
         ckpt.save(
             directory,
             {"raw": raw, "opt_state": opt_state, "step": step},
@@ -269,4 +318,7 @@ def fit_checkpointed(
         result,
         history=jnp.asarray(np.concatenate(histories)),
         grad_norms=jnp.asarray(np.concatenate(grad_norms)),
+        guard_flags=(
+            jnp.asarray(np.concatenate(guard_flags)) if guard_flags else None
+        ),
     )
