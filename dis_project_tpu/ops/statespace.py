@@ -890,6 +890,194 @@ def rts_smoother(a, q, ms, ps):
     return ms_s, ps_s
 
 
+def _rts_rcond(dtype):
+    """Relative eigenvalue cutoff for the RTS pseudo-solve (see the
+    rationale in :func:`rts_smoother`)."""
+    return jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+
+
+def _smoother_element(a_i, q_i, m_f, p_f, rcond):
+    """Per-step element of the SMOOTHING semigroup (Sarkka &
+    Garcia-Fernandez 2021, sec. IV): ``(E, g, L)`` such that
+    ``m_s[k] = E_k m_s[k+1] + g_k`` and
+    ``P_s[k] = E_k P_s[k+1] E_k^T + L_k``.
+
+    ``a_i``/``q_i`` are the transition INTO step k+1 (the same shift as
+    :func:`rts_smoother`'s ``a[1:]``). The gain uses the identical
+    eigendecomposition pseudo-solve as the sequential smoother —
+    deterministic directions (the t=0 gene block, dt=0 union-grid
+    duplicates) get zero correction instead of a ridge-perturbed one.
+    """
+    p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i)
+    w, v = jnp.linalg.eigh(p_pred)
+    w_inv = jnp.where(w > rcond * w[-1], 1.0 / w, 0.0)
+    gain = ((p_f @ a_i.T) @ v) * w_inv[None, :] @ v.T
+    g_vec = m_f - gain @ (a_i @ m_f)
+    l_mat = _symmetrize(p_f - gain @ p_pred @ gain.T)
+    return gain, g_vec, l_mat
+
+
+def _combine_smoother(e1, e2):
+    """Associative composition of smoothing elements; ``e1`` is the
+    EARLIER interval (suffix direction: the composite maps the smoothed
+    state after ``e2``'s span onto ``e1``'s start)."""
+    ea, ga, la = e1
+    eb, gb, lb = e2
+    e_new = ea @ eb
+    g_new = _mv(ea, gb) + ga
+    l_new = _symmetrize(ea @ lb @ jnp.swapaxes(ea, -1, -2) + la)
+    return e_new, g_new, l_new
+
+
+def _combine_smoother_rev(e2, e1):
+    """Argument-flipped combine for ``associative_scan(reverse=True)``:
+    the reverse scan flips the element array, so the accumulated
+    composite (the LATER interval) arrives first."""
+    return _combine_smoother(e1, e2)
+
+
+def _smoother_identity(m_dim, dtype):
+    """Identity of the smoothing semigroup: (I, 0, 0)."""
+    return (
+        jnp.eye(m_dim, dtype=dtype),
+        jnp.zeros((m_dim,), dtype),
+        jnp.zeros((m_dim, m_dim), dtype),
+    )
+
+
+def _build_smoother_elements(a, q, ms, ps, rcond):
+    """Elements for every step 0..T-1; the terminal step's element is the
+    absorbing ``(0, m_f[T-1], P_f[T-1])`` so every suffix composite's
+    (g, L) IS the smoothed moment pair. ``a``/``q`` shared (m, m) or
+    per-step (T, m, m) exactly as :func:`rts_smoother`."""
+    t_steps, m_dim = ms.shape
+    dtype = ms.dtype
+    if a.ndim == 2:
+        e, g, l = jax.vmap(
+            lambda m_f, p_f: _smoother_element(a, q, m_f, p_f, rcond)
+        )(ms[:-1], ps[:-1])
+    else:
+        e, g, l = jax.vmap(
+            lambda a_i, q_i, m_f, p_f: _smoother_element(
+                a_i, q_i, m_f, p_f, rcond
+            )
+        )(a[1:], q[1:], ms[:-1], ps[:-1])
+    e = jnp.concatenate([e, jnp.zeros((1, m_dim, m_dim), dtype)], axis=0)
+    g = jnp.concatenate([g, ms[-1:]], axis=0)
+    l = jnp.concatenate([l, ps[-1:]], axis=0)
+    return e, g, l
+
+
+@_pin_precision
+def parallel_rts_smoother(a, q, ms, ps):
+    """Log-depth RTS smoother: ``jax.lax.associative_scan`` (reverse) over
+    the smoothing semigroup — the backward-pass dual of
+    :func:`parallel_filter` (ibid., sec. IV). Identical output contract
+    to :func:`rts_smoother`; every scan level is a batched (T, m, m)
+    matmul, depth O(log T) instead of the sequential backward chain.
+    """
+    rcond = _rts_rcond(ms.dtype)
+    elems = _build_smoother_elements(a, q, ms, ps, rcond)
+    _, ms_s, ps_s = jax.lax.associative_scan(
+        _combine_smoother_rev, elems, reverse=True
+    )
+    return ms_s, ps_s
+
+
+@_pin_precision
+def sharded_rts_smoother(a, q, ms, ps, mesh, axis):
+    """Temporally-sharded RTS smoother: the backward mirror of
+    :func:`sharded_parallel_filter`.
+
+    1. each device builds the smoothing elements of its T/D chunk from
+       its (already time-sharded) filtered moments and runs a LOCAL
+       reverse ``associative_scan`` — no communication;
+    2. one ``all_gather`` of the D chunk composites (the suffix composite
+       at each chunk's first step) — the only collective;
+    3. each device right-composes the composites of the chunks AFTER it
+       (O(D) small combines) onto its local suffixes — its smoothed
+       moments, exactly.
+
+    ``ms``/``ps`` arrive sharded over ``axis`` (the filter's output
+    layout); ``a``/``q`` shared (m, m) or per-step (T, m, m) sharded the
+    same way. T must divide by the axis size (the callers pad with
+    prediction-only steps, which smooth through as exact pass-throughs).
+    Returns smoothed ``(ms, ps)`` sharded over time like the inputs.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    t_steps, m_dim = ms.shape
+    dtype = ms.dtype
+    n_dev = mesh.shape[axis]
+    if t_steps % n_dev != 0:
+        raise ValueError(
+            f"T={t_steps} must divide by the '{axis}' axis size {n_dev}; "
+            "pad with mask=0 steps"
+        )
+    rcond = _rts_rcond(dtype)
+    shared_aq = a.ndim == 2
+    if shared_aq:
+        a_next, q_next = a, q
+        aq_spec = P(None, None)
+    else:
+        # Element k needs the transition INTO k+1; shift so it is local.
+        # The dummy at T-1 is never used (terminal element overwrites it).
+        a_next = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        q_next = jnp.concatenate([q[1:], q[-1:]], axis=0)
+        aq_spec = P(axis, None, None)
+
+    def local_smooth(a_l, q_l, ms_l, ps_l):
+        t_local = ms_l.shape[0]
+        if shared_aq:
+            a_steps = jnp.broadcast_to(a_l, (t_local, m_dim, m_dim))
+            q_steps = jnp.broadcast_to(q_l, (t_local, m_dim, m_dim))
+        else:
+            a_steps, q_steps = a_l, q_l
+        e, g, l = jax.vmap(
+            lambda a_i, q_i, m_f, p_f: _smoother_element(
+                a_i, q_i, m_f, p_f, rcond
+            )
+        )(a_steps, q_steps, ms_l, ps_l)
+        # The global terminal step's element is absorbing: (0, m_f, P_f).
+        my = jax.lax.axis_index(axis)
+        gidx = my * t_local + jnp.arange(t_local)
+        is_last = (gidx == t_steps - 1)[:, None, None]
+        e = jnp.where(is_last, jnp.zeros_like(e), e)
+        g = jnp.where(is_last[..., 0], ms_l, g)
+        l = jnp.where(is_last, ps_l, l)
+        elems = (e, g, l)
+        local_suffix = jax.lax.associative_scan(
+            _combine_smoother_rev, elems, reverse=True
+        )
+        composite = jax.tree_util.tree_map(lambda x: x[0], local_suffix)
+
+        gathered = jax.lax.all_gather(composite, axis)
+        ident = _smoother_identity(m_dim, dtype)
+
+        def fold(carry, j):
+            e_j = jax.tree_util.tree_map(
+                lambda gth, i: jnp.where(j > my, gth[j], i), gathered, ident
+            )
+            return _combine_smoother(carry, e_j), None
+
+        ident_v = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, (axis,), to="varying"), ident
+        )
+        suffix, _ = jax.lax.scan(fold, ident_v, jnp.arange(n_dev))
+        full = jax.vmap(lambda el: _combine_smoother(el, suffix))(
+            local_suffix
+        )
+        return full[1], full[2]
+
+    smo = jax.shard_map(
+        local_smooth,
+        mesh=mesh,
+        in_specs=(aq_spec, aq_spec, P(axis, None), P(axis, None, None)),
+        out_specs=(P(axis, None), P(axis, None, None)),
+    )
+    return jax.jit(smo)(a_next, q_next, ms, ps)
+
+
 # ---------------------------------------------------------------------------
 # Model-level entry points.
 # ---------------------------------------------------------------------------
@@ -1133,6 +1321,8 @@ def lfm_predict_ss(
     replicates: int = 1,
     order: int = 10,
     obs_mask=None,
+    parallel=None,
+    shard=None,
 ):
     """Smoothed latent-force posterior at ``t_test`` (and the gene states).
 
@@ -1167,6 +1357,7 @@ def lfm_predict_ss(
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
+        parallel=parallel, shard=shard,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
@@ -1177,7 +1368,7 @@ def lfm_predict_ss(
 
 
 def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
-                       noise_var, obs_mask=None):
+                       noise_var, obs_mask=None, parallel=None, shard=None):
     """Shared smoothing driver for every gridded SSM family: filter + RTS
     smoother on the union grid of train and test times, observation
     updates masked to train steps. ``y`` arrives block-major flat (n_o
@@ -1185,7 +1376,17 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
     is optional per-entry missingness in ``y``'s layout (masked entries
     are exactly excluded from the conditioning and may be NaN). Returns
     the smoothed state ``(m_t, p_t)`` at the test times (means centered —
-    callers add their family's observation mean back)."""
+    callers add their family's observation mean back).
+
+    ``parallel=None`` auto-selects the log-depth associative-scan filter
+    AND smoother on TPU for union grids >= 64 steps (the same rule as
+    :func:`_gridded_ssm_mll`); explicit True/False forces it.
+    ``shard=(mesh, axis)`` shards the TIME axis over the mesh for both
+    passes (:func:`sharded_parallel_filter` +
+    :func:`sharded_rts_smoother`) — prediction then scales over devices
+    exactly like the MLL; the grid is padded with prediction-only steps
+    (dt=0 — provably posterior-neutral pass-throughs) to a multiple of
+    the axis size."""
     dtype = t_train.dtype
     n_o = mean_obs.shape[0]
 
@@ -1195,15 +1396,25 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
     is_train = jnp.concatenate(
         [jnp.ones_like(t_train), jnp.zeros_like(t_test)]
     )[order_idx]
+    n_all = t_sorted.shape[0]
+
+    pad = 0
+    if shard is not None:
+        mesh, axis = shard
+        pad = (-n_all) % mesh.shape[axis]
 
     dts = jnp.diff(t_sorted, prepend=jnp.zeros((1,), dtype))
+    if pad:
+        # dt=0 pad steps: A=I, Q=0 — exact pass-throughs for the filter
+        # (masked) and the smoother (pseudo-solve gain is a projection).
+        dts = jnp.concatenate([dts, jnp.zeros((pad,), dtype)])
+        is_train = jnp.concatenate([is_train, jnp.zeros((pad,), dtype)])
     a, q = discretize(f_aug, p_inf, dts)
 
     ys_train = y.reshape(n_o, t_train.shape[0]).T - mean_obs[None, :]
     # Scatter train observations into the union grid (zeros elsewhere —
     # masked steps never read them).
-    n_all = t_sorted.shape[0]
-    ys = jnp.zeros((n_all, n_o), dtype)
+    ys = jnp.zeros((n_all + pad, n_o), dtype)
     train_pos = jnp.nonzero(is_train, size=t_train.shape[0])[0]
     ys = ys.at[train_pos].set(ys_train)
 
@@ -1211,18 +1422,34 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
         jnp.asarray(noise_var, dtype), (t_train.shape[0], n_o)
     )
     # Masked steps never use their noise row; 1.0 keeps Cholesky happy.
-    rv_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(noise_var)
+    rv_all = jnp.ones((n_all + pad, n_o), dtype).at[train_pos].set(
+        noise_var
+    )
 
     om_all = None
     if obs_mask is not None:
         om_train = jnp.asarray(obs_mask, dtype).reshape(
             n_o, t_train.shape[0]
         ).T
-        om_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(om_train)
+        om_all = jnp.ones((n_all + pad, n_o), dtype).at[train_pos].set(
+            om_train
+        )
 
-    ms, ps, _ = kalman_filter(a, q, h, rv_all, ys, p0, mask=is_train,
-                              obs_mask=om_all)
-    ms_s, ps_s = rts_smoother(a, q, ms, ps)
+    if shard is not None:
+        ms, ps, _ = sharded_parallel_filter(
+            a, q, h, rv_all, ys, p0, mesh, axis, mask=is_train,
+            obs_mask=om_all,
+        )
+        ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
+    else:
+        if parallel is None:
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            parallel = on_tpu and n_all >= 64
+        fil = parallel_filter if parallel else kalman_filter
+        smo = parallel_rts_smoother if parallel else rts_smoother
+        ms, ps, _ = fil(a, q, h, rv_all, ys, p0, mask=is_train,
+                        obs_mask=om_all)
+        ms_s, ps_s = smo(a, q, ms, ps)
 
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
     return ms_s[test_pos], ps_s[test_pos]
@@ -1239,6 +1466,8 @@ def multisimm_predict_ss(
     replicates: int = 1,
     order: int = 10,
     obs_mask=None,
+    parallel=None,
+    shard=None,
 ):
     """Smoothed posterior for the R-force family: the state-space
     analogue of ``ExactMultiSIMM.latent_predict`` across ALL forces in
@@ -1262,6 +1491,7 @@ def multisimm_predict_ss(
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
+        parallel=parallel, shard=shard,
     )
     f_mean = (m_t @ h_forces.T).T  # (R, T_test)
     f_var = jnp.einsum("ri,tij,rj->rt", h_forces, p_t, h_forces)
@@ -1281,6 +1511,8 @@ def lfm2_predict_ss(
     replicates: int = 1,
     order: int = 10,
     obs_mask=None,
+    parallel=None,
+    shard=None,
 ):
     """Smoothed posterior for the second-order family: the state-space
     analogue of ``SecondOrderSIMM.latent_predict``. The simm2 closed
@@ -1312,6 +1544,7 @@ def lfm2_predict_ss(
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
+        parallel=parallel, shard=shard,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)

@@ -235,6 +235,6 @@ print(f"60 HMC draws over {3 * G7 + 2} hyperparameters at N={G7 * T7} "
       f"in {time.perf_counter() - t0:.1f}s "
       f"(accept rate {float(post.accept_rate):.2f})")
 d_mean = np.asarray(post.samples.decay).mean(axis=0)
-corr = np.corrcoef(d_mean, np.asarray(data7.params_true.decay))[0, 1]
+corr = np.corrcoef(d_mean, np.asarray(data7.params_true["decay"]))[0, 1]
 print(f"posterior-mean decay vs generating truth: corr {corr:.3f}")
 print("done.")

@@ -104,6 +104,10 @@ SLOW_NODEID_PATTERNS = (
     "test_statespace.py::TestShardedFilter::test_multiforce_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_second_order_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_prior_element_composition",
+    "test_statespace.py::TestParallelSmoother::"
+    "test_predict_parallel_and_sharded_match",
+    "test_statespace.py::TestParallelSmoother::"
+    "test_family_predicts_accept_shard",
     "test_statespace.py::TestMissingData::test_parallel_equals_sequential",
     "test_statespace.py::TestMissingData::test_sharded_filter_masked",
     "test_statespace.py::TestMissingData::test_all_ones_mask_is_identity",

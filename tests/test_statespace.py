@@ -632,6 +632,106 @@ class TestShardedFilter:
             )
 
 
+class TestParallelSmoother:
+    """The smoothing semigroup (VERDICT r3 #4): the RTS backward pass as
+    a reverse ``associative_scan`` and its temporally-sharded form. Both
+    are re-bracketings of the same per-step affine maps, so they must
+    match the sequential smoother to roundoff (the composite amplifies
+    near-deterministic-direction roundoff slightly; tolerances reflect
+    the measured ~1e-8 worst case, far below the brute-force-oracle
+    tolerance pinned in ``test_smoother_matches_brute_force_joint``)."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()).reshape(8), ("t",))
+
+    @pytest.fixture(scope="class")
+    def filtered(self):
+        params = simm.init_params(3)
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=8
+        )
+        T = 24
+        t = jnp.linspace(0.0, 12.0, T)
+        h = ss.gene_observation_matrix(8, 3, 1, t.dtype)
+        ys = jnp.asarray(
+            np.random.default_rng(11).normal(size=(T, 3)) * 0.3
+        )
+        rv = jnp.full((3,), 1e-2)
+        dts = jnp.diff(t, prepend=jnp.zeros((1,), t.dtype))
+        a_steps, q_steps = ss.discretize(f_aug, p_inf, dts)
+        a_sh, q_sh = ss.discretize(f_aug, p_inf, t[1] - t[0])
+        ms, ps, _ = ss.kalman_filter(a_steps, q_steps, h, rv, ys, p0)
+        ms_u, ps_u, _ = ss.kalman_filter(a_sh, q_sh, h, rv, ys, p0)
+        return (a_steps, q_steps, ms, ps), (a_sh, q_sh, ms_u, ps_u)
+
+    def test_parallel_matches_sequential(self, filtered):
+        for a, q, ms, ps in filtered:
+            ms1, ps1 = ss.rts_smoother(a, q, ms, ps)
+            ms2, ps2 = ss.parallel_rts_smoother(a, q, ms, ps)
+            assert np.abs(np.asarray(ms1 - ms2)).max() < 1e-7
+            assert np.abs(np.asarray(ps1 - ps2)).max() < 1e-7
+
+    def test_sharded_matches_sequential(self, filtered, mesh):
+        for a, q, ms, ps in filtered:
+            ms1, ps1 = ss.rts_smoother(a, q, ms, ps)
+            ms3, ps3 = ss.sharded_rts_smoother(a, q, ms, ps, mesh, "t")
+            assert np.abs(np.asarray(ms1 - ms3)).max() < 1e-7
+            assert np.abs(np.asarray(ps1 - ps3)).max() < 1e-7
+
+    def test_sharded_indivisible_fails_loudly(self, filtered, mesh):
+        (a, q, ms, ps), _ = filtered
+        with pytest.raises(ValueError, match="divide"):
+            ss.sharded_rts_smoother(a[:23], q[:23], ms[:23], ps[:23],
+                                    mesh, "t")
+
+    def test_predict_parallel_and_sharded_match(self, p53_shaped, mesh):
+        """Entry-point parity: `lfm_predict_ss` under the log-depth and
+        the temporally-sharded schedules returns the sequential answer
+        (union grid of 107 steps, padded to 112 over 8 devices)."""
+        t, X, y, var, params, model = p53_shaped
+        tt = jnp.linspace(0.0, 13.0, 100)
+        base = ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                                 parallel=False)
+        par = ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                                parallel=True)
+        shd = ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                                shard=(mesh, "t"))
+        for got in (par, shd):
+            for b, g in zip(base, got):
+                assert np.abs(np.asarray(b - g)).max() < 1e-7
+
+    def test_family_predicts_accept_shard(self, mesh):
+        """The multi-force and second-order smoothed posteriors ride the
+        same sharded driver."""
+        from dis_project_tpu.models import multisimm, simm2
+
+        T = 9
+        t = jnp.linspace(0.0, 12.0, T)
+        tt = jnp.linspace(0.0, 13.0, 15)
+        rng = np.random.default_rng(13)
+
+        mp = multisimm.init_params(2, 2)
+        y = jnp.asarray(rng.normal(size=(2 * T,)))
+        base = ss.multisimm_predict_ss(mp, t, y, tt, noise_var=1e-3,
+                                       parallel=False)
+        shd = ss.multisimm_predict_ss(mp, t, y, tt, noise_var=1e-3,
+                                      shard=(mesh, "t"))
+        for b, g in zip(base, shd):
+            assert np.abs(np.asarray(b - g)).max() < 1e-7
+
+        p2 = simm2.init_params(2)
+        y2 = jnp.asarray(rng.normal(size=(2 * T,)))
+        base = ss.lfm2_predict_ss(p2, t, y2, tt, noise_var=1e-3,
+                                  parallel=False)
+        shd = ss.lfm2_predict_ss(p2, t, y2, tt, noise_var=1e-3,
+                                 shard=(mesh, "t"))
+        for b, g in zip(base, shd):
+            assert np.abs(np.asarray(b - g)).max() < 1e-7
+
+
 class TestPredict:
     def test_latent_mean_matches_dense(self, p53_shaped):
         """The k_xf cross-covariances are consistent with k_xx, so the
