@@ -350,6 +350,92 @@ def _generate_ode_response(key, cfg, g, oversample, dtype):
     )
 
 
+def generate_ode_delay(
+    key,
+    cfg: Optional[SyntheticConfig] = None,
+    delays=None,
+    delay_range: tuple = (0.0, 2.0),
+    oversample: int = 16,
+    dtype=None,
+) -> SyntheticLFMData:
+    r"""Delayed-response quadrature oracle for ``models.delaysimm``:
+
+    .. math:: \dot x_j = B_j + S_j f(t - \delta_j) - D_j x_j
+
+    with the switch-on convention ``f(u) = 0`` for ``u < 0`` (the same
+    convention as the closed forms' ``erf(t/l + gamma)`` boundary terms).
+    Identical draw structure to :func:`generate_ode` — zero delays
+    reproduce it bit-for-bit on the same key. ``delays``: explicit (G,)
+    ground-truth delays; default draws uniform from ``delay_range`` with
+    gene 0 PINNED to 0 — the same anchor ``delaysimm.fit`` applies, so
+    recovered delays are comparable without resolving the weak
+    common-shift mode. Ground truth lands in ``params_true['delay']``.
+    """
+    cfg = cfg or SyntheticConfig()
+    dtype = dtype or default_float()
+    kp, kf, kn = jax.random.split(key, 3)
+    kdel = jax.random.fold_in(key, 17)  # off-stream: kp/kf/kn untouched
+    params = _sample_kinetics(kp, cfg, dtype)
+    G, T, R = cfg.num_genes, cfg.num_timepoints, cfg.num_replicates
+    if delays is None:
+        delays = np.asarray(
+            jax.random.uniform(
+                kdel, (G,), jnp.float32, *delay_range
+            ),
+            np.float64,
+        )
+        delays[0] = 0.0
+    else:
+        delays = np.asarray(delays, np.float64)
+    params["delay"] = jnp.asarray(delays, dtype)
+
+    n_fine = (T - 1) * oversample + 1
+    t_fine = np.linspace(0.0, cfg.t_max, n_fine)
+    Kff = np.exp(
+        -((t_fine[:, None] - t_fine[None, :]) ** 2)
+        / float(params["lengthscale"]) ** 2
+    )
+    Lf = np.linalg.cholesky(Kff + 1e-8 * np.eye(n_fine))
+    eps = np.asarray(jax.random.normal(kf, (n_fine,), jnp.float32), np.float64)
+    f_fine = Lf @ eps
+
+    dt = t_fine[1] - t_fine[0]
+    d = np.asarray(params["decay"], np.float64)
+    s = np.asarray(params["sensitivity"], np.float64)
+    b = np.asarray(params["basal"], np.float64)
+
+    # Per-gene delayed forcing on the fine grid: f(u - delta_j), linearly
+    # interpolated, 0 before switch-on.
+    f_del = np.stack(
+        [np.interp(t_fine - delays[j], t_fine, f_fine, left=0.0)
+         for j in range(G)]
+    )  # (G, F)
+
+    integrand = np.exp(d[:, None] * t_fine[None, :]) * f_del
+    steps = 0.5 * dt * (integrand[:, 1:] + integrand[:, :-1])
+    cumint = np.concatenate(
+        [np.zeros((G, 1)), np.cumsum(steps, axis=1)], axis=1
+    )
+    x_fine = (b / d)[:, None] + s[:, None] * np.exp(
+        -d[:, None] * t_fine[None, :]
+    ) * cumint
+
+    x = x_fine[:, ::oversample]
+    f_true = jnp.asarray(f_fine[::oversample], dtype)
+    noise = cfg.noise_std * np.asarray(
+        jax.random.normal(kn, (R, G, T), jnp.float32), np.float64
+    )
+    expressions = jnp.asarray(x[None, :, :] + noise, dtype)
+    variances = jnp.full((R, G, T), cfg.noise_std**2, dtype)
+    return SyntheticLFMData(
+        jnp.linspace(0.0, cfg.t_max, T, dtype=dtype),
+        expressions,
+        variances,
+        params,
+        f_true,
+    )
+
+
 def generate_ode_multi(
     key,
     cfg: Optional[SyntheticConfig] = None,

@@ -1228,6 +1228,8 @@ def run_dense(config: cfg.RunConfig):
         return _run_dense_second_order(config, scfg)
     if config.model == "multisimm":
         return _run_dense_multiforce(config, scfg)
+    if config.model == "delaysimm":
+        return _run_dense_delay(config, scfg)
     print(f"Sampling synthetic LFM dataset: {scfg.num_genes} genes x "
           f"{scfg.num_timepoints} timepoints (N={scfg.n_points})...")
     data = synthetic.sample_prior(jax.random.PRNGKey(config.seed), scfg)
@@ -1672,6 +1674,98 @@ def _run_dense_multiforce(config: cfg.RunConfig, scfg):
     return p, hist
 
 
+def _run_dense_delay(config: cfg.RunConfig, scfg):
+    """Dense delayed-response stress run: full-batch exact MLL on
+    delayed-ODE quadrature data via the O(T G (p+G)^3) state-space engine
+    (``ops.statespace.delaysimm_mll_ss`` — each (timepoint, gene) pair is
+    one warped-time filter step). The engine is what makes this config
+    tractable: the delay family's dense Gram has no table/Kronecker form
+    (the per-gene warp breaks the shared-grid structure), so the route is
+    state-space only (gated in :func:`main`). Gene 0's delay is pinned to
+    0 every step — the same identifiability anchor as ``delaysimm.fit``
+    and the generator's gene-0 ground-truth pin, so recovered delays are
+    directly comparable."""
+    import functools
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dis_project_tpu.data import synthetic
+    from dis_project_tpu.data.dataset import train_arrays
+    from dis_project_tpu.models import delaysimm
+    from dis_project_tpu.ops import statespace as ss_ops
+
+    print(f"Sampling synthetic delayed-ODE dataset via quadrature: "
+          f"{scfg.num_genes} x {scfg.num_timepoints} (N={scfg.n_points})...")
+    data = synthetic.generate_ode_delay(
+        jax.random.PRNGKey(config.seed), scfg, oversample=4
+    )
+    X, y, var = train_arrays(data)
+    tgrid = jnp.asarray(data.timepoints, X.dtype)
+    raw0 = delaysimm.unconstrain(
+        delaysimm.init_params(scfg.num_genes, dtype=X.dtype)
+    )
+    opt = optax.adam(config.learning_rate)
+    ss_shard = _ss_shard_spec(config)
+    zero_raw = jnp.asarray(-20.0, X.dtype)  # softplus^-1 of ~2e-9
+
+    objective = lambda r: -ss_ops.delaysimm_mll_ss(  # noqa: E731
+        delaysimm.constrain(r), tgrid, y, jitter=config.exact_jitter,
+        shard=ss_shard,
+    )
+
+    # Same segmented dispatch as the other dense routes (remote-transport
+    # patience: <= 25 scan steps per dispatch).
+    n_segs = max(1, -(-config.num_iters // 25))
+    seg_q, seg_r = divmod(config.num_iters, n_segs)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def fit_segment(raw, state, length):
+        def step(carry, _):
+            raw, state = carry
+            l, g = jax.value_and_grad(objective)(raw)
+            upd, state = opt.update(g, state)
+            raw = optax.apply_updates(raw, upd)
+            raw = raw._replace(delay=raw.delay.at[0].set(zero_raw))
+            return (raw, state), l
+
+        (raw, state), hist = jax.lax.scan(step, (raw, state), None,
+                                          length=length)
+        return raw, state, hist
+
+    print("Training (full-batch exact delayed MLL, state-space Kalman "
+          "engine (O(T G), order-10 SDE))...")
+    t0 = time.perf_counter()
+    raw_f, state = raw0, opt.init(raw0)
+    chunks = []
+    for i in range(n_segs):
+        n_seg = seg_q + (1 if i < seg_r else 0)
+        raw_f, state, h = fit_segment(raw_f, state, n_seg)
+        chunks.append(np.asarray(h))  # host fetch = segment sync point
+    hist = jnp.asarray(np.concatenate(chunks)) if chunks else jnp.zeros(0)
+    final = _final_loss(hist)
+    print(f"Trained {config.num_iters} iters in "
+          f"{time.perf_counter() - t0:.2f}s (final loss {final:.4f}, "
+          f"N={scfg.n_points})")
+    p = delaysimm.constrain(raw_f)
+    d_true = np.asarray(data.params_true["decay"])
+    del_true = np.asarray(data.params_true["delay"])
+    corr_d = float(np.corrcoef(np.asarray(p.decay), d_true)[0, 1])
+    del_fit = np.asarray(p.delay)
+    corr_del = float(np.corrcoef(del_fit, del_true)[0, 1])
+    mae_del = float(np.abs(del_fit - del_true).mean())
+    print(f"Ground-truth recovery: corr(decay)={corr_d:.3f} "
+          f"corr(delay)={corr_del:.3f} delay MAE={mae_del:.3f}")
+    if config.metrics_path:
+        with open(config.metrics_path, "w") as f:
+            for i, l in enumerate(hist.tolist()):
+                f.write(json.dumps({"step": i, "loss": l}) + "\n")
+    return p, hist
+
+
 def run_sparse(config: cfg.RunConfig):
     """Sparse variational stress run (BASELINE config 5): synthetic data at
     N up to 1e5, minibatch SVI on the whitened ELBO with latent-force
@@ -1857,11 +1951,13 @@ def main(argv=None):
             f"--model nlfm is not supported with --preset {config.preset} "
             "(the nonlinear-response route runs the default p53 preset only)"
         )
-    if config.model == "delaysimm" and config.preset != "p53":
+    if config.model == "delaysimm" and config.preset not in (
+        "p53", "dense10k"
+    ):
         raise SystemExit(
             f"--model delaysimm is not supported with --preset "
-            f"{config.preset} (the delayed-response route runs the default "
-            "p53 preset only)"
+            f"{config.preset} (delayed-response routes: the default p53 "
+            "preset, and dense10k with --mll-engine ss)"
         )
     if config.ensemble and config.preset != "p53-replicates":
         raise SystemExit("--ensemble requires --preset p53-replicates")
@@ -1877,13 +1973,20 @@ def main(argv=None):
             raise SystemExit(
                 f"--mll-engine {config.mll_engine} is only supported by "
                 "the dense10k routes (--model simm: any engine; simm2/"
-                "multisimm: --mll-engine ss only)"
+                "multisimm/delaysimm: --mll-engine ss only)"
             )
     elif config.model == "multisimm" and config.preset == "dense10k":
         raise SystemExit(
             "--preset dense10k --model multisimm requires --mll-engine ss "
             "(the R-force family has no dense table Gram; the O(T) "
             "state-space engine is the dense-scale route)"
+        )
+    elif config.model == "delaysimm" and config.preset == "dense10k":
+        raise SystemExit(
+            "--preset dense10k --model delaysimm requires --mll-engine ss "
+            "(the per-gene warp breaks the shared-grid table Gram; the "
+            "O(T G) warped-event state-space engine is the dense-scale "
+            "route)"
         )
     if config.posterior_chains < 1:
         raise SystemExit("--posterior-chains must be >= 1")

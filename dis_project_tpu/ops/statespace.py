@@ -1310,6 +1310,236 @@ def lfm2_mll_ss(
     )
 
 
+def _delay_event_grid(params, t, replicates):
+    """Per-gene-warped observation events for the delay family.
+
+    The delayed gene trajectory is the ZERO-delay solution read at warped
+    time (``models.delaysimm`` module notes: ``x_j(t) =
+    x_tilde_j(max(t - delta_j, 0))``), and the zero-delay augmented state
+    is Markovian over warped time — so gene j's observation at physical
+    time ``t_i`` is a linear read of that shared state at
+    ``w_ij = max(t_i - delta_j, 0)``. Different genes warp differently,
+    so each (timepoint, gene) pair becomes its own filter step observing
+    ONLY that gene's replicate rows (a per-entry ``obs_mask`` — the exact
+    row-deletion reduction of :func:`_mask_obs`).
+
+    Returns ``(ev_t_sorted, step_ids, gene_sel, order_idx)``: the T*G
+    sorted warped event times, each event's source timepoint index, its
+    (T*G, n_o) one-gene observation selector, and the sort permutation.
+    Sorting is ``argsort``-stable and differentiable in ``delay`` through
+    the gathered time VALUES (the permutation is piecewise constant).
+    """
+    g = params.decay.shape[0]
+    n_o = replicates * g
+    w = jnp.maximum(t[:, None] - params.delay[None, :], 0.0)  # (T, G)
+    ev_t = w.reshape(-1)  # event k = (i, j) at k = i*G + j
+    order_idx = jnp.argsort(ev_t, stable=True)
+    ev_t = ev_t[order_idx]
+    gene_ids = order_idx % g
+    step_ids = order_idx // g
+    col = jnp.arange(n_o)
+    gene_sel = (col[None, :] % g) == gene_ids[:, None]  # (T*G, n_o)
+    return ev_t, step_ids, gene_sel, order_idx
+
+
+@_pin_precision
+def delaysimm_mll_ss(
+    params,
+    timepoints,
+    y,
+    *,
+    jitter: float,
+    replicates: int = 1,
+    order: int = 10,
+    parallel: bool | None = None,
+    shard=None,
+    obs_mask=None,
+):
+    """State-space MLL for the delayed-response family
+    (``models.delaysimm``): same contract as :func:`lfm_mll_ss` with
+    ``params`` a DelaySIMMParams-like namedtuple carrying per-gene
+    ``delay``. O(T G (p+G)^3) — each (timepoint, gene) pair is one
+    warped-time filter step (see :func:`_delay_event_grid`) — instead of
+    O((GTR)^3) dense; the delays are differentiable through the warped
+    step sizes. ``shard=(mesh, axis)`` runs the event chain through the
+    temporally-sharded filter (events padded with prediction-only
+    steps)."""
+    g = params.decay.shape[0]
+    t = jnp.asarray(timepoints)
+    t_steps = t.shape[0]
+    n_o = replicates * g
+    dtype = t.dtype
+    f_aug, p_inf, p0, _ = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    h = gene_observation_matrix(order, g, replicates, dtype)
+    mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
+    r_var = jnp.full((n_o,), jitter, dtype) + params.obs_stddev**2
+
+    ev_t, step_ids, gene_sel, _ = _delay_event_grid(params, t, replicates)
+    ys_full = y.reshape(n_o, t_steps).T - mean_obs[None, :]  # (T, n_o)
+    ys_ev = jnp.where(gene_sel, ys_full[step_ids], 0.0)
+    om_ev = gene_sel.astype(dtype)
+    if obs_mask is not None:
+        om_user = jnp.asarray(obs_mask, dtype).reshape(n_o, t_steps).T
+        om_ev = om_ev * om_user[step_ids]
+
+    dts = jnp.diff(ev_t, prepend=jnp.zeros((1,), dtype))
+    a, q = discretize(f_aug, p_inf, dts)
+    n_ev = ev_t.shape[0]
+    if shard is not None:
+        mesh, axis = shard
+        pad = (-n_ev) % mesh.shape[axis]
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=dtype),
+                                     (pad,) + a.shape[1:])]
+            )
+            q = jnp.concatenate([q, jnp.zeros((pad,) + q.shape[1:], dtype)])
+            ys_ev = jnp.concatenate([ys_ev, jnp.zeros((pad, n_o), dtype)])
+            om_ev = jnp.concatenate([om_ev, jnp.ones((pad, n_o), dtype)])
+        mask = jnp.concatenate(
+            [jnp.ones((n_ev,), dtype), jnp.zeros((pad,), dtype)]
+        )
+        _, _, ll = sharded_parallel_filter(
+            a, q, h, r_var, ys_ev, p0, mesh, axis, mask=mask,
+            obs_mask=om_ev,
+        )
+        return ll
+    if parallel is None:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        parallel = on_tpu and n_ev >= 64
+    fil = parallel_filter if parallel else kalman_filter
+    _, _, ll = fil(a, q, h, r_var, ys_ev, p0, obs_mask=om_ev)
+    return ll
+
+
+@_pin_precision
+def delaysimm_predict_ss(
+    params,
+    timepoints,
+    y,
+    t_test,
+    *,
+    noise_var,
+    replicates: int = 1,
+    order: int = 10,
+    obs_mask=None,
+    parallel=None,
+    shard=None,
+):
+    """Smoothed posterior for the delay family: the state-space analogue
+    of ``ExactDelaySIMM.latent_predict`` / ``multi_gene_predict`` in one
+    pass. The union event grid holds three categories: warped train
+    observations (T*G, per-gene rows), warped per-gene test reads
+    (T_test*G, prediction-only — gene j's posterior at physical time tau
+    is the state's gene-j component at ``max(tau - delta_j, 0)``), and
+    UNWARPED force reads (T_test — the force is not delayed).
+
+    Returns ``(f_mean, f_var, x_mean, x_var)`` with x_mean/x_var
+    (T_test, G). Variance caveat as :func:`lfm_predict_ss`: the force
+    posterior is the self-consistent model's."""
+    g = params.decay.shape[0]
+    t_train = jnp.asarray(timepoints)
+    t_test = jnp.asarray(t_test)
+    t_steps = t_train.shape[0]
+    n_test = t_test.shape[0]
+    n_o = replicates * g
+    dtype = t_train.dtype
+
+    f_aug, p_inf, p0, h_force = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    h = gene_observation_matrix(order, g, replicates, dtype)
+    mean = params.basal / params.decay
+    mean_obs = jnp.tile(mean, (replicates,))
+
+    # Event times: T*G warped train + T_test*G warped test + T_test force.
+    w_train = jnp.maximum(
+        t_train[:, None] - params.delay[None, :], 0.0
+    ).reshape(-1)
+    w_test = jnp.maximum(
+        t_test[:, None] - params.delay[None, :], 0.0
+    ).reshape(-1)
+    ev_t = jnp.concatenate([w_train, w_test, t_test])
+    n_ev = ev_t.shape[0]
+    order_idx = jnp.argsort(ev_t, stable=True)
+    ev_sorted = ev_t[order_idx]
+    # Inverse permutation: original event k sits at sorted row inv[k].
+    inv = jnp.argsort(order_idx)
+
+    gene_ids = order_idx % g  # meaningful only for train rows
+    step_ids = order_idx // g
+    is_train = (order_idx < t_steps * g).astype(dtype)
+    col = jnp.arange(n_o)
+    gene_sel = (col[None, :] % g) == gene_ids[:, None]
+
+    ys_full = y.reshape(n_o, t_steps).T - mean_obs[None, :]
+    step_tr = jnp.clip(step_ids, 0, t_steps - 1)
+    ys_ev = jnp.where(gene_sel, ys_full[step_tr], 0.0)
+    ys_ev = jnp.where(is_train[:, None] > 0, ys_ev, 0.0)
+    om_ev = gene_sel.astype(dtype) * is_train[:, None]
+    # Step-level mask: update only on train events; keep om rows of
+    # masked steps all-ones so the ll correction stays finite (unused).
+    om_ev = jnp.where(is_train[:, None] > 0, om_ev, 1.0)
+    if obs_mask is not None:
+        om_user = jnp.asarray(obs_mask, dtype).reshape(n_o, t_steps).T
+        om_ev = jnp.where(
+            is_train[:, None] > 0, om_ev * om_user[step_tr], om_ev
+        )
+
+    noise_var = jnp.broadcast_to(
+        jnp.asarray(noise_var, dtype), (t_steps, n_o)
+    )
+    rv_ev = jnp.where(
+        is_train[:, None] > 0, noise_var[step_tr], jnp.ones((1, n_o), dtype)
+    )
+
+    dts = jnp.diff(ev_sorted, prepend=jnp.zeros((1,), dtype))
+    pad = 0
+    if shard is not None:
+        mesh, axis = shard
+        pad = (-n_ev) % mesh.shape[axis]
+        if pad:
+            dts = jnp.concatenate([dts, jnp.zeros((pad,), dtype)])
+            is_train = jnp.concatenate([is_train, jnp.zeros((pad,), dtype)])
+            ys_ev = jnp.concatenate([ys_ev, jnp.zeros((pad, n_o), dtype)])
+            om_ev = jnp.concatenate([om_ev, jnp.ones((pad, n_o), dtype)])
+            rv_ev = jnp.concatenate([rv_ev, jnp.ones((pad, n_o), dtype)])
+    a, q = discretize(f_aug, p_inf, dts)
+    if shard is not None:
+        ms, ps, _ = sharded_parallel_filter(
+            a, q, h, rv_ev, ys_ev, p0, mesh, axis, mask=is_train,
+            obs_mask=om_ev,
+        )
+        ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
+    else:
+        if parallel is None:
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            parallel = on_tpu and n_ev >= 64
+        fil = parallel_filter if parallel else kalman_filter
+        smo = parallel_rts_smoother if parallel else rts_smoother
+        ms, ps, _ = fil(a, q, h, rv_ev, ys_ev, p0, mask=is_train,
+                        obs_mask=om_ev)
+        ms_s, ps_s = smo(a, q, ms, ps)
+
+    # Force reads: original events T*G + T_test*G .. end (unwarped).
+    force_rows = inv[t_steps * g + n_test * g:]
+    f_mean = ms_s[force_rows] @ h_force
+    f_var = jnp.einsum("i,tij,j->t", h_force, ps_s[force_rows], h_force)
+    # Gene reads: original events T*G .. T*G + T_test*G, k = i*G + j.
+    gene_rows = inv[t_steps * g: t_steps * g + n_test * g]
+    p = order
+    x_sel = jnp.arange(g)
+    m_gene = ms_s[gene_rows][:, p:]  # (T_test*G, G)
+    v_gene = jnp.diagonal(ps_s[gene_rows], axis1=1, axis2=2)[:, p:]
+    pick = jnp.tile(x_sel, (n_test,))
+    x_mean = m_gene[jnp.arange(n_test * g), pick].reshape(n_test, g)
+    x_var = v_gene[jnp.arange(n_test * g), pick].reshape(n_test, g)
+    x_mean = x_mean + mean[None, :]
+    return f_mean, f_var, x_mean, x_var
+
+
 @_pin_precision
 def lfm_predict_ss(
     params,

@@ -104,6 +104,11 @@ SLOW_NODEID_PATTERNS = (
     "test_statespace.py::TestShardedFilter::test_multiforce_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_second_order_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_prior_element_composition",
+    "test_statespace.py::TestDelayFamily::"
+    "test_gradients_match_dense_incl_delay",
+    "test_statespace.py::TestDelayFamily::test_predict_matches_dense",
+    "test_statespace.py::TestDelayFamily::test_generator_delay_recovery",
+    "test_statespace.py::TestDelayFamily::test_sharded_and_parallel_match",
     "test_statespace.py::TestParallelSmoother::"
     "test_predict_parallel_and_sharded_match",
     "test_statespace.py::TestParallelSmoother::"

@@ -244,6 +244,31 @@ class TestPipelineEntry:
         )
         entry.run_dense(c)
 
+    def test_dense_delay_ss_route_smoke(self, tmp_path):
+        """run_dense with --model delaysimm --mll-engine ss: dense-scale
+        delayed-response training through the warped-event Kalman engine
+        (the family's only dense-scale route), delay-recovery report
+        printed; plain dense10k delaysimm must fail loudly."""
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            model="delaysimm",
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=24,
+            mll_engine="ss",
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+        with pytest.raises(SystemExit, match="requires --mll-engine ss"):
+            entry.main([
+                "--preset", "dense10k", "--model", "delaysimm",
+                "--data-source", "synthetic",
+            ])
+
     def test_dense_second_order_ss_route_smoke(self, tmp_path):
         """run_dense with --model simm2 --mll-engine ss: the spring-damper
         family through the (x, v)-state Kalman engine instead of the

@@ -632,6 +632,184 @@ class TestShardedFilter:
             )
 
 
+class TestDelayFamily:
+    """Warped-event state-space engine for the delayed-response family
+    (VERDICT r3 #5): per-gene delays are observation-time warps of the
+    shared zero-delay state, so each (timepoint, gene) pair becomes one
+    obs-masked filter step. Parity vs the dense ``ExactDelaySIMM`` closed
+    forms (which apply the identical warp to the kernel inputs)."""
+
+    @pytest.fixture(scope="class")
+    def problem(self):
+        from dis_project_tpu.models import delaysimm
+
+        G, T = 3, 9
+        t = jnp.linspace(0.0, 12.0, T)
+        rng = np.random.default_rng(5)
+        y = jnp.asarray(rng.normal(size=(G * T,)))
+        params = delaysimm.init_params(G)._replace(
+            delay=jnp.asarray([0.5, 0.0, 1.3]),
+            decay=jnp.asarray([0.4, 0.9, 0.6]),
+            sensitivity=jnp.asarray([1.0, 0.8, 1.2]),
+        )
+        model = delaysimm.ExactDelaySIMM(num_genes=G, jitter=1e-4)
+        rows = jnp.stack([
+            jnp.tile(t, G),
+            jnp.repeat(jnp.arange(G, dtype=t.dtype), T),
+            jnp.ones((G * T,), t.dtype),
+        ], axis=1)
+        return G, T, t, y, params, model, rows
+
+    def test_mll_matches_dense_by_order(self, problem):
+        G, T, t, y, params, model, rows = problem
+        dense = float(model.mll(params, rows, y))
+        errs = [
+            abs(dense - float(ss.delaysimm_mll_ss(
+                params, t, y, jitter=1e-4, order=o, parallel=False
+            )))
+            for o in (8, 12)
+        ]
+        assert errs[0] < 5e-3 and errs[1] < 2e-4
+        assert errs[1] < errs[0]  # SDE-order error, monotone
+
+    def test_gradients_match_dense_incl_delay(self, problem):
+        from dis_project_tpu.models import delaysimm
+
+        G, T, t, y, params, model, rows = problem
+        raw = delaysimm.unconstrain(params)
+        gd = jax.grad(
+            lambda r: model.mll(delaysimm.constrain(r), rows, y)
+        )(raw)
+        gs = jax.grad(
+            lambda r: ss.delaysimm_mll_ss(
+                delaysimm.constrain(r), t, y, jitter=1e-4, order=12,
+                parallel=False,
+            )
+        )(raw)
+        for name in raw._fields:
+            a = np.asarray(getattr(gd, name))
+            b = np.asarray(getattr(gs, name))
+            assert np.abs(a - b).max() < 5e-4 * (np.abs(a).max() + 1.0), name
+
+    def test_zero_delay_reduces_to_first_order_engine(self, problem):
+        G, T, t, y, params, model, rows = problem
+        p0 = params._replace(delay=jnp.zeros((G,)))
+        v1 = float(ss.lfm_mll_ss(
+            simm.SIMMParams(p0.basal, p0.sensitivity, p0.decay,
+                            p0.lengthscale, p0.obs_stddev),
+            t, y, jitter=1e-4, parallel=False,
+        ))
+        v2 = float(ss.delaysimm_mll_ss(p0, t, y, jitter=1e-4,
+                                       parallel=False))
+        assert abs(v1 - v2) < 1e-9 * max(1.0, abs(v1))
+
+    def test_predict_matches_dense(self, problem):
+        """Force posterior vs the dense warped ``latent_predict`` and
+        gene posterior vs ``multi_gene_predict`` (noise conventions
+        matched per path: the force path has no learned noise, the gene
+        path adds obs_stddev^2 — the reference asymmetry)."""
+        G, T, t, y, params, model, rows = problem
+        tt = jnp.linspace(0.0, 13.0, 20)
+        test_rows = jnp.stack(
+            [tt, -jnp.ones_like(tt), jnp.zeros_like(tt)], axis=1
+        )
+        var_pp = jnp.full((G * T,), 1e-3 - 1e-4)
+        post = model.latent_predict(params, test_rows, rows, y, var_pp)
+        fm, fv, _, _ = ss.delaysimm_predict_ss(
+            params, t, y, tt, noise_var=1e-3, order=12, parallel=False
+        )
+        em = np.asarray(post.mean)
+        assert np.corrcoef(em, np.asarray(fm))[0, 1] > 0.9999
+        assert float(fv.min()) > 0.0
+
+        grows = jnp.stack([
+            jnp.tile(tt, G),
+            jnp.repeat(jnp.arange(G, dtype=t.dtype), tt.shape[0]),
+            jnp.ones((G * tt.shape[0],), t.dtype),
+        ], axis=1)
+        gpost = model.multi_gene_predict(params, grows, rows, y, var_pp)
+        obs2 = float(params.obs_stddev) ** 2
+        _, _, xm, xv = ss.delaysimm_predict_ss(
+            params, t, y, tt, noise_var=1e-3 + obs2, order=12,
+            parallel=False,
+        )
+        gm = np.asarray(gpost.mean).reshape(G, tt.shape[0]).T
+        assert np.abs(gm - np.asarray(xm)).max() < 1e-3
+        assert float(xv.min()) >= 0.0
+
+    def test_sharded_and_parallel_match(self, problem):
+        from jax.sharding import Mesh
+
+        G, T, t, y, params, model, rows = problem
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("t",))
+        v_ref, g_ref = jax.value_and_grad(
+            lambda d: ss.delaysimm_mll_ss(
+                params._replace(delay=d), t, y, jitter=1e-4,
+                parallel=False,
+            )
+        )(params.delay)
+        v_par = float(ss.delaysimm_mll_ss(params, t, y, jitter=1e-4,
+                                          parallel=True))
+        v_sh, g_sh = jax.value_and_grad(
+            lambda d: ss.delaysimm_mll_ss(
+                params._replace(delay=d), t, y, jitter=1e-4,
+                shard=(mesh, "t"),
+            )
+        )(params.delay)
+        assert abs(float(v_ref) - v_par) < 1e-9 * max(1.0, abs(float(v_ref)))
+        assert abs(float(v_ref) - float(v_sh)) < 1e-9 * max(
+            1.0, abs(float(v_ref))
+        )
+        assert np.abs(np.asarray(g_ref - g_sh)).max() < 1e-8
+
+    def test_generator_delay_recovery(self):
+        """End-to-end: train on delayed quadrature data, recover the
+        generating delays (the dense10k delaysimm route's math at smoke
+        scale)."""
+        import optax
+
+        from dis_project_tpu.data import synthetic
+        from dis_project_tpu.data.dataset import train_arrays
+        from dis_project_tpu.models import delaysimm
+
+        scfg = synthetic.SyntheticConfig(
+            num_genes=5, num_timepoints=30, num_replicates=1,
+            noise_std=0.05,
+        )
+        data = synthetic.generate_ode_delay(jax.random.PRNGKey(0), scfg)
+        _, y, _ = train_arrays(data)
+        t = jnp.asarray(data.timepoints)
+        raw0 = delaysimm.unconstrain(delaysimm.init_params(5))
+        opt = optax.adam(0.02)
+        zero_raw = jnp.asarray(-20.0)
+
+        obj = lambda r: -ss.delaysimm_mll_ss(  # noqa: E731
+            delaysimm.constrain(r), t, y, jitter=1e-4, order=10,
+            parallel=False,
+        )
+
+        @jax.jit
+        def fit(raw):
+            st = opt.init(raw)
+
+            def step(c, _):
+                raw, st = c
+                _, g = jax.value_and_grad(obj)(raw)
+                u, st = opt.update(g, st)
+                raw = optax.apply_updates(raw, u)
+                raw = raw._replace(delay=raw.delay.at[0].set(zero_raw))
+                return (raw, st), None
+
+            (raw, _), _ = jax.lax.scan(step, (raw, st), None, length=400)
+            return raw
+
+        p = delaysimm.constrain(fit(raw0))
+        d_true = np.asarray(data.params_true["delay"])
+        d_fit = np.asarray(p.delay)
+        assert np.corrcoef(d_fit, d_true)[0, 1] > 0.99
+        assert np.abs(d_fit - d_true).mean() < 0.1
+
+
 class TestParallelSmoother:
     """The smoothing semigroup (VERDICT r3 #4): the RTS backward pass as
     a reverse ``associative_scan`` and its temporally-sharded form. Both
