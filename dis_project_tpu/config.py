@@ -53,6 +53,10 @@ class RunConfig:
     # state-space engine: split the TIME axis of the Kalman filter over
     # every visible device (sequence parallelism; requires --mll-engine ss)
     ss_shard: bool = False
+    # sparse path: data-parallel SVI — shard each minibatch's ROW axis over
+    # every visible device (per-device ELBO shards, psum'd grads; requires
+    # --preset sparse100k)
+    dp_shard: bool = False
     # model. None = path default: 1e-4 for the exact paths (reference
     # src/main.py:41), 1e-6 for the sparse path (tighter; SparseSIMM applies
     # its own f32 Kuu floor). A user-passed --jitter is honored by BOTH —
@@ -155,6 +159,12 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         "visible device, local associative scans, one "
                         "all-gather of chunk composites (exact; requires "
                         "--mll-engine ss)")
+    parser.add_argument("--dp-shard", action="store_true",
+                        help="sparse path: data-parallel SVI — each "
+                        "minibatch's row axis sharded over every visible "
+                        "device (per-device ELBO shards, psum'd grads; "
+                        "identical trajectory to the single-device run; "
+                        "requires --preset sparse100k)")
     parser.add_argument("--ensemble", action="store_true",
                         help="p53-replicates: per-replicate model ensemble "
                         "as one SPMD mesh program")
@@ -240,6 +250,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         num_epochs=args.num_epochs,
         mll_engine=args.mll_engine,
         ss_shard=args.ss_shard,
+        dp_shard=args.dp_shard,
         ensemble=args.ensemble,
         mesh_shape=(
             tuple(int(v) for v in args.mesh_shape.split(","))

@@ -75,15 +75,37 @@ def fit(
     optimizer: Optional[optax.GradientTransformation] = None,
     init_state: Optional[tuple] = None,
     epoch_offset: int = 0,
+    mesh=None,
+    axis: str = "data",
 ) -> SVTrainResult:
     """Stochastic ELBO maximisation over row minibatches.
 
     ``init_state``: optional ``(raw_params, opt_state)`` to continue an
     earlier run exactly; ``epoch_offset`` shifts the per-epoch PRNG
     stream so resumed runs see the same shuffles as an unsegmented run.
+
+    ``mesh=(Mesh, )``/``axis``: DATA-PARALLEL SVI (VERDICT r3 #3) — the
+    minibatch ROW axis is shard-constrained over the mesh's ``axis``
+    inside the compiled step, so GSPMD shards the per-row projection work
+    (the O(bs M^2) term that dominates at N=1e5) across devices and
+    inserts the gradient ``psum`` for the row reductions automatically;
+    parameters and optimizer state stay replicated. This is a pure
+    scheduling change: the compiled program computes the identical
+    update, so the sharded trajectory matches the single-device one to
+    roundoff (pinned in ``tests/test_svlfm.py``). The batch size is
+    rounded UP to a multiple of the axis size so every device gets an
+    equal row shard.
     """
     n = x.shape[0]
     bs = min(config.batch_size, n)
+    if mesh is not None:
+        n_dev = mesh.shape[axis]
+        bs = min(-(-bs // n_dev) * n_dev, n - (n % n_dev))
+        if bs <= 0:
+            raise ValueError(
+                f"data-parallel SVI needs at least one full row shard: "
+                f"N={n} rows over {n_dev} '{axis}' devices"
+            )
     batches = -(-n // bs)
     # A caller-supplied optimizer is FINAL (it must already carry the
     # train_z wrapping so its state pytree matches any init_state built
@@ -117,6 +139,14 @@ def fit(
             def batch_fn(carry, bidx):
                 raw, opt_state = carry
                 xb, yb, vb = x[bidx], y[bidx], variances[bidx]
+                if mesh is not None:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    csn = jax.lax.with_sharding_constraint
+                    xb = csn(xb, NamedSharding(mesh, P(axis, None)))
+                    yb = csn(yb, NamedSharding(mesh, P(axis)))
+                    vb = csn(vb, NamedSharding(mesh, P(axis)))
                 loss, grads = jax.value_and_grad(loss_fn)(raw, xb, yb, vb)
                 updates, opt_state = optimizer.update(grads, opt_state, raw)
                 raw = optax.apply_updates(raw, updates)
@@ -152,11 +182,14 @@ def fit_checkpointed(
     config: SVTrainConfig,
     directory: str,
     checkpoint_every: int = 10,
+    mesh=None,
+    axis: str = "data",
 ) -> SVTrainResult:
     """Fault-tolerant SVI: run in ``checkpoint_every``-epoch segments with
     orbax persistence of (raw params, optimizer state, epoch); a rerun
     resumes bit-exactly from the latest checkpoint (the epoch-indexed key
-    stream keeps the shuffle sequence identical to an unsegmented run)."""
+    stream keeps the shuffle sequence identical to an unsegmented run).
+    ``mesh``/``axis``: data-parallel row sharding, as :func:`fit`."""
     import dataclasses as _dc
 
     import numpy as np
@@ -188,6 +221,8 @@ def fit_checkpointed(
             optimizer=optimizer,
             init_state=(raw, opt_state),
             epoch_offset=epoch,
+            mesh=mesh,
+            axis=axis,
         )
         raw, opt_state = result.raw_params, result.opt_state
         epoch += seg

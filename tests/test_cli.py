@@ -684,6 +684,28 @@ class TestPipelineEntry:
         )
         entry.run_sparse(c)
 
+    def test_sparse_route_dp_shard_smoke(self, tmp_path):
+        """run_sparse with --dp-shard: data-parallel SVI over the
+        8-device virtual mesh (minibatch rows sharded, grads psum'd);
+        --dp-shard outside sparse100k must fail loudly."""
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            synth_genes=4,
+            synth_timepoints=24,
+            num_inducing=8,
+            batch_size=32,
+            num_epochs=2,
+            dp_shard=True,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_sparse(c)
+        with pytest.raises(SystemExit, match="requires --preset sparse100k"):
+            entry.main(["--dp-shard"])
+
     def test_second_order_route_smoke(self, tmp_path):
         """run_second_order end-to-end (spring-damper kinetics table +
         latent plot) at a small iteration count."""

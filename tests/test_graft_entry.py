@@ -53,9 +53,9 @@ def test_provision_devices_fails_loudly_when_oversubscribed():
 
 
 def test_dryrun_multichip_three_legs(capsys):
-    """All three legs (ensemble step, distributed-Cholesky step,
-    temporally-sharded Kalman step) execute on a 4-device virtual mesh and
-    report finite losses."""
+    """All four legs (ensemble step, distributed-Cholesky step,
+    temporally-sharded Kalman step, data-parallel SVI step) execute on a
+    4-device virtual mesh and report finite losses."""
     # Initialise backends FIRST: if this test runs before any other JAX op
     # (selective invocation), _provision_devices(4) would otherwise repin
     # jax_num_cpu_devices from conftest's 8 down to 4 for the whole
@@ -66,3 +66,4 @@ def test_dryrun_multichip_three_legs(capsys):
     assert "dryrun_multichip ok" in out
     assert "dist_chol_loss=" in out
     assert "ss_seq_parallel_loss=" in out
+    assert "dp_svi_loss=" in out

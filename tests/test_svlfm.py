@@ -160,6 +160,85 @@ class TestPredictions:
         assert float(jnp.min(g.variance())) > 0
 
 
+class TestDataParallel:
+    """Data-parallel SVI (VERDICT r3 #3): svtrainer.fit(mesh=) shards the
+    minibatch row axis over the mesh (per-device ELBO shards, psum'd
+    grads via GSPMD). Pure scheduling change — the sharded trajectory
+    must match the single-device one to roundoff."""
+
+    def test_sharded_step_matches_single_device(self):
+        from jax.sharding import Mesh
+
+        from dis_project_tpu.training import svtrainer
+
+        cfg = synthetic.SyntheticConfig(
+            num_genes=4, num_timepoints=48, num_replicates=1,
+            noise_std=0.1,
+        )
+        data = synthetic.generate_ode(jax.random.PRNGKey(0), cfg,
+                                      oversample=4)
+        X, y, var = train_arrays(data)
+        model = svlfm.SparseSIMM(num_genes=4)
+        p0 = svlfm.init_params(4, num_inducing=16, t_max=12.0)
+        tc = svtrainer.SVTrainConfig(
+            num_epochs=2, batch_size=64, learning_rate=0.01
+        )
+        r_ref = svtrainer.fit(model, p0, X, y, var, tc)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+        r_dp = svtrainer.fit(model, p0, X, y, var, tc, mesh=mesh)
+        assert r_ref.history.shape == r_dp.history.shape
+        assert np.abs(
+            np.asarray(r_ref.history) - np.asarray(r_dp.history)
+        ).max() < 1e-8
+        for leaf_a, leaf_b in zip(
+            jax.tree_util.tree_leaves(r_ref.params),
+            jax.tree_util.tree_leaves(r_dp.params),
+        ):
+            assert np.abs(np.asarray(leaf_a - leaf_b)).max() < 1e-8
+
+    def test_batch_not_divisible_rounds_up(self):
+        """bs=50 over 8 devices rounds to 56; the run still executes and
+        reports the adjusted batch count."""
+        from jax.sharding import Mesh
+
+        from dis_project_tpu.training import svtrainer
+
+        cfg = synthetic.SyntheticConfig(
+            num_genes=3, num_timepoints=40, num_replicates=1,
+            noise_std=0.1,
+        )
+        data = synthetic.generate_ode(jax.random.PRNGKey(1), cfg,
+                                      oversample=4)
+        X, y, var = train_arrays(data)
+        model = svlfm.SparseSIMM(num_genes=3)
+        p0 = svlfm.init_params(3, num_inducing=8, t_max=12.0)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+        r = svtrainer.fit(
+            model, p0, X, y, var,
+            svtrainer.SVTrainConfig(num_epochs=1, batch_size=50),
+            mesh=mesh,
+        )
+        assert np.isfinite(np.asarray(r.history)).all()
+        # N=120, bs 50 -> 56: ceil(120/56) = 3 batches
+        assert r.history.shape == (1, 3)
+
+    def test_too_few_rows_fails_loudly(self):
+        from jax.sharding import Mesh
+
+        from dis_project_tpu.training import svtrainer
+
+        model = svlfm.SparseSIMM(num_genes=1)
+        p0 = svlfm.init_params(1, num_inducing=4)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+        X = jnp.zeros((5, 3))
+        with pytest.raises(ValueError, match="row shard"):
+            svtrainer.fit(
+                model, p0, X, jnp.zeros(5), jnp.ones(5),
+                svtrainer.SVTrainConfig(num_epochs=1, batch_size=5),
+                mesh=mesh,
+            )
+
+
 class TestTrainability:
     def test_elbo_gradients_finite_and_improve(self, problem):
         import optax
