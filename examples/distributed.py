@@ -215,7 +215,11 @@ g_delta = max(
 print(f"time axis over {t_mesh.shape['t']} devices: "
       f"|value delta| {abs(float(v_sh) - float(v_1d)):.2e}, "
       f"max |grad delta| {g_delta:.2e}")
-assert abs(float(v_sh) - float(v_1d)) < 1e-9
+# f32 walkthrough: the sharded program's reduction order differs, so
+# agreement is f32-roundoff-level, not bitwise (the f64 suite pins the
+# exact-semigroup claim at 1e-10 — tests/test_statespace.py
+# TestShardedFilter); a delta above 1e-4 relative would be a real bug.
+assert abs(float(v_sh) - float(v_1d)) < 1e-4 * max(1.0, abs(float(v_1d)))
 
 # %% [markdown]
 # ## 6. What runs where — the communication story
