@@ -549,14 +549,17 @@ def _mul_tril_dense(T, X, base: int = 512):
 # ---------------------------------------------------------------------------
 
 
-def _dot00(a, b):
+def _dot00(a, b, precision=None):
     """dot_general contracting dim 0 of BOTH operands: a^T @ b without an
     explicit transpose. With both operands read as contiguous ROW slices of
     the transposed factor buffer this orientation measured FASTER than the
     (1, 0) contraction against a strided column slice (v5e r3, N=8192
     correction chain: 3.09 vs 3.61 ms) — the strided slice materialises a
-    copy, the row slice is a free bitcast view."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())))
+    copy, the row slice is a free bitcast view. ``precision=None`` inherits
+    the ambient default (the module's f32-faithful 3-pass)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), precision=precision
+    )
 
 
 @_f32_faithful
@@ -567,6 +570,7 @@ def blocked_cholesky_t(
     inner: int = 128,
     probe_eps=None,
     return_diag_inv: bool = False,
+    outer_precision=None,
 ):
     r"""UPPER-triangular Cholesky factor ``Lt = L^T`` (plus identically-zero
     strict-lower padding blocks), via a transposed-layout TWO-LEVEL
@@ -606,6 +610,12 @@ def blocked_cholesky_t(
     ``return_diag_inv=True`` also returns the stacked (nb_inner, inner,
     inner) per-inner-column diagonal-block inverses (identity on padded
     tails) for the MLL backward's factor reuse (:func:`tri_inv_from_diag`).
+
+    ``outer_precision`` (research knob, VERDICT r3 #1): overrides the
+    matmul precision of the OUTER trailing-correction dots only (inner
+    panels stay f32-faithful). ``'default'`` = single-pass bf16 — see the
+    mixed-precision study in PARITY.md r4 for why this is NOT the shipped
+    configuration.
     """
     n = a.shape[0]
     if block is None:
@@ -634,7 +644,8 @@ def blocked_cholesky_t(
             panelT = panelT.at[0, 0].add(probe_eps)
         if K > 0:
             panelT = panelT - _dot00(
-                Lt[:off, off : off + Bo], Lt[:off, off:]
+                Lt[:off, off : off + Bo], Lt[:off, off:],
+                precision=outer_precision,
             )
         for c in range(nbi):
             io = c * Bi
