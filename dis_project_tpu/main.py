@@ -1420,7 +1420,8 @@ def run_dense(config: cfg.RunConfig):
         nv = var.reshape(scfg.num_genes, timepoints.shape[0]).T \
             + model.jitter
         f_mean, f_var, _, _ = ss_ops.lfm_predict_ss(
-            res.params, timepoints, y, grid, noise_var=nv
+            res.params, timepoints, y, grid, noise_var=nv,
+            shard=_ss_shard_spec(config),  # r4: smoother shards too
         )
         plotter.plot_lf(
             grid[:, None],  # plotters read time from column 0
