@@ -1230,6 +1230,8 @@ def run_dense(config: cfg.RunConfig):
         return _run_dense_multiforce(config, scfg)
     if config.model == "delaysimm":
         return _run_dense_delay(config, scfg)
+    if config.model == "nlfm":
+        return _run_dense_nlfm(config, scfg)
     print(f"Sampling synthetic LFM dataset: {scfg.num_genes} genes x "
           f"{scfg.num_timepoints} timepoints (N={scfg.n_points})...")
     data = synthetic.sample_prior(jax.random.PRNGKey(config.seed), scfg)
@@ -1675,6 +1677,92 @@ def _run_dense_multiforce(config: cfg.RunConfig, scfg):
     return p, hist
 
 
+def _run_dense_nlfm(config: cfg.RunConfig, scfg):
+    """Dense nonlinear-response stress run: approximate MARGINAL
+    likelihood via the extended Kalman engine
+    (``ops.statespace.nlfm_mll_ekf`` — the force integrated out, the
+    gene drift linearized around the filtered mean). The MAP route
+    (``run_nonlinear``) carries the Q-point force as a parameter; this
+    engine is the O(T) kinetics-estimation route at stress scale, so the
+    dense preset is state-space only (gated in :func:`main`). Force
+    reconstruction quality is EKF-limited for strongly nonlinear
+    responses — the p53-preset MAP/HMC routes remain the recommendation
+    there (see nlfm_mll_ekf's docstring)."""
+    import functools
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dis_project_tpu.data import synthetic
+    from dis_project_tpu.data.dataset import train_arrays
+    from dis_project_tpu.models import simm
+    from dis_project_tpu.ops import statespace as ss_ops
+
+    resp = config.response
+    print(f"Sampling synthetic {resp}-response ODE dataset via quadrature: "
+          f"{scfg.num_genes} x {scfg.num_timepoints} (N={scfg.n_points})...")
+    data = synthetic.generate_ode_nonlinear(
+        jax.random.PRNGKey(config.seed), scfg, response=resp, oversample=4
+    )
+    X, y, var = train_arrays(data)
+    tgrid = jnp.asarray(data.timepoints, X.dtype)
+    raw0 = simm.unconstrain_jit(simm.init_params(scfg.num_genes,
+                                                 dtype=X.dtype))
+    opt = optax.adam(config.learning_rate)
+    objective = lambda r: -ss_ops.nlfm_mll_ekf(  # noqa: E731
+        simm.constrain(r), tgrid, y, response=resp,
+        jitter=config.exact_jitter,
+    )
+
+    n_segs = max(1, -(-config.num_iters // 25))
+    seg_q, seg_r = divmod(config.num_iters, n_segs)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def fit_segment(raw, state, length):
+        def step(carry, _):
+            raw, state = carry
+            l, g = jax.value_and_grad(objective)(raw)
+            upd, state = opt.update(g, state)
+            return (optax.apply_updates(raw, upd), state), l
+
+        (raw, state), hist = jax.lax.scan(step, (raw, state), None,
+                                          length=length)
+        return raw, state, hist
+
+    print(f"Training (approximate marginal {resp}-response likelihood, "
+          "extended Kalman engine (O(T), order-10 SDE))...")
+    t0 = time.perf_counter()
+    raw_f, state = raw0, opt.init(raw0)
+    chunks = []
+    for i in range(n_segs):
+        n_seg = seg_q + (1 if i < seg_r else 0)
+        raw_f, state, h = fit_segment(raw_f, state, n_seg)
+        chunks.append(np.asarray(h))
+    hist = jnp.asarray(np.concatenate(chunks)) if chunks else jnp.zeros(0)
+    final = _final_loss(hist)
+    print(f"Trained {config.num_iters} iters in "
+          f"{time.perf_counter() - t0:.2f}s (final loss {final:.4f}, "
+          f"N={scfg.n_points})")
+    p = simm.constrain_jit(raw_f)
+    corr_d = float(np.corrcoef(
+        np.asarray(p.decay), np.asarray(data.params_true["decay"])
+    )[0, 1])
+    corr_s = float(np.corrcoef(
+        np.asarray(p.sensitivity),
+        np.asarray(data.params_true["sensitivity"]),
+    )[0, 1])
+    print(f"Ground-truth recovery: corr(decay)={corr_d:.3f} "
+          f"corr(sensitivity)={corr_s:.3f}")
+    if config.metrics_path:
+        with open(config.metrics_path, "w") as f:
+            for i, l in enumerate(hist.tolist()):
+                f.write(json.dumps({"step": i, "loss": l}) + "\n")
+    return p, hist
+
+
 def _run_dense_delay(config: cfg.RunConfig, scfg):
     """Dense delayed-response stress run: full-batch exact MLL on
     delayed-ODE quadrature data via the O(T G (p+G)^3) state-space engine
@@ -1960,10 +2048,11 @@ def main(argv=None):
             f"{config.preset} (multi-force routes: the default preset, "
             "dense10k with --mll-engine ss, and sparse100k)"
         )
-    if config.model == "nlfm" and config.preset != "p53":
+    if config.model == "nlfm" and config.preset not in ("p53", "dense10k"):
         raise SystemExit(
             f"--model nlfm is not supported with --preset {config.preset} "
-            "(the nonlinear-response route runs the default p53 preset only)"
+            "(nonlinear-response routes: the default p53 preset, and "
+            "dense10k with --mll-engine ss)"
         )
     if config.model == "delaysimm" and config.preset not in (
         "p53", "dense10k"
@@ -2002,6 +2091,12 @@ def main(argv=None):
             "O(T G) warped-event state-space engine is the dense-scale "
             "route)"
         )
+    elif config.model == "nlfm" and config.preset == "dense10k":
+        raise SystemExit(
+            "--preset dense10k --model nlfm requires --mll-engine ss "
+            "(no closed-form Gram exists for the nonlinear family; the "
+            "extended Kalman engine is the dense-scale marginal route)"
+        )
     if config.posterior_chains < 1:
         raise SystemExit("--posterior-chains must be >= 1")
     if config.posterior_chains > 1 and not config.posterior_samples:
@@ -2010,6 +2105,12 @@ def main(argv=None):
         raise SystemExit(
             "--ss-shard requires --mll-engine ss (it shards the Kalman "
             "filter's time axis)"
+        )
+    if config.ss_shard and config.model == "nlfm":
+        raise SystemExit(
+            "--ss-shard is not supported on the nlfm EKF route (the "
+            "extended prediction step is state-dependent, so the "
+            "filtering-semigroup factorisation does not apply)"
         )
     if config.dp_shard and config.preset != "sparse100k":
         raise SystemExit(

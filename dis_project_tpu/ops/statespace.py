@@ -1782,3 +1782,310 @@ def lfm2_predict_ss(
     x_mean = m_t[:, p:p + g] + mean[None, :]
     x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:p + g]
     return f_mean, f_var, x_mean, x_var
+
+
+# ---------------------------------------------------------------------------
+# Extended Kalman engine for the nonlinear-response family (models.nlfm).
+# ---------------------------------------------------------------------------
+
+
+def _response_and_deriv(name: str):
+    """Elementwise response g and its derivative g' (closed forms — the
+    four responses of ``ops.odeint.RESPONSE_NAMES``)."""
+    if name == "identity":
+        return (lambda f: f), (lambda f: jnp.ones_like(f))
+    if name == "exp":
+        return jnp.exp, jnp.exp
+    if name == "softplus":
+        return (
+            lambda f: jnp.logaddexp(0.0, f),
+            lambda f: 1.0 / (1.0 + jnp.exp(-f)),
+        )
+    if name == "sigmoid":
+        def _sig(f):
+            return 1.0 / (1.0 + jnp.exp(-f))
+
+        return _sig, (lambda f: _sig(f) * (1.0 - _sig(f)))
+    raise ValueError(f"unknown response {name!r}")
+
+
+def _nlfm_ekf_pieces(params, response: str, order: int):
+    """Shared EKF machinery: drift, Jacobian, diffusion, initial moments.
+
+    The state is ``z = [f-state (p), x (G)]`` with ABSOLUTE gene levels
+    (the nonlinear drift has no constant fixed point to center away):
+
+        dz_f = F_f z_f dt + dW      (the order-p RBF force SDE)
+        dx_j = (B_j + S_j g(h z_f) - D_j x_j) dt
+
+    — exactly the generative model of ``ops.odeint.gene_curves`` /
+    ``data.synthetic.generate_ode_nonlinear`` (x(0) = B/D, force from
+    t=0). The continuous diffusion on the balanced force block solves the
+    stationarity identity ``F P_inf + P_inf F^T + Qc = 0``.
+    """
+    decay, sens, basal = params.decay, params.sensitivity, params.basal
+    dtype = jnp.result_type(decay, sens, params.lengthscale)
+    g_genes = decay.shape[0]
+    p = order
+    m = p + g_genes
+    f_c, h_c, _, p_diag = canonical_system(order)
+    f_c = jnp.asarray(f_c, dtype)
+    h_c = jnp.asarray(h_c, dtype)
+    p_ff = jnp.asarray(np.diag(p_diag), dtype)
+    f_force = f_c * (2.0 / params.lengthscale)
+    qc = jnp.zeros((m, m), dtype).at[:p, :p].set(
+        -(f_force @ p_ff + p_ff @ f_force.T)
+    )
+    g_fn, gp_fn = _response_and_deriv(response)
+
+    def drift(mz):
+        zf, x = mz[:p], mz[p:]
+        fval = h_c @ zf
+        return jnp.concatenate(
+            [f_force @ zf, basal + sens * g_fn(fval) - decay * x]
+        )
+
+    def jac(mz):
+        zf = mz[:p]
+        fval = h_c @ zf
+        jl = sens[:, None] * (gp_fn(fval) * h_c)[None, :]
+        return (
+            jnp.zeros((m, m), dtype)
+            .at[:p, :p].set(f_force)
+            .at[p:, :p].set(jl)
+            .at[p:, p:].set(-jnp.diag(decay))
+        )
+
+    m0 = jnp.concatenate([jnp.zeros((p,), dtype), basal / decay])
+    p0 = jnp.zeros((m, m), dtype).at[:p, :p].set(p_ff)
+    h_force = jnp.concatenate([h_c, jnp.zeros((g_genes,), dtype)])
+    return drift, jac, qc, m0, p0, h_force, dtype, m
+
+
+def _ekf_propagate(drift, jac, qc, mz, P, phi, dt, substeps: int):
+    """RK4 integration of the joint EKF moment ODE over one interval:
+
+        dm/dt   = a(m)
+        dP/dt   = J(m) P + P J(m)^T + Qc      (linearized Lyapunov)
+        dPhi/dt = J(m) Phi                    (discrete-map sensitivity)
+
+    ``Phi`` (the state-transition Jacobian across the whole interval) is
+    what the extended RTS smoother consumes. Fixed ``substeps`` RK4 steps
+    — static shapes, O(dt^5) local error, differentiable throughout.
+    """
+    h = dt / substeps
+
+    def ode(state):
+        mz, P, phi = state
+        J = jac(mz)
+        return (
+            drift(mz),
+            J @ P + P @ J.T + qc,
+            J @ phi,
+        )
+
+    def rk4_step(carry, _):
+        mz, P, phi = carry
+        k1 = ode((mz, P, phi))
+        k2 = ode(tuple(a + 0.5 * h * b for a, b in zip(carry, k1)))
+        k3 = ode(tuple(a + 0.5 * h * b for a, b in zip(carry, k2)))
+        k4 = ode(tuple(a + h * b for a, b in zip(carry, k3)))
+        new = tuple(
+            a + (h / 6.0) * (b1 + 2 * b2 + 2 * b3 + b4)
+            for a, b1, b2, b3, b4 in zip(carry, k1, k2, k3, k4)
+        )
+        mz, P, phi = new
+        return (mz, _symmetrize(P), phi), None
+
+    (mz, P, phi), _ = jax.lax.scan(
+        rk4_step, (mz, P, phi), None, length=substeps
+    )
+    return mz, P, phi
+
+
+@_pin_precision
+def nlfm_mll_ekf(
+    params,
+    timepoints,
+    y,
+    *,
+    response: str = "exp",
+    jitter: float,
+    replicates: int = 1,
+    order: int = 10,
+    substeps: int = 4,
+):
+    """Extended-Kalman approximate MARGINAL likelihood for the
+    nonlinear-response family (``models.nlfm``) — the force integrated
+    out, O(T (p+G)^3).
+
+    The MAP route (``models.nlfm.fit``) treats the Q-point force as a
+    parameter and maximises the JOINT density; this engine linearizes the
+    gene drift around the filtered mean (classic continuous-discrete EKF)
+    and returns an approximate marginal p(y | kinetics) — the quantity
+    the linear families' ``lfm_mll_ss`` computes exactly. With
+    ``response='identity'`` the drift is linear, the linearization is
+    exact, and the value matches :func:`lfm_mll_ss` to RK4-vs-expm
+    integration error (pinned in tests/test_statespace.py).
+
+    Same data layout and noise convention as :func:`lfm_mll_ss`
+    (gene-major flat ``y``, ``jitter + obs_stddev^2``). The filter is a
+    sequential scan — the prediction step is state-dependent, so the
+    associative-scan factorisation does not apply (documented limit).
+
+    Stability: the moment ODE is integrated by fixed-step RK4, so
+    ``(dt / substeps) * rho(F_f)`` must sit inside the RK4 stability
+    region (~2.8); the order-10 balanced force SDE has spectral radius
+    ~4 * (2 / lengthscale), so ``substeps=4`` is safe for grid spacings
+    up to ~dt = 2 at the reference lengthscales — increase it for
+    coarser grids (a too-coarse setting NaNs loudly rather than
+    silently degrading; pinned in tests).
+    """
+    g_count = params.decay.shape[0]
+    t = jnp.asarray(timepoints)
+    t_steps = t.shape[0]
+    n_o = replicates * g_count
+    drift, jac, qc, m0, p0, h_force, dtype, m = _nlfm_ekf_pieces(
+        params, response, order
+    )
+    h = gene_observation_matrix(order, g_count, replicates, dtype)
+    r_var = jnp.full((n_o,), jitter, dtype) + params.obs_stddev**2
+    ys = y.reshape(n_o, t_steps).T  # absolute levels, not centered
+    dts = jnp.diff(t, prepend=jnp.zeros((1,), dtype))
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def step(carry, xs):
+        mz, P, ll = carry
+        dt_i, y_i = xs
+        mz, P, _ = _ekf_propagate(drift, jac, qc, mz, P, eye_m, dt_i,
+                                  substeps)
+        mz, P, ll_i = _joseph_update(mz, P, h, r_var, y_i)
+        return (mz, P, ll + ll_i), None
+
+    (_, _, ll), _ = jax.lax.scan(
+        step, (m0, p0, jnp.zeros((), dtype)), (dts, ys)
+    )
+    return ll
+
+
+def _ekf_rts_smoother(phis, ms, ps, m_preds, p_preds):
+    """Extended RTS backward pass over EKF filter outputs.
+
+    Unlike the LINEAR :func:`rts_smoother`, the prediction here is
+    AFFINE in the previous state (the nonlinear drift carries the basal
+    constants), so the recursion must use the stored nonlinear prediction
+    moments ``(m_pred, P_pred)`` directly — ``Phi m_f`` alone drops the
+    constant part and destroys the posterior (measured: force corr -0.14
+    vs the truth before this fix). Gains reuse the eigendecomposition
+    pseudo-solve rationale of :func:`rts_smoother`. ``phis[k]`` is the
+    sensitivity of the k-1 -> k prediction map.
+    """
+    rcond = _rts_rcond(ms.dtype)
+
+    def step(carry, xs):
+        m_next_s, p_next_s = carry
+        m_f, p_f, phi_next, m_pred_next, p_pred_next = xs
+        w, v = jnp.linalg.eigh(_symmetrize(p_pred_next))
+        w_inv = jnp.where(w > rcond * w[-1], 1.0 / w, 0.0)
+        gain = ((p_f @ phi_next.T) @ v) * w_inv[None, :] @ v.T
+        m_s = m_f + gain @ (m_next_s - m_pred_next)
+        p_s = _symmetrize(
+            p_f + gain @ (p_next_s - p_pred_next) @ gain.T
+        )
+        return (m_s, p_s), (m_s, p_s)
+
+    xs = (ms[:-1], ps[:-1], phis[1:], m_preds[1:], p_preds[1:])
+    (_, _), (ms_s, ps_s) = jax.lax.scan(
+        step, (ms[-1], ps[-1]), xs, reverse=True
+    )
+    ms_s = jnp.concatenate([ms_s, ms[-1:]], axis=0)
+    ps_s = jnp.concatenate([ps_s, ps[-1:]], axis=0)
+    return ms_s, ps_s
+
+
+@_pin_precision
+def nlfm_predict_ekf(
+    params,
+    timepoints,
+    y,
+    t_test,
+    *,
+    response: str = "exp",
+    noise_var,
+    replicates: int = 1,
+    order: int = 10,
+    substeps: int = 4,
+):
+    """Extended-RTS smoothed posterior for the nonlinear family: forward
+    EKF on the union grid (observation updates masked to train steps)
+    recording each interval's sensitivity ``Phi`` and process-noise
+    equivalent ``Q_k = P_pred - Phi P_f Phi^T``, then the EXISTING
+    sequential RTS pass over the per-step (Phi, Q) — the extended
+    smoother is the linear one along the linearization trajectory.
+
+    Returns ``(f_mean, f_var, x_mean, x_var)`` at ``t_test``; the force
+    read is linear in the state so no extra approximation enters the
+    readout. ``noise_var`` as :func:`lfm_predict_ss`.
+    """
+    g_count = params.decay.shape[0]
+    t_train = jnp.asarray(timepoints)
+    t_test = jnp.asarray(t_test)
+    n_o = replicates * g_count
+    drift, jac, qc, m0, p0, h_force, dtype, m = _nlfm_ekf_pieces(
+        params, response, order
+    )
+    h = gene_observation_matrix(order, g_count, replicates, dtype)
+
+    t_all = jnp.concatenate([t_train, t_test])
+    order_idx = jnp.argsort(t_all, stable=True)
+    t_sorted = t_all[order_idx]
+    is_train = jnp.concatenate(
+        [jnp.ones_like(t_train), jnp.zeros_like(t_test)]
+    )[order_idx]
+    n_all = t_sorted.shape[0]
+    dts = jnp.diff(t_sorted, prepend=jnp.zeros((1,), dtype))
+
+    ys_train = y.reshape(n_o, t_train.shape[0]).T
+    ys = jnp.zeros((n_all, n_o), dtype)
+    train_pos = jnp.nonzero(is_train, size=t_train.shape[0])[0]
+    ys = ys.at[train_pos].set(ys_train)
+    noise_var = jnp.broadcast_to(
+        jnp.asarray(noise_var, dtype), (t_train.shape[0], n_o)
+    )
+    rv_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(noise_var)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def step(carry, xs):
+        mz, P = carry
+        dt_i, y_i, rv_i, mk_i = xs
+        m_pred, p_pred, phi = _ekf_propagate(
+            drift, jac, qc, mz, P, eye_m, dt_i, substeps
+        )
+        m_up, p_up, _ = _joseph_update(m_pred, p_pred, h, rv_i, y_i)
+        mz = jnp.where(mk_i > 0, m_up, m_pred)
+        P = jnp.where(mk_i > 0, p_up, p_pred)
+        return (mz, P), (mz, P, phi, m_pred, p_pred)
+
+    (_, _), (ms, ps, phis, m_preds, p_preds) = jax.lax.scan(
+        step, (m0, p0), (dts, ys, rv_all, is_train)
+    )
+    ms_s, ps_s = _ekf_rts_smoother(phis, ms, ps, m_preds, p_preds)
+
+    test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
+    m_t, p_t = ms_s[test_pos], ps_s[test_pos]
+    p = order
+    f_mean = m_t @ h_force
+    # The extended smoother's covariance subtraction can go slightly
+    # indefinite along near-deterministic directions (the linear path's
+    # pseudo-solve argument does not fully transfer when P_pred comes
+    # from linearized integration) — floor the marginals at 0 (measured
+    # undershoot ~-7e-3 on the exp-response recovery problem; means are
+    # unaffected).
+    f_var = jnp.maximum(
+        jnp.einsum("i,tij,j->t", h_force, p_t, h_force), 0.0
+    )
+    x_mean = m_t[:, p:]
+    x_var = jnp.maximum(
+        jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:], 0.0
+    )
+    return f_mean, f_var, x_mean, x_var

@@ -104,6 +104,10 @@ SLOW_NODEID_PATTERNS = (
     "test_statespace.py::TestShardedFilter::test_multiforce_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_second_order_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_prior_element_composition",
+    "test_statespace.py::TestEKFNonlinear::"
+    "test_exp_response_kinetics_recovery",
+    "test_statespace.py::TestEKFNonlinear::"
+    "test_identity_predict_matches_linear_smoother",
     "test_statespace.py::TestDelayFamily::"
     "test_gradients_match_dense_incl_delay",
     "test_statespace.py::TestDelayFamily::test_predict_matches_dense",

@@ -269,6 +269,35 @@ class TestPipelineEntry:
                 "--data-source", "synthetic",
             ])
 
+    def test_dense_nlfm_ekf_route_smoke(self, tmp_path):
+        """run_dense with --model nlfm --mll-engine ss: the extended
+        Kalman marginal route (force integrated out); plain dense10k nlfm
+        and --ss-shard on the EKF route must fail loudly."""
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            model="nlfm",
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=24,
+            mll_engine="ss",
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+        with pytest.raises(SystemExit, match="requires --mll-engine ss"):
+            entry.main([
+                "--preset", "dense10k", "--model", "nlfm",
+                "--data-source", "synthetic",
+            ])
+        with pytest.raises(SystemExit, match="not supported on the nlfm"):
+            entry.main([
+                "--preset", "dense10k", "--model", "nlfm",
+                "--mll-engine", "ss", "--ss-shard",
+            ])
+
     def test_dense_second_order_ss_route_smoke(self, tmp_path):
         """run_dense with --model simm2 --mll-engine ss: the spring-damper
         family through the (x, v)-state Kalman engine instead of the
