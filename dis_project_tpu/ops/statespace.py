@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -2088,4 +2089,105 @@ def nlfm_predict_ekf(
     x_var = jnp.maximum(
         jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:], 0.0
     )
+    return f_mean, f_var, x_mean, x_var
+
+
+# ---------------------------------------------------------------------------
+# Streaming (online) inference — constant-memory serving API.
+# ---------------------------------------------------------------------------
+
+
+class FilterCarry(NamedTuple):
+    """Streaming filter state: the sufficient statistics of everything
+    seen so far. ``t_last`` is the time of the last absorbed observation
+    (the prior sits at ``t=0``); ``ll`` accumulates the exact marginal
+    log-likelihood of the absorbed prefix."""
+
+    mean: jnp.ndarray     # (m,) filtered state mean (centered)
+    cov: jnp.ndarray      # (m, m) filtered state covariance
+    t_last: jnp.ndarray   # () time of last update
+    ll: jnp.ndarray       # () accumulated marginal log-likelihood
+
+
+def streaming_init(params, *, replicates: int = 1, order: int = 10):
+    """Open a streaming SIMM inference session (``models.simm`` kinetics).
+
+    Returns ``(carry, aux)`` where ``aux`` holds the static model pieces
+    (``f_aug, p_inf, h, mean_obs, h_force``) that every subsequent
+    :func:`streaming_update` / :func:`streaming_predict` consumes —
+    build once, jit the update closed over it. The serving pattern for
+    the O(T) engine: each new observation vector costs ONE O((p+G)^3)
+    update at constant memory, no reprocessing of history (the batch
+    filter over the same grid gives bitwise the same trajectory —
+    pinned in tests/test_statespace.py).
+    """
+    g = params.decay.shape[0]
+    f_aug, p_inf, p0, h_force = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order
+    )
+    dtype = p0.dtype
+    h = gene_observation_matrix(order, g, replicates, dtype)
+    mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
+    carry = FilterCarry(
+        mean=jnp.zeros((p0.shape[0],), dtype),
+        cov=p0,
+        t_last=jnp.zeros((), dtype),
+        ll=jnp.zeros((), dtype),
+    )
+    aux = (f_aug, p_inf, h, mean_obs, h_force)
+    return carry, aux
+
+
+@_pin_precision
+def streaming_update(carry: FilterCarry, aux, t_new, y_new, noise_var,
+                     obs_mask=None):
+    """Absorb one observation vector ``y_new`` (n_o,) at time ``t_new``
+    (> ``carry.t_last``): predict across the gap, measurement-update,
+    accumulate the likelihood. ``noise_var``: (n_o,) or scalar;
+    ``obs_mask``: optional (n_o,) {0,1} per-entry missingness (masked
+    entries may be NaN — deleted exactly, as the batch filter).
+    Returns the new carry."""
+    f_aug, p_inf, h, mean_obs, _ = aux
+    dtype = carry.mean.dtype
+    n_o = mean_obs.shape[0]
+    t_new = jnp.asarray(t_new, dtype)
+    yc = jnp.asarray(y_new, dtype) - mean_obs
+    rv = jnp.broadcast_to(jnp.asarray(noise_var, dtype), (n_o,))
+    a, q = discretize(f_aug, p_inf, t_new - carry.t_last)
+    m_pred = a @ carry.mean
+    p_pred = _symmetrize(a @ carry.cov @ a.T + q)
+    if obs_mask is not None:
+        om = jnp.asarray(obs_mask, dtype)[None, :]
+        h_m, rv_m, yc_m = _mask_obs(h, rv[None, :], yc[None, :], om)
+        corr = _mask_ll_correction(om)[0]
+        h_u, rv_u, yc_u = h_m[0], rv_m[0], yc_m[0]
+    else:
+        h_u, rv_u, yc_u = h, rv, yc
+        corr = jnp.zeros((), dtype)
+    m_up, p_up, ll_i = _joseph_update(m_pred, p_pred, h_u, rv_u, yc_u)
+    return FilterCarry(
+        mean=m_up, cov=p_up, t_last=t_new, ll=carry.ll + ll_i + corr
+    )
+
+
+@_pin_precision
+def streaming_predict(carry: FilterCarry, aux, params, t_query):
+    """Forecast the latent force and gene levels at ``t_query`` (>=
+    ``carry.t_last``) from the current carry — the serving read path
+    (filtered/predictive, NOT smoothed: it conditions on the absorbed
+    prefix only, so it never reprocesses history). Returns
+    ``(f_mean, f_var, x_mean, x_var)`` with x per gene, mean added
+    back."""
+    f_aug, p_inf, h, mean_obs, h_force = aux
+    dtype = carry.mean.dtype
+    a, q = discretize(
+        f_aug, p_inf, jnp.asarray(t_query, dtype) - carry.t_last
+    )
+    m_q = a @ carry.mean
+    p_q = _symmetrize(a @ carry.cov @ a.T + q)
+    f_mean = h_force @ m_q
+    f_var = h_force @ p_q @ h_force
+    order = carry.mean.shape[0] - params.decay.shape[0]
+    x_mean = m_q[order:] + params.basal / params.decay
+    x_var = jnp.diagonal(p_q)[order:]
     return f_mean, f_var, x_mean, x_var

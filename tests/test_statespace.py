@@ -810,6 +810,60 @@ class TestDelayFamily:
         assert np.abs(d_fit - d_true).mean() < 0.1
 
 
+class TestStreaming:
+    """Online serving API (r4): per-observation O((p+G)^3) updates at
+    constant memory must reproduce the batch filter bitwise."""
+
+    def test_streaming_matches_batch(self):
+        G, T = 3, 9
+        t = jnp.linspace(0.5, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(5).normal(size=(G * T,)))
+        params = simm.init_params(G)._replace(
+            decay=jnp.asarray([0.4, 0.9, 0.6]),
+            sensitivity=jnp.asarray([1.0, 0.8, 1.2]),
+        )
+        v_batch = float(ss.lfm_mll_ss(params, t, y, jitter=1e-4,
+                                      parallel=False, uniform=False))
+        ys = y.reshape(G, T).T
+        carry, aux = ss.streaming_init(params)
+        rv = 1e-4 + params.obs_stddev**2
+        step = jax.jit(
+            lambda c, ti, yi: ss.streaming_update(c, aux, ti, yi, rv)
+        )
+        for i in range(T):
+            carry = step(carry, t[i], ys[i])
+        assert abs(v_batch - float(carry.ll)) < 1e-10 * max(
+            1.0, abs(v_batch)
+        )
+        # Filtered terminal moments match the batch filter to roundoff.
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale
+        )
+        dts = jnp.diff(t, prepend=jnp.zeros((1,), t.dtype))
+        a, q = ss.discretize(f_aug, p_inf, dts)
+        h = ss.gene_observation_matrix(10, G, 1, t.dtype)
+        ms, ps, _ = ss.kalman_filter(
+            a, q, h, jnp.full((G,), float(rv)),
+            ys - (params.basal / params.decay)[None, :], p0,
+        )
+        assert np.abs(np.asarray(carry.mean - ms[-1])).max() < 1e-12
+        assert np.abs(np.asarray(carry.cov - ps[-1])).max() < 1e-12
+
+    def test_streaming_forecast_and_masked_update(self):
+        G = 3
+        params = simm.init_params(G)
+        carry, aux = ss.streaming_init(params)
+        rv = 1e-4 + params.obs_stddev**2
+        y0 = jnp.asarray([1.0, jnp.nan, 0.5])
+        carry = ss.streaming_update(
+            carry, aux, 1.0, y0, rv, obs_mask=jnp.asarray([1.0, 0.0, 1.0])
+        )
+        assert bool(jnp.isfinite(carry.ll))
+        fm, fv, xm, xv = ss.streaming_predict(carry, aux, params, 3.0)
+        assert np.isfinite(float(fm)) and float(fv) > 0
+        assert xm.shape == (G,) and float(xv.min()) > 0
+
+
 class TestEKFNonlinear:
     """Extended Kalman engine for the nonlinear-response family (r4):
     approximate marginal likelihood with the force integrated out —
