@@ -1848,6 +1848,38 @@ def _run_dense_delay(config: cfg.RunConfig, scfg):
     mae_del = float(np.abs(del_fit - del_true).mean())
     print(f"Ground-truth recovery: corr(decay)={corr_d:.3f} "
           f"corr(delay)={corr_del:.3f} delay MAE={mae_del:.3f}")
+    if config.posterior_samples > 0:
+        # Full-Bayes (kinetics, delays) AT DENSE SCALE through the O(T G)
+        # warped-event likelihood (training.hmc.delay_posterior_ss) — the
+        # exact route's O(N^3)-per-gradient is impractical here.
+        from dis_project_tpu.training import hmc
+
+        n_draws = config.posterior_samples
+        print(f"Sampling (kinetics, delay) posterior at N={scfg.n_points} "
+              f"via the O(T G) warped-event likelihood: {n_draws} HMC "
+              f"draws ({n_draws} warmup)...")
+        t0p = time.perf_counter()
+        post = hmc.delay_posterior_ss(
+            p, tgrid, y, jax.random.PRNGKey(config.seed + 7),
+            jitter=config.exact_jitter,
+            num_warmup=n_draws, num_samples=n_draws,
+            num_chains=config.posterior_chains,
+        )
+        jax.block_until_ready(post.log_probs)
+        pooled = _finish_posterior(
+            post, t0p, config, data, "dense_delay_ss",
+            max_report_genes=10,
+        )
+        dvals = np.asarray(pooled.delay)
+        n_rep = min(10, dvals.shape[1])
+        extra = (f" (reporting the first {n_rep} of {dvals.shape[1]} "
+                 "genes)" if dvals.shape[1] > n_rep else "")
+        print(f"\nPosterior delays vs generating truth{extra}:")
+        for g_i in range(n_rep):
+            lo, hi = np.percentile(dvals[:, g_i], [5, 95])
+            print(f"  delay g{g_i:03d} {dvals[:, g_i].mean():.4f} "
+                  f"+/- {dvals[:, g_i].std():.4f} [{lo:.4f}, {hi:.4f}] "
+                  f"(true {del_true[g_i]:.4f})")
     if config.metrics_path:
         with open(config.metrics_path, "w") as f:
             for i, l in enumerate(hist.tolist()):
@@ -2118,11 +2150,12 @@ def main(argv=None):
             "minibatch's row axis over the device mesh)"
         )
     # dense10k + the state-space engine admits the posterior route: the
-    # O(T) likelihood is what makes HMC feasible at N >= 1e4.
+    # O(T) likelihood is what makes HMC feasible at N >= 1e4 (first-order
+    # simm, and r4 the delay family through the warped-event likelihood).
     dense_ss_posterior = (
         config.preset == "dense10k"
         and config.mll_engine == "ss"
-        and config.model == "simm"
+        and config.model in ("simm", "delaysimm")
     )
     if config.posterior_samples and (
         (config.preset in ("alfi-parity", "dense10k", "sparse100k")

@@ -567,3 +567,49 @@ def kinetics_posterior_ss(
         dict(num_warmup=num_warmup, num_samples=num_samples,
              num_leapfrog=num_leapfrog),
     )
+
+
+def delay_posterior_ss(
+    params,
+    timepoints,
+    y,
+    key,
+    *,
+    jitter: float,
+    num_warmup: int = 400,
+    num_samples: int = 400,
+    num_leapfrog: int = 10,
+    num_chains: int = 1,
+    mesh=None,
+    order: int = 10,
+):
+    """Posterior over (kinetics, per-gene delays) with the O(T G)
+    warped-event state-space likelihood
+    (:func:`dis_project_tpu.ops.statespace.delaysimm_mll_ss`) — the
+    dense-scale full-Bayes route for the delay family, where the exact
+    route's O(N^3)-per-gradient is impractical. Same conventions as
+    :func:`kinetics_posterior_ss` (flat prior in constrained space) and
+    the same UNCLAMPED-model caveat as the exact delay posterior
+    (``models.delaysimm.kinetics_posterior``): the gene-0 delay anchor is
+    a point constraint the posterior does not impose, so delays show the
+    weak common-shift mode the anchor exists to resolve.
+    """
+    from dis_project_tpu.models import delaysimm
+    from dis_project_tpu.ops import bijectors as bij
+    from dis_project_tpu.ops import statespace as ss_ops
+
+    y = y.reshape(-1)
+    t = jnp.asarray(timepoints)
+
+    def logdensity(raw):
+        p = delaysimm.constrain(raw)
+        return ss_ops.delaysimm_mll_ss(
+            p, t, y, jitter=jitter, order=order
+        ) + bij.constrain_log_det(raw, delaysimm.DELAY_BIJECTORS)
+
+    return sample_constrained(
+        logdensity, delaysimm.unconstrain(params), key, num_chains, mesh,
+        delaysimm.constrain,
+        dict(num_warmup=num_warmup, num_samples=num_samples,
+             num_leapfrog=num_leapfrog),
+    )

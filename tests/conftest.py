@@ -79,6 +79,7 @@ SLOW_NODEID_PATTERNS = (
     "test_nlfm.py::test_hmc_smoke",
     "test_cli.py::TestPipelineEntry::test_nonlinear_posterior_force_band_smoke",
     # full-pipeline CLI integration (r2): legacy-checkpoint warm start
+    "test_cli.py::TestPipelineEntry::test_dense_delay_ss_posterior_smoke",
     "test_cli.py::TestPipelineEntry::test_resume_from_legacy_checkpoint",
     # second-order route end-to-end (~70 s CPU: complex-erf Gram compiles)
     "test_cli.py::TestPipelineEntry::test_second_order_route_smoke",

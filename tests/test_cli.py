@@ -269,6 +269,25 @@ class TestPipelineEntry:
                 "--data-source", "synthetic",
             ])
 
+    def test_dense_delay_ss_posterior_smoke(self, tmp_path):
+        """--preset dense10k --model delaysimm --mll-engine ss
+        --posterior-samples: full-Bayes (kinetics, delays) through the
+        warped-event likelihood — the accept line, the capped CI table
+        and the posterior-delay-vs-truth table print."""
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            model="delaysimm",
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=24,
+            mll_engine="ss",
+            posterior_samples=8,
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+
     def test_dense_nlfm_ekf_route_smoke(self, tmp_path):
         """run_dense with --model nlfm --mll-engine ss: the extended
         Kalman marginal route (force integrated out); plain dense10k nlfm
