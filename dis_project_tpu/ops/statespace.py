@@ -27,10 +27,13 @@ smoothing solutions to temporal Gaussian process regression models"):
    filter: O(T (p+G)^3) FLOPs, O((p+G)^2) working memory — linear in the
    number of timepoints instead of cubic in N = G*T*R.
 3. On TPU the filter runs either as a ``lax.scan`` (sequential, minimal
-   memory) or as a parallel prefix over the filtering semigroup
-   (``jax.lax.associative_scan``; Sarkka & Garcia-Fernandez 2021,
-   "Temporal parallelization of Bayesian smoothers") — log-depth in T,
-   every level a batched (T, m, m) matmul on the MXU.
+   memory — the measured single-device default, see
+   ``_AUTO_PARALLEL_NOTE``) or as a parallel prefix over the filtering
+   semigroup (``jax.lax.associative_scan``; Sarkka & Garcia-Fernandez
+   2021, "Temporal parallelization of Bayesian smoothers") — log-depth
+   in T, every level a batched (T, m, m) matmul on the MXU; the
+   factorisation's real payoff is the TEMPORALLY-SHARDED filter, where
+   it buys cross-device parallelism.
 
 Numerical design: the force SDE is built host-side in a **balanced
 realization** (controllability and observability Gramians equal and
@@ -66,6 +69,26 @@ import jax.numpy as jnp
 import numpy as np
 
 LOG_2PI = 1.8378770664093453
+
+# _AUTO_PARALLEL_NOTE — measured dispatch for ``parallel=None`` (r4):
+# the associative-scan filter was assumed to beat the sequential scan on
+# TPU from T >= 64 ("log-depth vs a T-step chain"). A v5e sweep refuted
+# that at EVERY single-device shape tried — sequential wins 1.1x-2.3x:
+#
+#   G=2/8/22/64, T=128:   par 1.80/3.01/5.58/14.90 ms
+#                         seq 1.53/1.67/3.15/ 6.58 ms
+#   G=2/8/22,   T=1024:   par 11.84/18.96/36.30  seq 10.50/13.68/21.47
+#   G=2 T=8192, G=8 T=4096: par 92.2/75.6        seq 83.4/54.5
+#
+# Cause: one combine costs ~4x a filter step (5-field elements, two
+# batched LU solves + five (m, m) matmuls), and the scan does T combines
+# PER LEVEL x log2(T) levels — an O(log T) WORK multiplier the depth
+# saving never repays at these state sizes on one core, while the
+# sequential scan's small matmuls pipeline well. ``parallel=None``
+# therefore resolves to the sequential scan everywhere single-device;
+# ``parallel=True`` stays available (and the TEMPORALLY-SHARDED filter
+# keeps its local associative scans — there the factorisation buys
+# cross-device parallelism, not just depth).
 
 
 def _pin_precision(fn):
@@ -1107,10 +1130,11 @@ def lfm_mll_ss(
     filtering instead of O((GTR)^3) by Cholesky.
 
     ``params``: a SIMMParams-like namedtuple (basal/sensitivity/decay/
-    lengthscale/obs_stddev). ``parallel=None`` auto-selects the
-    associative-scan filter on TPU for T >= 64 (log-depth beats the
-    sequential scan's T small-matmul chain there); explicit True/False
-    forces it. ``uniform=True`` (a static promise about the grid — every
+    lengthscale/obs_stddev). ``parallel=None`` resolves to the SEQUENTIAL
+    scan (the r4 v5e sweep — ``_AUTO_PARALLEL_NOTE`` above — measured it
+    1.1x-2.3x faster than the associative scan at every single-device
+    shape: the combine's O(log T) work multiplier never repays the depth
+    saving); explicit True/False forces it. ``uniform=True`` (a static promise about the grid — every
     gridded caller passes linspace) discretizes ONCE and shares (A, Q)
     across steps; the step from the t=0 prior to ``t[0]`` gets its own
     transition and runs outside the scan, so grids starting anywhere are
@@ -1161,8 +1185,7 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
     t_steps = t.shape[0]
     n_o = mean_obs.shape[0]
     if parallel is None:
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        parallel = on_tpu and t_steps >= 64
+        parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
 
     # y arrives block-major ((R blocks of) G blocks of T): -> (T, n_o).
     ys = y.reshape(n_o, t_steps).T - mean_obs[None, :]
@@ -1408,8 +1431,7 @@ def delaysimm_mll_ss(
         )
         return ll
     if parallel is None:
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        parallel = on_tpu and n_ev >= 64
+        parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
     fil = parallel_filter if parallel else kalman_filter
     _, _, ll = fil(a, q, h, r_var, ys_ev, p0, obs_mask=om_ev)
     return ll
@@ -1516,8 +1538,7 @@ def delaysimm_predict_ss(
         ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
     else:
         if parallel is None:
-            on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            parallel = on_tpu and n_ev >= 64
+            parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
         fil = parallel_filter if parallel else kalman_filter
         smo = parallel_rts_smoother if parallel else rts_smoother
         ms, ps, _ = fil(a, q, h, rv_ev, ys_ev, p0, mask=is_train,
@@ -1609,9 +1630,10 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
     the smoothed state ``(m_t, p_t)`` at the test times (means centered —
     callers add their family's observation mean back).
 
-    ``parallel=None`` auto-selects the log-depth associative-scan filter
-    AND smoother on TPU for union grids >= 64 steps (the same rule as
-    :func:`_gridded_ssm_mll`); explicit True/False forces it.
+    ``parallel=None`` resolves to the sequential filter AND smoother
+    (the same measured dispatch as :func:`_gridded_ssm_mll` —
+    ``_AUTO_PARALLEL_NOTE``); explicit True/False forces the log-depth
+    associative-scan pair.
     ``shard=(mesh, axis)`` shards the TIME axis over the mesh for both
     passes (:func:`sharded_parallel_filter` +
     :func:`sharded_rts_smoother`) — prediction then scales over devices
@@ -1674,8 +1696,7 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
         ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
     else:
         if parallel is None:
-            on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            parallel = on_tpu and n_all >= 64
+            parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
         fil = parallel_filter if parallel else kalman_filter
         smo = parallel_rts_smoother if parallel else rts_smoother
         ms, ps, _ = fil(a, q, h, rv_all, ys, p0, mask=is_train,
