@@ -486,8 +486,9 @@ def bench_ss_engine(n=8192, genes=64, dtype=jnp.float32):
         t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
         y = jnp.asarray(rng.standard_normal(n) * 0.5 + 1.0, dtype)
         raw0 = simm.unconstrain(simm.init_params(genes, dtype=dtype))
-        # parallel=None: the engine's own schedule policy (associative-scan
-        # filter on TPU at this T, sequential scan on CPU fallback).
+        # parallel=None: the engine's own schedule policy (the measured
+        # dispatch — sequential scan everywhere single-device since r4,
+        # see ops.statespace._AUTO_PARALLEL_NOTE).
         vg = jax.value_and_grad(
             lambda r, yy: -ss_ops.lfm_mll_ss(
                 simm.constrain(r), t, yy, jitter=1e-4, parallel=None

@@ -91,22 +91,30 @@ LOG_2PI = 1.8378770664093453
 # cross-device parallelism, not just depth).
 
 
-def _pin_precision(fn):
-    """Pin HIGHEST matmul precision over the function's trace.
+# Matmul precision pinned over every engine entry point (read at CALL
+# time, so it is overridable for experiments). TPU's default f32 matmul
+# is a single-pass bf16 product (~1e-2 rel error); a Gram matmul
+# tolerates it, but the filter's T-step covariance recurrence
+# ``P <- A P A^T + Q`` compounds it — measured on v5e (G=10, T=40, f32):
+# the MLL is ~1.7 nats off at init and the training trajectory is NaN
+# within one Adam step, while the identical program on CPU f32 is clean
+# (r3; pinned by the on-device lane, tests/test_tpu_lane.py).
+#
+# r4 tier sweep at the dense10k shape (G=64, T=128, value+grad, v5e):
+# highest 11.39 ms / reference; high (3-pass) 11.15 ms but 0.154 nats
+# off; default 11.03 ms and NaN. The engine is SEQUENTIAL-CHAIN-latency
+# bound, not matmul-throughput bound, so cheaper precision buys ~2% at a
+# real accuracy cost — "highest" stays.
+SS_MATMUL_PRECISION = "highest"
 
-    TPU's default f32 matmul is a single-pass bf16 product (~1e-2 rel
-    error); a Gram matmul tolerates it, but the filter's T-step covariance
-    recurrence ``P <- A P A^T + Q`` compounds it — measured on v5e
-    (G=10, T=40, f32): the MLL is ~1.7 nats off at init and the training
-    trajectory is NaN within one Adam step, while the identical program on
-    CPU f32 is clean. Every matrix in the engine is tiny (m = p + G), so
-    3-pass precision costs nothing; this makes f32-on-TPU match
-    f32-on-CPU and is pinned by the on-device lane
-    (``tests/test_tpu_lane.py``)."""
+
+def _pin_precision(fn):
+    """Pin ``SS_MATMUL_PRECISION`` matmuls over the function's trace
+    (see the constant's rationale above)."""
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(SS_MATMUL_PRECISION):
             return fn(*args, **kwargs)
 
     return wrapped
