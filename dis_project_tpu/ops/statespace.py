@@ -891,9 +891,7 @@ def rts_smoother(a, q, ms, ps):
     # RELATIVE cutoff — deterministic directions get zero correction
     # (their filtered moments are already exact), live directions are
     # untouched.
-    rcond = jnp.asarray(
-        1e-12 if ms.dtype == jnp.float64 else 1e-6, ms.dtype
-    )
+    rcond = _rts_rcond(ms.dtype)
 
     def step(carry, xs):
         m_next_s, p_next_s = carry
@@ -903,9 +901,7 @@ def rts_smoother(a, q, ms, ps):
         else:
             m_f, p_f, a_i, q_i = xs
         p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i)
-        w, v = jnp.linalg.eigh(p_pred)
-        w_inv = jnp.where(w > rcond * w[-1], 1.0 / w, 0.0)
-        gain = ((p_f @ a_i.T) @ v) * w_inv[None, :] @ v.T
+        gain = _pseudo_gain(p_f @ a_i.T, p_pred, rcond)
         m_s = m_f + gain @ (m_next_s - a_i @ m_f)
         p_s = _symmetrize(p_f + gain @ (p_next_s - p_pred) @ gain.T)
         return (m_s, p_s), (m_s, p_s)
@@ -928,6 +924,21 @@ def _rts_rcond(dtype):
     return jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
 
 
+def _pseudo_gain(p_f_at, p_pred, rcond):
+    """RTS gain ``(P_f A^T) P_pred^+`` via the eigendecomposition
+    pseudo-solve with a RELATIVE cutoff — the ONE copy of the
+    numerically-delicate kernel every smoother shares (the r3 fixed-ridge
+    bug was re-tuned here; keeping three copies in sync is how it comes
+    back). The cutoff uses the double-``where`` form so gradients stay
+    finite through cut-off eigenvalues (``1/w`` differentiated at w≈0 is
+    the classic where-NaN trap — deterministic directions like the t=0
+    gene block guarantee cut-off eigenvalues on EVERY call)."""
+    w, v = jnp.linalg.eigh(_symmetrize(p_pred))
+    keep = w > rcond * w[-1]
+    w_inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+    return (p_f_at @ v) * w_inv[None, :] @ v.T
+
+
 def _smoother_element(a_i, q_i, m_f, p_f, rcond):
     """Per-step element of the SMOOTHING semigroup (Sarkka &
     Garcia-Fernandez 2021, sec. IV): ``(E, g, L)`` such that
@@ -941,9 +952,7 @@ def _smoother_element(a_i, q_i, m_f, p_f, rcond):
     duplicates) get zero correction instead of a ridge-perturbed one.
     """
     p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i)
-    w, v = jnp.linalg.eigh(p_pred)
-    w_inv = jnp.where(w > rcond * w[-1], 1.0 / w, 0.0)
-    gain = ((p_f @ a_i.T) @ v) * w_inv[None, :] @ v.T
+    gain = _pseudo_gain(p_f @ a_i.T, p_pred, rcond)
     g_vec = m_f - gain @ (a_i @ m_f)
     l_mat = _symmetrize(p_f - gain @ p_pred @ gain.T)
     return gain, g_vec, l_mat
@@ -1892,7 +1901,8 @@ def _nlfm_ekf_pieces(params, response: str, order: int):
     return drift, jac, qc, m0, p0, h_force, dtype, m
 
 
-def _ekf_propagate(drift, jac, qc, mz, P, phi, dt, substeps: int):
+def _ekf_propagate(drift, jac, qc, mz, P, phi, dt, substeps: int,
+                   with_phi: bool = True):
     """RK4 integration of the joint EKF moment ODE over one interval:
 
         dm/dt   = a(m)
@@ -1908,10 +1918,13 @@ def _ekf_propagate(drift, jac, qc, mz, P, phi, dt, substeps: int):
     def ode(state):
         mz, P, phi = state
         J = jac(mz)
+        # The MLL path never reads Phi — skip its matmul (one of three
+        # per ODE evaluation) so the training hot loop does not pay for
+        # the smoother's sensitivity.
         return (
             drift(mz),
             J @ P + P @ J.T + qc,
-            J @ phi,
+            J @ phi if with_phi else phi,
         )
 
     def rk4_step(carry, _):
@@ -1988,7 +2001,7 @@ def nlfm_mll_ekf(
         mz, P, ll = carry
         dt_i, y_i = xs
         mz, P, _ = _ekf_propagate(drift, jac, qc, mz, P, eye_m, dt_i,
-                                  substeps)
+                                  substeps, with_phi=False)
         mz, P, ll_i = _joseph_update(mz, P, h, r_var, y_i)
         return (mz, P, ll + ll_i), None
 
@@ -2015,9 +2028,7 @@ def _ekf_rts_smoother(phis, ms, ps, m_preds, p_preds):
     def step(carry, xs):
         m_next_s, p_next_s = carry
         m_f, p_f, phi_next, m_pred_next, p_pred_next = xs
-        w, v = jnp.linalg.eigh(_symmetrize(p_pred_next))
-        w_inv = jnp.where(w > rcond * w[-1], 1.0 / w, 0.0)
-        gain = ((p_f @ phi_next.T) @ v) * w_inv[None, :] @ v.T
+        gain = _pseudo_gain(p_f @ phi_next.T, p_pred_next, rcond)
         m_s = m_f + gain @ (m_next_s - m_pred_next)
         p_s = _symmetrize(
             p_f + gain @ (p_next_s - p_pred_next) @ gain.T
@@ -2175,11 +2186,19 @@ def streaming_update(carry: FilterCarry, aux, t_new, y_new, noise_var,
     accumulate the likelihood. ``noise_var``: (n_o,) or scalar;
     ``obs_mask``: optional (n_o,) {0,1} per-entry missingness (masked
     entries may be NaN — deleted exactly, as the batch filter).
-    Returns the new carry."""
+    Returns the new carry.
+
+    Out-of-order times are CHECKED: ``t_new < carry.t_last`` poisons the
+    carry's ``ll`` to NaN at THIS call (a negative dt would otherwise
+    make the discretized transition expansive and the noise increment
+    negative-definite — silent covariance corruption that surfaces many
+    updates later). Replay/reordering buffers belong upstream of this
+    API."""
     f_aug, p_inf, h, mean_obs, _ = aux
     dtype = carry.mean.dtype
     n_o = mean_obs.shape[0]
     t_new = jnp.asarray(t_new, dtype)
+    in_order = t_new >= carry.t_last
     yc = jnp.asarray(y_new, dtype) - mean_obs
     rv = jnp.broadcast_to(jnp.asarray(noise_var, dtype), (n_o,))
     a, q = discretize(f_aug, p_inf, t_new - carry.t_last)
@@ -2194,8 +2213,15 @@ def streaming_update(carry: FilterCarry, aux, t_new, y_new, noise_var,
         h_u, rv_u, yc_u = h, rv, yc
         corr = jnp.zeros((), dtype)
     m_up, p_up, ll_i = _joseph_update(m_pred, p_pred, h_u, rv_u, yc_u)
+    # Out-of-order: the moments stay at the (valid) pre-call state and
+    # only the ll is poisoned — the error is visible without corrupting
+    # the filter.
+    nan = jnp.asarray(jnp.nan, dtype)
     return FilterCarry(
-        mean=m_up, cov=p_up, t_last=t_new, ll=carry.ll + ll_i + corr
+        mean=jnp.where(in_order, m_up, carry.mean),
+        cov=jnp.where(in_order, p_up, carry.cov),
+        t_last=jnp.maximum(t_new, carry.t_last),
+        ll=jnp.where(in_order, carry.ll + ll_i + corr, nan),
     )
 
 

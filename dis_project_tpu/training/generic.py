@@ -44,6 +44,11 @@ class LoopResult:
     param_trace: Optional[Any] = None  # stacked constrained params
     opt_state: Optional[Any] = None
     guard_flags: Optional[jnp.ndarray] = None  # (num_iters,) bool — guard fired
+    # Final (good, streak, count) guard carry — pass back as
+    # ``init_guard`` so segmented runs reproduce the unsegmented one
+    # exactly (the escalation ladder and backtrack point survive the
+    # segment boundary).
+    guard_state: Optional[Tuple] = None
 
     @property
     def guard_count(self) -> int:
@@ -104,6 +109,14 @@ def guarded_transition(value_and_grad, do_update, raw, opt_state, good,
     def bad_branch(_):
         g_raw, g_opt = good
         loss_g, grads_g = value_and_grad(g_raw)
+        # The backtrack point can itself be non-finite in exactly one
+        # case: the INITIAL point (``good`` is otherwise only ever set
+        # from a point that just evaluated finite). Applying updates
+        # computed from NaN gradients would wander the trajectory to
+        # all-NaN; freeze at the good point instead (scale -> 0) so the
+        # run sits still and the recorded non-finite losses point at the
+        # real problem — a non-finite starting point.
+        ok_g = jnp.isfinite(loss_g) & tree_isfinite(grads_g)
         updates, opt2 = do_update(grads_g, g_opt, g_raw, loss_g)
         s = streak + 1
         k = jnp.minimum((s + 1) // 2, 8)
@@ -113,8 +126,15 @@ def guarded_transition(value_and_grad, do_update, raw, opt_state, good,
             jnp.power(jnp.asarray(0.5, dt), k),
             jnp.power(jnp.asarray(2.0, dt), k),
         )
+        scale = jnp.where(ok_g, scale, jnp.zeros_like(scale))
         scaled = jax.tree.map(lambda u: u * scale.astype(u.dtype), updates)
         new_raw = optax.apply_updates(g_raw, scaled)
+        # 0 * NaN is still NaN and the optimizer moments also saw the NaN
+        # gradients — on the freeze path keep raw AND opt state verbatim.
+        new_raw = jax.tree.map(
+            lambda a, b: jnp.where(ok_g, a, b), new_raw, g_raw
+        )
+        opt2 = jax.tree.map(lambda a, b: jnp.where(ok_g, a, b), opt2, g_opt)
         return new_raw, opt2, (g_raw, g_opt), s, count + 1, loss_g, grads_g
 
     out = jax.lax.cond(ok, good_branch, bad_branch, None)
@@ -141,6 +161,7 @@ def fit_loop(
     track_parameters: bool = False,
     init_state: Optional[Tuple[Any, Any]] = None,
     finite_guard: bool = True,
+    init_guard: Optional[Tuple] = None,
 ) -> LoopResult:
     """Minimise ``loss_fn`` over the raw pytree; ONE compiled program.
 
@@ -173,7 +194,7 @@ def fit_loop(
         return optimizer.update(grads, opt_state, raw)
 
     @jax.jit
-    def run(raw0, init_state):
+    def run(raw0, init_state, init_guard):
         if init_state is not None:
             raw, opt_state = init_state
         else:
@@ -207,18 +228,25 @@ def fit_loop(
             )
             return carry, out
 
-        init_carry = (
-            (raw, opt_state, (raw, opt_state),
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-            if finite_guard
-            else (raw, opt_state)
-        )
+        if finite_guard:
+            good0, streak0, count0 = (
+                init_guard
+                if init_guard is not None
+                else ((raw, opt_state), jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32))
+            )
+            init_carry = (raw, opt_state, good0, streak0, count0)
+        else:
+            init_carry = (raw, opt_state)
         final_carry, outs = jax.lax.scan(
             step_fn, init_carry, None, length=num_iters
         )
-        return final_carry[0], final_carry[1], outs
+        guard_final = final_carry[2:] if finite_guard else None
+        return final_carry[0], final_carry[1], guard_final, outs
 
-    raw_final, opt_state_final, outs = run(raw0, init_state)
+    raw_final, opt_state_final, guard_final, outs = run(
+        raw0, init_state, init_guard
+    )
     guard_flags = None
     if finite_guard:
         if track_parameters:
@@ -239,6 +267,7 @@ def fit_loop(
         param_trace=trace,
         opt_state=opt_state_final,
         guard_flags=guard_flags,
+        guard_state=guard_final,
     )
 
 
@@ -274,15 +303,39 @@ def fit_checkpointed(
     raw = jax.jit(clamp_raw)(raw0) if clamp_raw is not None else raw0
     opt_state = opt.init(raw)
     step = 0
+    guard = None  # (good, streak, count) threaded across segments
+
+    def _guard_ckpt(g):
+        good, streak, count = g
+        return {"guard_raw": good[0], "guard_opt": good[1],
+                "guard_streak": streak, "guard_count": count}
 
     if resume:
         latest = ckpt.latest_step(directory)
         if latest is not None and latest > 0:
-            restored = ckpt.restore(
-                directory,
-                latest,
-                template={"raw": raw, "opt_state": opt_state, "step": 0},
-            )
+            guard0 = ((raw, opt_state), jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32))
+            try:
+                restored = ckpt.restore(
+                    directory,
+                    latest,
+                    template={"raw": raw, "opt_state": opt_state,
+                              "step": 0, **_guard_ckpt(guard0)},
+                )
+                guard = (
+                    (restored["guard_raw"], restored["guard_opt"]),
+                    restored["guard_streak"], restored["guard_count"],
+                )
+            except Exception:
+                # Pre-r4 checkpoint without the guard carry: resume the
+                # trajectory; the guard re-anchors at the restored point
+                # (exactly the old behavior).
+                restored = ckpt.restore(
+                    directory,
+                    latest,
+                    template={"raw": raw, "opt_state": opt_state,
+                              "step": 0},
+                )
             raw, opt_state = restored["raw"], restored["opt_state"]
             step = int(restored["step"])
 
@@ -300,16 +353,23 @@ def fit_checkpointed(
             clamp_raw=clamp_raw,
             track_parameters=track_parameters,
             init_state=(raw, opt_state),
+            init_guard=guard,
         )
         raw, opt_state = result.raw, result.opt_state
+        guard = result.guard_state
         step += seg
         histories.append(np.asarray(result.history))
         grad_norms.append(np.asarray(result.grad_norms))
         if track_parameters and result.param_trace is not None:
             traces.append(result.param_trace)
+        # Persist the guard carry too: a resumed run then continues the
+        # escalation ladder AND keeps a known-good backtrack point even
+        # if the segment's final update landed in a non-finite region
+        # (the poisoned-save scenario).
         ckpt.save(
             directory,
-            {"raw": raw, "opt_state": opt_state, "step": step},
+            {"raw": raw, "opt_state": opt_state, "step": step,
+             **_guard_ckpt(guard)},
             step=step,
         )
 

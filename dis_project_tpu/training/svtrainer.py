@@ -92,15 +92,20 @@ def fit(
     parameters and optimizer state stay replicated. This is a pure
     scheduling change: the compiled program computes the identical
     update, so the sharded trajectory matches the single-device one to
-    roundoff (pinned in ``tests/test_svlfm.py``). The batch size is
-    rounded UP to a multiple of the axis size so every device gets an
-    equal row shard.
+    roundoff (pinned in ``tests/test_svlfm.py``) WHEN the batch size is
+    already a multiple of the axis size; otherwise it is rounded UP to
+    the next full row shard (capped at the largest multiple <= N when
+    the dataset is smaller than one batch), which changes the batch
+    partition — a different but equally valid schedule.
     """
     n = x.shape[0]
     bs = min(config.batch_size, n)
     if mesh is not None:
         n_dev = mesh.shape[axis]
-        bs = min(-(-bs // n_dev) * n_dev, n - (n % n_dev))
+        bs_up = -(-bs // n_dev) * n_dev  # round UP to a full row shard
+        if bs_up > n:
+            bs_up = (n // n_dev) * n_dev  # dataset smaller than one batch
+        bs = bs_up
         if bs <= 0:
             raise ValueError(
                 f"data-parallel SVI needs at least one full row shard: "

@@ -61,6 +61,9 @@ class TrainResult:
     raw_params: Optional[SIMMParams] = None  # final unconstrained params
     opt_state: Optional[object] = None  # final optimizer state (resume)
     guard_flags: Optional[jnp.ndarray] = None  # (num_iters,) bool
+    # Final (good, streak, count) guard carry — pass back as fit()'s
+    # init_guard so segmented runs match the unsegmented one exactly.
+    guard_state: Optional[tuple] = None
 
     @property
     def guard_count(self) -> int:
@@ -88,6 +91,7 @@ def fit(
     init_state: Optional[Tuple] = None,
     step_offset: int = 0,
     gridded: Optional[Tuple] = None,
+    init_guard: Optional[Tuple] = None,
 ) -> TrainResult:
     """Train to the (negative) exact MLL. The full loop is one XLA program.
 
@@ -196,10 +200,13 @@ def fit(
         return carry, out
 
     if config.finite_guard:
-        init_carry = (
-            raw0, opt_state0, (raw0, opt_state0),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        good0, streak0, count0 = (
+            init_guard
+            if init_guard is not None
+            else ((raw0, opt_state0), jnp.asarray(0, jnp.int32),
+                  jnp.asarray(0, jnp.int32))
         )
+        init_carry = (raw0, opt_state0, good0, streak0, count0)
     else:
         init_carry = (raw0, opt_state0)
     final_carry, outs = jax.lax.scan(
@@ -208,6 +215,7 @@ def fit(
         jnp.arange(step_offset, step_offset + config.num_iters),
     )
     raw_final, opt_state_final = final_carry[0], final_carry[1]
+    guard_state_final = final_carry[2:] if config.finite_guard else None
 
     trained = simm.constrain(raw_final)
     if config.fix_params:
@@ -238,6 +246,7 @@ def fit(
         raw_params=raw_final,
         opt_state=opt_state_final,
         guard_flags=guard_flags,
+        guard_state=guard_state_final,
     )
 
 
@@ -265,13 +274,36 @@ def fit_checkpointed(
     opt_state = optimizer.init(raw)
     step = 0
 
+    guard = None  # (good, streak, count) threaded across segments
+
+    def _guard_ckpt(g):
+        good, streak, count = g
+        return {"guard_raw": good[0], "guard_opt": good[1],
+                "guard_streak": streak, "guard_count": count}
+
     latest = ckpt.latest_step(directory)
     if latest is not None and latest > 0:
-        restored = ckpt.restore(
-            directory,
-            latest,
-            template={"raw": raw, "opt_state": opt_state, "step": 0},
-        )
+        guard0 = ((raw, opt_state), jnp.asarray(0, jnp.int32),
+                  jnp.asarray(0, jnp.int32))
+        try:
+            restored = ckpt.restore(
+                directory,
+                latest,
+                template={"raw": raw, "opt_state": opt_state, "step": 0,
+                          **_guard_ckpt(guard0)},
+            )
+            guard = (
+                (restored["guard_raw"], restored["guard_opt"]),
+                restored["guard_streak"], restored["guard_count"],
+            )
+        except Exception:
+            # Pre-r4 checkpoint without the guard carry: the guard
+            # re-anchors at the restored point (the old behavior).
+            restored = ckpt.restore(
+                directory,
+                latest,
+                template={"raw": raw, "opt_state": opt_state, "step": 0},
+            )
         raw, opt_state = restored["raw"], restored["opt_state"]
         step = int(restored["step"])
 
@@ -283,18 +315,22 @@ def fit_checkpointed(
         result = fit(
             model, params, x, y, seg_cfg, optimizer=optimizer,
             init_state=(raw, opt_state), step_offset=step,
+            init_guard=guard,
         )
         raw, opt_state = result.raw_params, result.opt_state
+        guard = result.guard_state
         step += seg
         histories.append(np.asarray(result.history))
         grad_norms.append(np.asarray(result.grad_norms))
         if result.guard_flags is not None:
             guard_flags.append(np.asarray(result.guard_flags))
-        ckpt.save(
-            directory,
-            {"raw": raw, "opt_state": opt_state, "step": step},
-            step=step,
-        )
+        # Persist the guard carry too: a resumed run continues the
+        # escalation ladder and keeps a known-good backtrack point even
+        # if the segment's final update landed non-finite.
+        save_payload = {"raw": raw, "opt_state": opt_state, "step": step}
+        if guard is not None:
+            save_payload.update(_guard_ckpt(guard))
+        ckpt.save(directory, save_payload, step=step)
 
     if result is None:  # already complete on entry
         trained = simm.constrain(raw)

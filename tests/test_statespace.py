@@ -849,6 +849,21 @@ class TestStreaming:
         assert np.abs(np.asarray(carry.mean - ms[-1])).max() < 1e-12
         assert np.abs(np.asarray(carry.cov - ps[-1])).max() < 1e-12
 
+    def test_streaming_out_of_order_poisons_ll_not_state(self):
+        """t_new < t_last must NaN the accumulated ll at THIS call while
+        leaving the filter moments at their valid pre-call state (r4
+        review: a negative dt silently corrupted the covariance)."""
+        G = 2
+        params = simm.init_params(G)
+        carry, aux = ss.streaming_init(params)
+        rv = 1e-4 + params.obs_stddev**2
+        carry = ss.streaming_update(carry, aux, 2.0, jnp.ones(G), rv)
+        good_mean = np.asarray(carry.mean)
+        bad = ss.streaming_update(carry, aux, 1.0, jnp.ones(G), rv)
+        assert not np.isfinite(float(bad.ll))
+        assert np.array_equal(np.asarray(bad.mean), good_mean)
+        assert float(bad.t_last) == 2.0
+
     def test_streaming_forecast_and_masked_update(self):
         G = 3
         params = simm.init_params(G)

@@ -252,6 +252,69 @@ class TestFiniteGuard:
         assert np.all(np.isfinite(np.asarray(res.history)))
         assert abs(float(res.raw) - target) < 0.35
 
+    def test_nonfinite_start_freezes_instead_of_nan_wandering(self):
+        """If the INITIAL point is non-finite (the one case where the
+        backtrack target itself is bad), the guard must freeze there —
+        raw and optimizer state unchanged, count incrementing — instead
+        of applying NaN updates and wandering to all-NaN (r4 review)."""
+        from dis_project_tpu.training import generic
+
+        def loss_fn(x):
+            return jnp.where(x < 100.0, jnp.nan, (x - 100.0) ** 2).sum()
+
+        x0 = jnp.zeros(())  # loss(x0) = NaN, and so is every backtrack
+        res = generic.fit_loop(
+            loss_fn, x0, num_iters=10, learning_rate=0.5,
+            optimizer="adam",
+        )
+        assert res.guard_count == 10
+        assert float(res.raw) == 0.0  # frozen, not NaN
+        # The history honestly records the non-finite losses.
+        assert not np.isfinite(np.asarray(res.history)).any()
+
+    def test_guard_carry_survives_segmentation(self):
+        """Segmented fit_loop (via init_guard threading) reproduces the
+        unsegmented guarded trajectory exactly — the escalation ladder
+        and backtrack point cross the boundary (r4 review: previously
+        the carry re-anchored every segment)."""
+        from dis_project_tpu.training import generic
+
+        target = 5.0
+
+        def loss_fn(x):
+            val = (x - target) ** 2
+            bad = (x > 2.3) & (x < 2.6)
+            return jnp.where(bad, jnp.nan, val).sum()
+
+        full = generic.fit_loop(
+            loss_fn, jnp.zeros(()), num_iters=60, learning_rate=0.5,
+            optimizer="adam",
+        )
+        # Segment at every 7 steps — boundaries land inside the NaN
+        # pocket's recovery phase.
+        raw, opt_state, guard = jnp.zeros(()), None, None
+        hists = []
+        import optax
+
+        opt = optax.adam(0.5)
+        raw_c, opt_state = raw, opt.init(raw)
+        for seg in (7, 7, 7, 7, 7, 7, 7, 11):
+            r = generic.fit_loop(
+                loss_fn, raw_c, num_iters=seg, learning_rate=0.5,
+                optimizer=opt, init_state=(raw_c, opt_state),
+                init_guard=guard,
+            )
+            raw_c, opt_state, guard = r.raw, r.opt_state, r.guard_state
+            hists.append(np.asarray(r.history))
+        seg_hist = np.concatenate(hists)
+        full_hist = np.asarray(full.history)
+        mask = np.isfinite(full_hist)
+        assert (np.isfinite(seg_hist) == mask).all()
+        np.testing.assert_allclose(
+            seg_hist[mask], full_hist[mask], rtol=1e-12
+        )
+        assert abs(float(raw_c) - float(full.raw)) < 1e-12
+
 
 def test_bijector_roundtrip():
     p = simm.init_params(5)
