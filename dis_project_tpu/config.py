@@ -53,6 +53,11 @@ class RunConfig:
     # state-space engine: split the TIME axis of the Kalman filter over
     # every visible device (sequence parallelism; requires --mll-engine ss)
     ss_shard: bool = False
+    # state-space engine force prior: 'rbf' (the reference-consistent
+    # prior, order-10 SDE approximation) or an EXACT Matern
+    # ('matern12'/'matern32'/'matern52') the dense closed forms cannot
+    # express (requires --mll-engine ss)
+    force_kernel: str = "rbf"
     # sparse path: data-parallel SVI — shard each minibatch's ROW axis over
     # every visible device (per-device ELBO shards, psum'd grads; requires
     # --preset sparse100k)
@@ -159,6 +164,13 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
                         "visible device, local associative scans, one "
                         "all-gather of chunk composites (exact; requires "
                         "--mll-engine ss)")
+    parser.add_argument("--force-kernel", default=d.force_kernel,
+                        choices=["rbf", "matern12", "matern32", "matern52"],
+                        help="state-space engine force prior: 'rbf' "
+                        "(reference-consistent, order-10 SDE "
+                        "approximation) or an EXACT Matern family the "
+                        "closed-form dense Gram cannot express (requires "
+                        "--mll-engine ss, first-order simm route)")
     parser.add_argument("--dp-shard", action="store_true",
                         help="sparse path: data-parallel SVI — each "
                         "minibatch's row axis sharded over every visible "
@@ -250,6 +262,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         num_epochs=args.num_epochs,
         mll_engine=args.mll_engine,
         ss_shard=args.ss_shard,
+        force_kernel=args.force_kernel,
         dp_shard=args.dp_shard,
         ensemble=args.ensemble,
         mesh_shape=(

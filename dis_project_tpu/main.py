@@ -1301,7 +1301,12 @@ def run_dense(config: cfg.RunConfig):
             engine = (f"distributed Cholesky, "
                       f"{jax.device_count()}-device mesh")
         elif config.mll_engine == "ss":
-            engine = "state-space Kalman engine (O(T), order-10 SDE)"
+            prior = (
+                "order-10 SDE"
+                if config.force_kernel == "rbf"
+                else f"EXACT {config.force_kernel} prior"
+            )
+            engine = f"state-space Kalman engine (O(T), {prior})"
         else:
             engine = ("row Gram" if on_tpu_f32 else "gridded Gram") \
                 + ", Cholesky engine"
@@ -1361,7 +1366,7 @@ def run_dense(config: cfg.RunConfig):
             shard = _ss_shard_spec(config)
             objective = lambda r: -ss_ops.lfm_mll_ss(
                 simm.constrain(r), timepoints, y, jitter=model.jitter,
-                shard=shard,
+                shard=shard, force_kernel=config.force_kernel,
             )
         elif on_tpu_f32:
             objective = lambda r: -model.mll(simm.constrain(r), X, y)
@@ -1424,6 +1429,7 @@ def run_dense(config: cfg.RunConfig):
         f_mean, f_var, _, _ = ss_ops.lfm_predict_ss(
             res.params, timepoints, y, grid, noise_var=nv,
             shard=_ss_shard_spec(config),  # r4: smoother shards too
+            force_kernel=config.force_kernel,
         )
         plotter.plot_lf(
             grid[:, None],  # plotters read time from column 0
@@ -1454,6 +1460,7 @@ def run_dense(config: cfg.RunConfig):
                 jitter=model.jitter,
                 num_warmup=n_draws, num_samples=n_draws,
                 num_chains=config.posterior_chains,
+                force_kernel=config.force_kernel,
             )
             jax.block_until_ready(post.log_probs)
             samples = _finish_posterior(
@@ -1463,7 +1470,8 @@ def run_dense(config: cfg.RunConfig):
 
             def _predict(p):
                 fm, fv, _, _ = ss_ops.lfm_predict_ss(
-                    p, timepoints, y, grid, noise_var=nv
+                    p, timepoints, y, grid, noise_var=nv,
+                    force_kernel=config.force_kernel,
                 )
                 return Gaussian(mean=fm, cov=jnp.diag(fv))
 
@@ -2137,6 +2145,14 @@ def main(argv=None):
         raise SystemExit(
             "--ss-shard requires --mll-engine ss (it shards the Kalman "
             "filter's time axis)"
+        )
+    if config.force_kernel != "rbf" and not (
+        config.mll_engine == "ss" and config.model == "simm"
+    ):
+        raise SystemExit(
+            "--force-kernel requires --mll-engine ss on the first-order "
+            "simm route (the Matern priors are exactly Markovian but "
+            "have NO closed-form dense Gram)"
         )
     if config.ss_shard and config.model == "nlfm":
         raise SystemExit(

@@ -191,13 +191,88 @@ def canonical_system(order: int):
     return f_bal, h_bal, q_c, s
 
 
+@functools.lru_cache(maxsize=None)
+def matern_canonical_system(kind: str):
+    """EXACT canonical LTI SDE of a Matern force prior at unit rate
+    (``lambda = 1``), in coordinates with IDENTITY stationary covariance.
+
+    Unlike the RBF (whose SDE is an order-p APPROXIMATION), the
+    Matern-1/2, -3/2 and -5/2 priors are exactly Markovian with state
+    dimension 1/2/3 (Hartikainen & Sarkka 2010, sec. III) — so the O(T)
+    engine computes the EXACT MLL of the Matern-force LFM, a force-prior
+    family the reference's closed-form (RBF-only) dense Gram cannot
+    express at all. Returns host-f64 ``(F_c, h_c, p_diag)`` with
+    ``p_diag = ones(p)`` by construction; the physical system at
+    lengthscale ``l`` is ``F = F_c * (sqrt(2 nu) / l)``.
+    """
+    from scipy.linalg import solve_lyapunov
+
+    if kind == "matern12":
+        f = np.array([[-1.0]])
+        lvec = np.array([1.0])
+        q = 2.0
+    elif kind == "matern32":
+        f = np.array([[0.0, 1.0], [-1.0, -2.0]])
+        lvec = np.array([0.0, 1.0])
+        q = 4.0
+    elif kind == "matern52":
+        f = np.array([
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [-1.0, -3.0, -3.0],
+        ])
+        lvec = np.array([0.0, 0.0, 1.0])
+        q = 16.0 / 3.0
+    else:
+        raise ValueError(
+            f"unknown force kernel {kind!r}; expected rbf, matern12, "
+            "matern32 or matern52"
+        )
+    p_inf = solve_lyapunov(f, -q * np.outer(lvec, lvec))
+    # Whiten: z_tilde = L^-1 z with P_inf = L L^T -> identity stationary
+    # covariance (the diagonal form the augmented builders assume).
+    l_chol = np.linalg.cholesky(p_inf)
+    l_inv = np.linalg.inv(l_chol)
+    f_bal = l_inv @ f @ l_chol
+    h_bal = np.zeros(f.shape[0])
+    h_bal[0] = 1.0
+    h_bal = h_bal @ l_chol
+    return f_bal, h_bal, np.ones(f.shape[0])
+
+
+_FORCE_RATE = {
+    "rbf": 2.0,            # canonical time unit is l/2
+    "matern12": 1.0,       # lambda = sqrt(2 nu)/l, nu = 1/2
+    "matern32": math.sqrt(3.0),
+    "matern52": math.sqrt(5.0),
+}
+
+
+def _force_system(order: int, force_kernel: str):
+    """(F_c, h_c, p_diag, rate_over_l) for the selected force prior.
+    ``order`` applies to the RBF approximation only; the Matern systems
+    are exact at their fixed dimension."""
+    if force_kernel == "rbf":
+        f_c, h_c, _, p_diag = canonical_system(order)
+    else:
+        f_c, h_c, p_diag = matern_canonical_system(force_kernel)
+    return f_c, h_c, p_diag, _FORCE_RATE[force_kernel]
+
+
 # ---------------------------------------------------------------------------
 # Augmented (force-state, genes) model — traced, differentiable in params.
 # ---------------------------------------------------------------------------
 
 
-def build_lfm_ssm(decay, sens, lengthscale, order: int = 10):
+def build_lfm_ssm(decay, sens, lengthscale, order: int = 10,
+                  force_kernel: str = "rbf"):
     """Augmented LFM state-space model for the first-order SIMM.
+
+    ``force_kernel``: ``'rbf'`` (the Lawrence-consistent prior the dense
+    closed forms integrate, order-``order`` SDE approximation) or
+    ``'matern12'``/``'matern32'``/``'matern52'`` — EXACT Markovian force
+    priors (:func:`matern_canonical_system`) the dense path cannot
+    express; ``order`` is ignored for those (state dims 1/2/3).
 
     State ``z = [f-state (p), x (G)]`` (centered: the constant mean
     ``B/D`` is subtracted from the data, legal because the system is
@@ -213,8 +288,8 @@ def build_lfm_ssm(decay, sens, lengthscale, order: int = 10):
     - ``h_force`` (m,): row reading f(t) out of the state.
     """
     dtype = jnp.result_type(decay, sens, lengthscale)
-    f_c, h_c, _, p_diag = canonical_system(order)
-    p = order
+    f_c, h_c, p_diag, rate = _force_system(order, force_kernel)
+    p = f_c.shape[0]
     g = decay.shape[0]
     m = p + g
 
@@ -222,7 +297,7 @@ def build_lfm_ssm(decay, sens, lengthscale, order: int = 10):
     h_c = jnp.asarray(h_c, dtype)
     p_ff = jnp.asarray(np.diag(p_diag), dtype)
 
-    inv_lp = 2.0 / lengthscale  # canonical time unit is l/2
+    inv_lp = rate / lengthscale
     f_force = f_c * inv_lp
 
     # F = [[F_f, 0], [S h_c^T, -diag(D)]]
@@ -1137,6 +1212,7 @@ def lfm_mll_ss(
     uniform: bool = True,
     shard=None,
     obs_mask=None,
+    force_kernel: str = "rbf",
 ):
     """State-space marginal log-likelihood of gridded SIMM data.
 
@@ -1174,11 +1250,12 @@ def lfm_mll_ss(
     Composes with every schedule, including ``shard``.
     """
     f_aug, p_inf, p0, _ = build_lfm_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernel=force_kernel,
     )
     g = params.decay.shape[0]
     t = jnp.asarray(timepoints)
-    h = gene_observation_matrix(order, g, replicates, t.dtype)
+    h = gene_observation_matrix(p0.shape[0] - g, g, replicates, t.dtype)
     mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
     r_var = (
         jnp.full((replicates * g,), jitter, t.dtype) + params.obs_stddev**2
@@ -1592,6 +1669,7 @@ def lfm_predict_ss(
     obs_mask=None,
     parallel=None,
     shard=None,
+    force_kernel: str = "rbf",
 ):
     """Smoothed latent-force posterior at ``t_test`` (and the gene states).
 
@@ -1619,9 +1697,11 @@ def lfm_predict_ss(
     g = params.decay.shape[0]
 
     f_aug, p_inf, p0, h_force = build_lfm_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernel=force_kernel,
     )
-    h = gene_observation_matrix(order, g, replicates, t_train.dtype)
+    p = p0.shape[0] - g
+    h = gene_observation_matrix(p, g, replicates, t_train.dtype)
     mean = params.basal / params.decay
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
@@ -1630,7 +1710,6 @@ def lfm_predict_ss(
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
-    p = order
     x_mean = m_t[:, p:] + mean[None, :]
     x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:]
     return f_mean, f_var, x_mean, x_var
@@ -2149,7 +2228,8 @@ class FilterCarry(NamedTuple):
     ll: jnp.ndarray       # () accumulated marginal log-likelihood
 
 
-def streaming_init(params, *, replicates: int = 1, order: int = 10):
+def streaming_init(params, *, replicates: int = 1, order: int = 10,
+                   force_kernel: str = "rbf"):
     """Open a streaming SIMM inference session (``models.simm`` kinetics).
 
     Returns ``(carry, aux)`` where ``aux`` holds the static model pieces
@@ -2163,10 +2243,11 @@ def streaming_init(params, *, replicates: int = 1, order: int = 10):
     """
     g = params.decay.shape[0]
     f_aug, p_inf, p0, h_force = build_lfm_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernel=force_kernel,
     )
     dtype = p0.dtype
-    h = gene_observation_matrix(order, g, replicates, dtype)
+    h = gene_observation_matrix(p0.shape[0] - g, g, replicates, dtype)
     mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
     carry = FilterCarry(
         mean=jnp.zeros((p0.shape[0],), dtype),

@@ -528,6 +528,7 @@ def kinetics_posterior_ss(
     num_chains: int = 1,
     mesh=None,
     order: int = 10,
+    force_kernel: str = "rbf",
 ):
     """Posterior over the SIMM hyperparameters with the O(T) state-space
     likelihood (:func:`dis_project_tpu.ops.statespace.lfm_mll_ss`).
@@ -558,7 +559,7 @@ def kinetics_posterior_ss(
     def logdensity(raw):
         p = simm.constrain(raw)
         return ss_ops.lfm_mll_ss(
-            p, t, y, jitter=jitter, order=order
+            p, t, y, jitter=jitter, order=order, force_kernel=force_kernel
         ) + bij.constrain_log_det(raw, simm.SIMM_BIJECTORS)
 
     return sample_constrained(

@@ -269,6 +269,32 @@ class TestPipelineEntry:
                 "--data-source", "synthetic",
             ])
 
+    def test_dense_ss_matern_force_smoke(self, tmp_path):
+        """--mll-engine ss --force-kernel matern32: the EXACT Matern
+        force prior through the Kalman engine; --force-kernel outside
+        the simm ss route must fail loudly."""
+        import pytest
+
+        from dis_project_tpu import main as entry
+
+        c = cfg.RunConfig(
+            data_source="synthetic",
+            num_iters=6,
+            synth_genes=4,
+            synth_timepoints=24,
+            mll_engine="ss",
+            force_kernel="matern32",
+            out_dir=str(tmp_path / "plots"),
+        )
+        entry.run_dense(c)
+        with pytest.raises(SystemExit, match="force-kernel requires"):
+            entry.main(["--force-kernel", "matern32"])
+        with pytest.raises(SystemExit, match="force-kernel requires"):
+            entry.main([
+                "--preset", "dense10k", "--mll-engine", "ss",
+                "--model", "simm2", "--force-kernel", "matern52",
+            ])
+
     def test_dense_delay_ss_posterior_smoke(self, tmp_path):
         """--preset dense10k --model delaysimm --mll-engine ss
         --posterior-samples: full-Bayes (kinetics, delays) through the

@@ -810,6 +810,132 @@ class TestDelayFamily:
         assert np.abs(d_fit - d_true).mean() < 0.1
 
 
+class TestMaternForce:
+    """Matern force priors (r4): EXACTLY Markovian at state dims 1/2/3 —
+    unlike the RBF's order-p approximation — and a force-prior family
+    the closed-form (RBF-only) dense Gram cannot express at all."""
+
+    def test_ssm_covariance_matches_kernel_exactly(self):
+        """The canonical system's stationary autocovariance must equal
+        the closed-form Matern kernel to machine precision (this is an
+        exact realization, not an approximation)."""
+        from scipy.linalg import expm
+
+        ell = 2.1
+        kernels = {
+            "matern12": lambda r: np.exp(-r / ell),
+            "matern32": lambda r: (1 + np.sqrt(3) * r / ell)
+            * np.exp(-np.sqrt(3) * r / ell),
+            "matern52": lambda r: (
+                1 + np.sqrt(5) * r / ell + 5 * r**2 / (3 * ell**2)
+            ) * np.exp(-np.sqrt(5) * r / ell),
+        }
+        for kind, kf in kernels.items():
+            f_c, h_c, pd = ss.matern_canonical_system(kind)
+            rate = ss._FORCE_RATE[kind] / ell
+            for tau in np.linspace(0.0, 6.0, 13):
+                cov = h_c @ expm(f_c * rate * tau) @ np.diag(pd) @ h_c
+                assert abs(cov - kf(tau)) < 1e-12, (kind, tau)
+
+    def test_mll_matches_brute_force_joint(self):
+        """lfm_mll_ss with a Matern prior vs the dense MVN log-density
+        under the SSM-implied joint covariance of the observations —
+        EXACT agreement expected (no SDE-order error term)."""
+        from scipy.linalg import expm
+
+        G, T = 2, 7
+        ell = 2.0
+        decay = np.array([0.4, 1.1])
+        sens = np.array([1.0, 0.8])
+        basal = np.array([0.1, 0.05])
+        t_grid = np.linspace(0.0, 12.0, T)
+        rng = np.random.default_rng(3)
+        y = rng.normal(size=(G * T,))
+        noise = 1e-4 + 1.0  # jitter + obs_stddev^2 at init obs=1.0
+        params = simm.init_params(G)._replace(
+            decay=jnp.asarray(decay), sensitivity=jnp.asarray(sens),
+            basal=jnp.asarray(basal), lengthscale=jnp.asarray(ell),
+        )
+        for kind in ("matern12", "matern32", "matern52"):
+            v_ss = float(ss.lfm_mll_ss(
+                params, jnp.asarray(t_grid), jnp.asarray(y),
+                jitter=1e-4, parallel=False, force_kernel=kind,
+            ))
+            # Brute force: propagate the joint Gaussian over all grid
+            # states, read the gene components, dense MVN logpdf.
+            f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+                params.decay, params.sensitivity, params.lengthscale,
+                force_kernel=kind,
+            )
+            m = p0.shape[0]
+            p_f = m - G
+            F = np.asarray(f_aug)
+            Pinf = np.asarray(p_inf)
+            dts = np.diff(t_grid, prepend=0.0)
+            A = [expm(F * dt) for dt in dts]
+            Q = [Pinf - a @ Pinf @ a.T for a in A]
+            P = []
+            prev = np.asarray(p0)
+            for i in range(T):
+                prev = A[i] @ prev @ A[i].T + Q[i]
+                P.append(0.5 * (prev + prev.T))
+            J = np.zeros((T * m, T * m))
+            for i in range(T):
+                J[i * m:(i + 1) * m, i * m:(i + 1) * m] = P[i]
+                Phi = np.eye(m)
+                for j in range(i + 1, T):
+                    Phi = A[j] @ Phi
+                    C = P[i] @ Phi.T
+                    J[i * m:(i + 1) * m, j * m:(j + 1) * m] = C
+                    J[j * m:(j + 1) * m, i * m:(i + 1) * m] = C.T
+            H = np.zeros((T * G, T * m))
+            for i in range(T):
+                H[i * G:(i + 1) * G, i * m + p_f:(i + 1) * m] = np.eye(G)
+            S = H @ J @ H.T + noise * np.eye(T * G)
+            yc = y.reshape(G, T).T.reshape(-1) - np.tile(
+                basal / decay, T
+            )
+            sign, logdet = np.linalg.slogdet(S)
+            quad = yc @ np.linalg.solve(S, yc)
+            v_bf = -0.5 * (logdet + quad + T * G * np.log(2 * np.pi))
+            assert abs(v_ss - v_bf) < 1e-8 * max(1.0, abs(v_bf)), kind
+
+    def test_grads_finite_and_trainable(self):
+        G, T = 3, 9
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(5).normal(size=(G * T,)))
+        raw = simm.unconstrain(simm.init_params(G))
+        for kind in ("matern12", "matern32", "matern52"):
+            v, g = jax.value_and_grad(
+                lambda r: ss.lfm_mll_ss(
+                    simm.constrain(r), t, y, jitter=1e-4,
+                    parallel=False, force_kernel=kind,
+                )
+            )(raw)
+            assert np.isfinite(float(v)), kind
+            assert all(
+                np.isfinite(np.asarray(le)).all()
+                for le in jax.tree_util.tree_leaves(g)
+            ), kind
+
+    def test_predict_and_streaming_accept_matern(self):
+        G, T = 2, 7
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(1).normal(size=(G * T,)))
+        params = simm.init_params(G)
+        tt = jnp.linspace(0.0, 13.0, 11)
+        fm, fv, xm, xv = ss.lfm_predict_ss(
+            params, t, y, tt, noise_var=1e-3, parallel=False,
+            force_kernel="matern32",
+        )
+        assert np.isfinite(np.asarray(fm)).all()
+        assert float(fv.min()) > 0.0
+        carry, aux = ss.streaming_init(params, force_kernel="matern52")
+        c = ss.streaming_update(carry, aux, 1.0, jnp.ones(G),
+                                1e-4 + params.obs_stddev**2)
+        assert np.isfinite(float(c.ll))
+
+
 class TestStreaming:
     """Online serving API (r4): per-observation O((p+G)^3) updates at
     constant memory must reproduce the batch filter bitwise."""
