@@ -2327,3 +2327,116 @@ def streaming_predict(carry: FilterCarry, aux, params, t_query):
     x_mean = m_q[order:] + params.basal / params.decay
     x_var = jnp.diagonal(p_q)[order:]
     return f_mean, f_var, x_mean, x_var
+
+
+# ---------------------------------------------------------------------------
+# Posterior trajectory sampling (FFBS) — joint force draws in O(T).
+# ---------------------------------------------------------------------------
+
+
+def _psd_sqrt_traced(p):
+    """Traced symmetric PSD square root via eigh with clipping — the
+    sampling covariances ``P_f - G P_pred G^T`` are exactly singular
+    along deterministic directions (t=0 gene block, dt=0 duplicates), so
+    a Cholesky would fail where the eigendecomposition is fine."""
+    w, v = jnp.linalg.eigh(_symmetrize(p))
+    return v * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+
+
+@_pin_precision
+def posterior_sample_ss(
+    params,
+    timepoints,
+    y,
+    t_test,
+    key,
+    *,
+    noise_var,
+    num_samples: int = 1,
+    replicates: int = 1,
+    order: int = 10,
+    force_kernel: str = "rbf",
+):
+    """JOINT posterior samples of the latent force at ``t_test`` —
+    forward-filter backward-sampling (FFBS; Carter & Kohn 1994) on the
+    union train/test grid, O(T (p+G)^3) per draw.
+
+    The smoothed band (:func:`lfm_predict_ss`) gives MARGINAL
+    mean/variance; these draws carry the posterior's full temporal
+    correlation — functionals of the whole trajectory (peak time, area
+    under the force, threshold crossings) can be Monte-Carlo'd correctly
+    from them, which marginals cannot do. Backward recursion:
+    ``z_T ~ N(m_T, P_T)`` then ``z_k | z_{k+1} ~ N(m_k + G_k (z_{k+1} -
+    A m_k), P_k - G_k P_pred G_k^T)`` with the same pseudo-solve gain as
+    the smoother. Samples are vmapped into one program.
+
+    Returns ``(num_samples, T_test)`` force draws. ``noise_var`` as
+    :func:`lfm_predict_ss` (the caller picks the convention).
+    """
+    g = params.decay.shape[0]
+    t_train = jnp.asarray(timepoints)
+    t_test = jnp.asarray(t_test)
+    dtype = t_train.dtype
+    n_o = replicates * g
+
+    f_aug, p_inf, p0, h_force = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernel=force_kernel,
+    )
+    m_dim = p0.shape[0]
+    h = gene_observation_matrix(m_dim - g, g, replicates, dtype)
+    mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
+
+    t_all = jnp.concatenate([t_train, t_test])
+    order_idx = jnp.argsort(t_all, stable=True)
+    t_sorted = t_all[order_idx]
+    is_train = jnp.concatenate(
+        [jnp.ones_like(t_train), jnp.zeros_like(t_test)]
+    )[order_idx]
+    n_all = t_sorted.shape[0]
+    dts = jnp.diff(t_sorted, prepend=jnp.zeros((1,), dtype))
+    a, q = discretize(f_aug, p_inf, dts)
+
+    ys_train = y.reshape(n_o, t_train.shape[0]).T - mean_obs[None, :]
+    ys = jnp.zeros((n_all, n_o), dtype)
+    train_pos = jnp.nonzero(is_train, size=t_train.shape[0])[0]
+    ys = ys.at[train_pos].set(ys_train)
+    noise_var = jnp.broadcast_to(
+        jnp.asarray(noise_var, dtype), (t_train.shape[0], n_o)
+    )
+    rv_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(noise_var)
+
+    ms, ps, _ = kalman_filter(a, q, h, rv_all, ys, p0, mask=is_train)
+    rcond = _rts_rcond(dtype)
+
+    # Per-step backward-sampling pieces (shared by every draw).
+    def pieces(a_next, q_next, m_f, p_f):
+        p_pred = _symmetrize(a_next @ p_f @ a_next.T + q_next)
+        gain = _pseudo_gain(p_f @ a_next.T, p_pred, rcond)
+        cov = _symmetrize(p_f - gain @ p_pred @ gain.T)
+        return gain, _psd_sqrt_traced(cov)
+
+    gains, sqrts = jax.vmap(pieces)(a[1:], q[1:], ms[:-1], ps[:-1])
+    sqrt_t = _psd_sqrt_traced(ps[-1])
+
+    def one_draw(k):
+        k_t, k_rest = jax.random.split(k)
+        z_t = ms[-1] + sqrt_t @ jax.random.normal(k_t, (m_dim,), dtype)
+        eps = jax.random.normal(k_rest, (n_all - 1, m_dim), dtype)
+
+        def back(z_next, xs):
+            m_f, a_next, gain, sq, e = xs
+            mean = m_f + gain @ (z_next - a_next @ m_f)
+            z = mean + sq @ e
+            return z, z
+
+        _, zs = jax.lax.scan(
+            back, z_t, (ms[:-1], a[1:], gains, sqrts, eps), reverse=True
+        )
+        traj = jnp.concatenate([zs, z_t[None]], axis=0)
+        return traj @ h_force
+
+    keys = jax.random.split(key, num_samples)
+    draws = jax.vmap(one_draw)(keys)  # (S, n_all)
+    test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
+    return draws[:, test_pos]

@@ -105,6 +105,8 @@ SLOW_NODEID_PATTERNS = (
     "test_statespace.py::TestShardedFilter::test_multiforce_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_second_order_family_matches_single_device",
     "test_statespace.py::TestShardedFilter::test_prior_element_composition",
+    "test_statespace.py::TestFFBS::"
+    "test_joint_covariance_matches_dense_conditional",
     "test_statespace.py::TestEKFNonlinear::"
     "test_exp_response_kinetics_recovery",
     "test_statespace.py::TestEKFNonlinear::"

@@ -936,6 +936,111 @@ class TestMaternForce:
         assert np.isfinite(float(c.ll))
 
 
+class TestFFBS:
+    """Forward-filter backward-sampling (r4): JOINT posterior force
+    draws — marginals must match the smoother, and the cross-time
+    covariance must match the dense joint conditional (the property
+    marginal bands cannot carry)."""
+
+    def test_marginals_match_smoother(self):
+        G, T = 3, 9
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(5).normal(size=(G * T,)))
+        params = simm.init_params(G)._replace(
+            decay=jnp.asarray([0.4, 0.9, 0.6]),
+            sensitivity=jnp.asarray([1.0, 0.8, 1.2]),
+        )
+        tt = jnp.linspace(0.0, 13.0, 20)
+        fm, fv, _, _ = ss.lfm_predict_ss(
+            params, t, y, tt, noise_var=1e-3, parallel=False
+        )
+        draws = np.asarray(ss.posterior_sample_ss(
+            params, t, y, tt, jax.random.PRNGKey(0), noise_var=1e-3,
+            num_samples=2048,
+        ))
+        assert draws.shape == (2048, 20)
+        scale = np.abs(np.asarray(fm)).max()
+        assert np.abs(draws.mean(0) - np.asarray(fm)).max() < 0.02 * scale
+        assert (
+            np.abs(draws.var(0) - np.asarray(fv)).max()
+            < 0.05 * np.asarray(fv).max()
+        )
+
+    def test_joint_covariance_matches_dense_conditional(self):
+        """Empirical cross-time covariance of the draws vs the dense
+        joint conditional covariance of the SAME (exact Matern) model —
+        the jointness property itself, oracle-pinned."""
+        from scipy.linalg import expm
+
+        G, T = 2, 6
+        decay = np.array([0.5, 1.0])
+        sens = np.array([1.0, 0.8])
+        t_grid = np.linspace(0.0, 10.0, T)
+        tt = np.linspace(1.0, 11.0, 5)
+        rng = np.random.default_rng(7)
+        y = rng.normal(size=(G * T,))
+        noise = 1e-2
+        params = simm.init_params(G)._replace(
+            decay=jnp.asarray(decay), sensitivity=jnp.asarray(sens),
+            basal=jnp.zeros(G),
+        )
+        kind = "matern32"
+        draws = np.asarray(ss.posterior_sample_ss(
+            params, jnp.asarray(t_grid), jnp.asarray(y), jnp.asarray(tt),
+            jax.random.PRNGKey(1), noise_var=noise, num_samples=8192,
+            force_kernel=kind,
+        ))
+        emp_cov = np.cov(draws.T)  # (5, 5)
+
+        # Dense joint conditional from the SSM (exact for matern32).
+        f_aug, p_inf, p0, hf = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale,
+            force_kernel=kind,
+        )
+        m = p0.shape[0]
+        p_f = m - G
+        t_all = np.concatenate([t_grid, tt])
+        idx = np.argsort(t_all, kind="stable")
+        t_sorted = t_all[idx]
+        is_train = np.concatenate([np.ones(T), np.zeros(len(tt))])[idx]
+        n_all = len(t_sorted)
+        dts = np.diff(t_sorted, prepend=0.0)
+        F = np.asarray(f_aug)
+        Pinf = np.asarray(p_inf)
+        A = [expm(F * dt) for dt in dts]
+        Q = [Pinf - a_ @ Pinf @ a_.T for a_ in A]
+        P = []
+        prev = np.asarray(p0)
+        for i in range(n_all):
+            prev = A[i] @ prev @ A[i].T + Q[i]
+            P.append(0.5 * (prev + prev.T))
+        J = np.zeros((n_all * m, n_all * m))
+        for i in range(n_all):
+            J[i*m:(i+1)*m, i*m:(i+1)*m] = P[i]
+            Phi = np.eye(m)
+            for j in range(i + 1, n_all):
+                Phi = A[j] @ Phi
+                C = P[i] @ Phi.T
+                J[i*m:(i+1)*m, j*m:(j+1)*m] = C
+                J[j*m:(j+1)*m, i*m:(i+1)*m] = C.T
+        train_pos = np.nonzero(is_train)[0]
+        test_pos = np.nonzero(1 - is_train)[0]
+        H = np.zeros((T * G, n_all * m))
+        for k, i in enumerate(train_pos):
+            H[k*G:(k+1)*G, i*m + p_f:(i+1)*m] = np.eye(G)
+        Fsel = np.zeros((len(tt), n_all * m))
+        hfn = np.asarray(hf)
+        for k, i in enumerate(test_pos):
+            Fsel[k, i*m:(i+1)*m] = hfn
+        S = H @ J @ H.T + noise * np.eye(T * G)
+        Kfy = Fsel @ J @ H.T
+        cond_cov = Fsel @ J @ Fsel.T - Kfy @ np.linalg.solve(S, Kfy.T)
+        # Monte-Carlo tolerance: ~ sqrt(2/N) relative on covariances.
+        assert np.abs(emp_cov - cond_cov).max() < 0.06 * np.abs(
+            cond_cov
+        ).max()
+
+
 class TestStreaming:
     """Online serving API (r4): per-observation O((p+G)^3) updates at
     constant memory must reproduce the batch filter bitwise."""
