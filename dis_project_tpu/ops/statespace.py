@@ -2440,3 +2440,56 @@ def posterior_sample_ss(
     draws = jax.vmap(one_draw)(keys)  # (S, n_all)
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
     return draws[:, test_pos]
+
+
+@_pin_precision
+def sample_trajectory_ss(
+    params,
+    timepoints,
+    key,
+    *,
+    num_samples: int = 1,
+    order: int = 10,
+    force_kernel: str = "rbf",
+):
+    """PRIOR draws of (force, gene) trajectories from the state-space
+    model at arbitrary T — one forward pass per draw, O(T (p+G)^3),
+    where a dense prior draw needs an O(N^3) factorisation (the
+    synthetic generators cap out around N~1e4 for exactly that reason).
+
+    The t=0 convention matches the reference generative model (force at
+    its stationary marginal, genes deterministic at ``B/D``); with a
+    Matern ``force_kernel`` the draw is from the EXACT prior. Returns
+    ``(f, x)`` with shapes ``(num_samples, T)`` and
+    ``(num_samples, T, G)`` — gene means added back. Model checking,
+    synthetic benchmarks, and prior-predictive calibration at any scale.
+    """
+    g = params.decay.shape[0]
+    t = jnp.asarray(timepoints)
+    dtype = t.dtype
+    f_aug, p_inf, p0, h_force = build_lfm_ssm(
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernel=force_kernel,
+    )
+    m_dim = p0.shape[0]
+    dts = jnp.diff(t, prepend=jnp.zeros((1,), dtype))
+    a, q = discretize(f_aug, p_inf, dts)
+    sqrts = jax.vmap(_psd_sqrt_traced)(q)
+    sqrt0 = _psd_sqrt_traced(p0)
+    mean_x = params.basal / params.decay
+
+    def one(k):
+        k0, k_rest = jax.random.split(k)
+        z0 = sqrt0 @ jax.random.normal(k0, (m_dim,), dtype)
+        eps = jax.random.normal(k_rest, (t.shape[0], m_dim), dtype)
+
+        def step(z, xs):
+            a_i, sq_i, e_i = xs
+            z = a_i @ z + sq_i @ e_i
+            return z, z
+
+        _, zs = jax.lax.scan(step, z0, (a, sqrts, eps))
+        return zs @ h_force, zs[:, m_dim - g:] + mean_x[None, :]
+
+    f, x = jax.vmap(one)(jax.random.split(key, num_samples))
+    return f, x

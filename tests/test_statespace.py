@@ -936,6 +936,36 @@ class TestMaternForce:
         assert np.isfinite(float(c.ll))
 
 
+class TestPriorSampler:
+    """sample_trajectory_ss (r4): O(T) prior draws — stationary force
+    statistics must match the (exact, for Matern) kernel and the t=0
+    gene convention must hold exactly."""
+
+    def test_matern_prior_statistics(self):
+        params = simm.init_params(2)._replace(
+            lengthscale=jnp.asarray(2.0)
+        )
+        t = jnp.linspace(0.0, 12.0, 25)
+        f, x = ss.sample_trajectory_ss(
+            params, t, jax.random.PRNGKey(0), num_samples=4096,
+            force_kernel="matern32",
+        )
+        assert f.shape == (4096, 25) and x.shape == (4096, 25, 2)
+        fc = np.asarray(f) - np.asarray(f).mean(0)
+        # Stationary marginal variance ~ 1 away from t=0.
+        assert abs(fc[:, 12].var() - 1.0) < 0.08
+        # Cross-time covariance vs the closed-form Matern kernel.
+        tau = float(t[20] - t[12])
+        ell = 2.0
+        k = (1 + np.sqrt(3) * tau / ell) * np.exp(
+            -np.sqrt(3) * tau / ell
+        )
+        emp = (fc[:, 12] * fc[:, 20]).mean()
+        assert abs(emp - k) < 0.06
+        # Genes start deterministically at B/D (the t=0 convention).
+        assert float(np.asarray(x)[:, 0, :].std(0).max()) == 0.0
+
+
 class TestFFBS:
     """Forward-filter backward-sampling (r4): JOINT posterior force
     draws — marginals must match the smoother, and the cross-time
