@@ -334,63 +334,89 @@ def build_lfm_ssm(decay, sens, lengthscale, order: int = 10,
     return f_aug, p_inf, p0, h_force
 
 
-def build_multiforce_ssm(decay, sens, lengthscales, order: int = 10):
+def build_multiforce_ssm(decay, sens, lengthscales, order: int = 10,
+                         force_kernels=None):
     """Augmented SSM for the R-force SIMM (``models.multisimm``):
     ``dx_j/dt = B_j + sum_r S_jr f_r - D_j x_j`` with R INDEPENDENT
-    Lawrence-convention RBF force priors (``k_ff_consistent`` per force —
-    exactly the prior the multi-force closed forms integrate).
+    force priors — by default the Lawrence-convention RBF per force
+    (``k_ff_consistent`` — exactly the prior the multi-force closed
+    forms integrate).
 
-    State ``z = [f_1-state (p), ..., f_R-state (p), x (G)]``. The force
-    blocks are independent, so ``P_ff`` is block-diagonal in the SAME
-    constant balanced stationary covariance (it is lengthscale-invariant),
-    the cross blocks solve one (p, p) Sylvester system per (force, gene),
-    and the gene-gene block sums the per-force closed forms.
+    ``force_kernels`` (optional, STATIC tuple of R strings): per-force
+    prior choice from ``rbf``/``matern12``/``matern32``/``matern52`` —
+    forces may have DIFFERENT smoothness (e.g. one smooth RBF driver +
+    one rough Matern-1/2 driver), with the Matern members exactly
+    Markovian (:func:`matern_canonical_system`). The force blocks are
+    then ragged (dims p_r), assembled with host-side loops over the
+    static R.
+
+    State ``z = [f_1-state (p_1), ..., f_R-state (p_R), x (G)]``. The
+    force blocks are independent, so ``P_ff`` is block-diagonal, the
+    cross blocks solve one (p_r, p_r) Sylvester system per (force,
+    gene), and the gene-gene block sums the per-force closed forms.
 
     ``sens``: (G, R); ``lengthscales``: (R,). Returns
     ``(F, P_inf, P0, h_forces)`` with ``h_forces`` (R, m) reading each
-    force out of the state.
+    force out of the state (zero-padded rows for the shorter blocks).
     """
     dtype = jnp.result_type(decay, sens, lengthscales)
-    f_c, h_c, _, p_diag = canonical_system(order)
-    p = order
     g, r = sens.shape
-    m = r * p + g
+    if force_kernels is None:
+        force_kernels = ("rbf",) * r
+    if len(force_kernels) != r:
+        raise ValueError(
+            f"force_kernels has {len(force_kernels)} entries for "
+            f"{r} forces"
+        )
 
-    f_c = jnp.asarray(f_c, dtype)
-    h_c = jnp.asarray(h_c, dtype)
-    p_ff1 = jnp.asarray(np.diag(p_diag), dtype)
+    # Per-force canonical pieces (ragged dims p_r; R is static).
+    f_cs, h_cs, p_ffs, f_blocks = [], [], [], []
+    for i, kind in enumerate(force_kernels):
+        f_c, h_c, p_diag, rate = _force_system(order, kind)
+        f_c = jnp.asarray(f_c, dtype)
+        h_c = jnp.asarray(h_c, dtype)
+        f_cs.append(f_c)
+        h_cs.append(h_c)
+        p_ffs.append(jnp.asarray(np.diag(p_diag), dtype))
+        f_blocks.append(f_c * (rate / lengthscales[i]))
+    dims = [fc.shape[0] for fc in f_cs]
+    p_tot = sum(dims)
+    m = p_tot + g
+    offs = np.concatenate([[0], np.cumsum(dims)])
 
-    inv_lp = 2.0 / lengthscales  # (R,)
-    f_blocks = f_c[None, :, :] * inv_lp[:, None, None]  # (R, p, p)
-    f_force = jax.scipy.linalg.block_diag(*[f_blocks[i] for i in range(r)])
+    f_force = jax.scipy.linalg.block_diag(*f_blocks)
 
-    # Gene coupling: row j reads sum_r S_jr f_r; f_r = h_c . z_r-block.
-    coupling = (sens[:, :, None] * h_c[None, None, :]).reshape(g, r * p)
-    top = jnp.concatenate([f_force, jnp.zeros((r * p, g), dtype)], axis=1)
+    # Gene coupling: row j reads sum_r S_jr f_r; f_r = h_c_r . z_r-block.
+    coupling = jnp.concatenate(
+        [sens[:, i:i + 1] * h_cs[i][None, :] for i in range(r)], axis=1
+    )  # (g, p_tot)
+    top = jnp.concatenate([f_force, jnp.zeros((p_tot, g), dtype)], axis=1)
     bottom = jnp.concatenate([coupling, -jnp.diag(decay)], axis=1)
     f_aug = jnp.concatenate([top, bottom], axis=0)
 
     # Stationary blocks. Per force r, gene j:
-    #   (F_r - D_j I) c_rj = -S_jr P_ff1 h_c
-    rhs = p_ff1 @ h_c
-    eye_p = jnp.eye(p, dtype=dtype)
+    #   (F_r - D_j I) c_rj = -S_jr P_ff_r h_c_r
+    p_fx_parts, hp_parts = [], []
+    for i in range(r):
+        rhs = p_ffs[i] @ h_cs[i]
+        eye_p = jnp.eye(dims[i], dtype=dtype)
 
-    def col(f_r, d_j, s_jr):
-        return -s_jr * jnp.linalg.solve(f_r - d_j * eye_p, rhs)
+        def col(d_j, s_jr, f_r=f_blocks[i], rhs=rhs, eye_p=eye_p):
+            return -s_jr * jnp.linalg.solve(f_r - d_j * eye_p, rhs)
 
-    # (R, p, G): vmap over forces (with each force's F block) then genes.
-    p_fx = jax.vmap(
-        lambda f_r, s_col: jax.vmap(col, in_axes=(None, 0, 0), out_axes=1)(
-            f_r, decay, s_col
-        ),
-    )(f_blocks, sens.T)  # sens.T: (R, G)
-    # Gene-gene: (D_i + D_j) P_xx[i,j] = sum_r sym(S_ir (h_c P_fx_r)_j).
-    hp = jnp.einsum("k,rkj->rj", h_c, p_fx)  # (R, G)
-    mx = jnp.einsum("ir,rj->ij", sens, hp)  # sum_r S_ir (h P_fx_r)_j
+        p_fx_i = jax.vmap(col, in_axes=(0, 0), out_axes=1)(
+            decay, sens[:, i]
+        )  # (p_i, G)
+        p_fx_parts.append(p_fx_i)
+        hp_parts.append(h_cs[i] @ p_fx_i)  # (G,)
+    # Gene-gene: (D_i + D_j) P_xx[i,j] = sum_r sym(S_ir (h_r P_fx_r)_j).
+    mx = sum(
+        sens[:, i][:, None] * hp_parts[i][None, :] for i in range(r)
+    )
     p_xx = (mx + mx.T) / (decay[:, None] + decay[None, :])
 
-    p_fx_flat = p_fx.reshape(r * p, g)
-    p_ff = jax.scipy.linalg.block_diag(*([p_ff1] * r))
+    p_fx_flat = jnp.concatenate(p_fx_parts, axis=0)  # (p_tot, g)
+    p_ff = jax.scipy.linalg.block_diag(*p_ffs)
     p_inf = jnp.concatenate(
         [
             jnp.concatenate([p_ff, p_fx_flat], axis=1),
@@ -398,10 +424,10 @@ def build_multiforce_ssm(decay, sens, lengthscales, order: int = 10):
         ],
         axis=0,
     )
-    p0 = jnp.zeros((m, m), dtype).at[: r * p, : r * p].set(p_ff)
+    p0 = jnp.zeros((m, m), dtype).at[:p_tot, :p_tot].set(p_ff)
     h_forces = jnp.zeros((r, m), dtype)
     for i in range(r):
-        h_forces = h_forces.at[i, i * p : (i + 1) * p].set(h_c)
+        h_forces = h_forces.at[i, offs[i]:offs[i + 1]].set(h_cs[i])
     return f_aug, p_inf, p0, h_forces
 
 
@@ -1358,17 +1384,22 @@ def multisimm_mll_ss(
     uniform: bool = True,
     shard=None,
     obs_mask=None,
+    force_kernels=None,
 ):
     """State-space MLL for the R-force family (``models.multisimm``):
     same contract as :func:`lfm_mll_ss` with ``params`` a
     MultiSIMMParams-like namedtuple (sensitivity (G, R), lengthscale (R,)).
-    O(T (Rp + G)^3) instead of O((GTR)^3)."""
+    O(T (Rp + G)^3) instead of O((GTR)^3). ``force_kernels``: optional
+    static tuple of R per-force prior choices (see
+    :func:`build_multiforce_ssm`) — forces may mix RBF with exact Matern
+    smoothness."""
     f_aug, p_inf, p0, _ = build_multiforce_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernels=force_kernels,
     )
     g, r = params.sensitivity.shape
     t = jnp.asarray(timepoints)
-    h = gene_observation_matrix(r * order, g, replicates, t.dtype)
+    h = gene_observation_matrix(p0.shape[0] - g, g, replicates, t.dtype)
     mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
     r_var = (
         jnp.full((replicates * g,), jitter, t.dtype) + params.obs_stddev**2
@@ -1816,13 +1847,15 @@ def multisimm_predict_ss(
     obs_mask=None,
     parallel=None,
     shard=None,
+    force_kernels=None,
 ):
     """Smoothed posterior for the R-force family: the state-space
     analogue of ``ExactMultiSIMM.latent_predict`` across ALL forces in
     one filter pass. Unlike the first-order family, the multi-force
     closed forms use the self-consistent force prior
     (``k_ff_consistent``), so both the posterior mean AND variance match
-    the dense path (to SDE-order error).
+    the dense path (to SDE-order error). ``force_kernels`` as
+    :func:`multisimm_mll_ss`.
 
     Returns ``(f_mean, f_var, x_mean, x_var)`` with f_mean/f_var shaped
     (R, T_test) and x_mean/x_var (T_test, G)."""
@@ -1831,10 +1864,11 @@ def multisimm_predict_ss(
     g, _ = params.sensitivity.shape
 
     f_aug, p_inf, p0, h_forces = build_multiforce_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernels=force_kernels,
     )
-    r = h_forces.shape[0]
-    h = gene_observation_matrix(r * order, g, replicates, t_train.dtype)
+    p_tot = p0.shape[0] - g
+    h = gene_observation_matrix(p_tot, g, replicates, t_train.dtype)
     mean = params.basal / params.decay
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
@@ -1843,8 +1877,8 @@ def multisimm_predict_ss(
     )
     f_mean = (m_t @ h_forces.T).T  # (R, T_test)
     f_var = jnp.einsum("ri,tij,rj->rt", h_forces, p_t, h_forces)
-    x_mean = m_t[:, r * order:] + mean[None, :]
-    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, r * order:]
+    x_mean = m_t[:, p_tot:] + mean[None, :]
+    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p_tot:]
     return f_mean, f_var, x_mean, x_var
 
 

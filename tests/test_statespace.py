@@ -810,6 +810,116 @@ class TestDelayFamily:
         assert np.abs(d_fit - d_true).mean() < 0.1
 
 
+class TestPerForceKernels:
+    """Per-force priors for the R-force family (r4): the force blocks
+    may mix RBF with exact Matern smoothness (ragged state dims)."""
+
+    @pytest.fixture(scope="class")
+    def problem(self):
+        from dis_project_tpu.models import multisimm
+
+        G, R, T = 3, 2, 9
+        mp = multisimm.init_params(G, R)._replace(
+            sensitivity=jnp.asarray(
+                np.random.default_rng(0).uniform(0.4, 1.4, (G, R))
+            ),
+            lengthscale=jnp.asarray([1.2, 3.0]),
+            decay=jnp.asarray([0.4, 0.8, 1.2]),
+        )
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(8).normal(size=(G * T,)))
+        return G, R, T, mp, t, y
+
+    def test_all_rbf_bit_equal_to_default(self, problem):
+        G, R, T, mp, t, y = problem
+        v0 = float(ss.multisimm_mll_ss(mp, t, y, jitter=1e-4,
+                                       parallel=False))
+        v1 = float(ss.multisimm_mll_ss(
+            mp, t, y, jitter=1e-4, parallel=False,
+            force_kernels=("rbf", "rbf"),
+        ))
+        assert v0 == v1
+
+    def test_mixed_kernels_grads_finite_and_predict(self, problem):
+        from dis_project_tpu.models import multisimm
+
+        G, R, T, mp, t, y = problem
+        raw = multisimm.unconstrain(mp)
+        v, g = jax.value_and_grad(lambda r: ss.multisimm_mll_ss(
+            multisimm.constrain(r), t, y, jitter=1e-4, parallel=False,
+            force_kernels=("rbf", "matern32"),
+        ))(raw)
+        assert np.isfinite(float(v))
+        assert all(
+            np.isfinite(np.asarray(le)).all()
+            for le in jax.tree_util.tree_leaves(g)
+        )
+        tt = jnp.linspace(0.0, 13.0, 11)
+        fm, fv, xm, xv = ss.multisimm_predict_ss(
+            mp, t, y, tt, noise_var=1e-3, parallel=False,
+            force_kernels=("rbf", "matern32"),
+        )
+        assert fm.shape == (R, 11) and xm.shape == (11, G)
+        assert float(fv.min()) > 0.0
+
+    def test_all_matern_matches_brute_force_joint(self, problem):
+        """Ragged all-Matern blocks vs the dense SSM-implied joint MVN
+        log-density — exact agreement (both realizations exact)."""
+        from scipy.linalg import expm
+
+        G, R, T, mp, t, y = problem
+        kinds = ("matern32", "matern52")
+        v_ss = float(ss.multisimm_mll_ss(
+            mp, t, y, jitter=1e-4, parallel=False, force_kernels=kinds
+        ))
+        f_aug, p_inf, p0, _ = ss.build_multiforce_ssm(
+            mp.decay, mp.sensitivity, mp.lengthscale, force_kernels=kinds
+        )
+        m = p0.shape[0]
+        p_tot = m - G
+        F, Pinf = np.asarray(f_aug), np.asarray(p_inf)
+        tg = np.asarray(t)
+        dts = np.diff(tg, prepend=0.0)
+        A = [expm(F * dt) for dt in dts]
+        Q = [Pinf - a @ Pinf @ a.T for a in A]
+        P = []
+        prev = np.asarray(p0)
+        for i in range(T):
+            prev = A[i] @ prev @ A[i].T + Q[i]
+            P.append(0.5 * (prev + prev.T))
+        J = np.zeros((T * m, T * m))
+        for i in range(T):
+            J[i*m:(i+1)*m, i*m:(i+1)*m] = P[i]
+            Phi = np.eye(m)
+            for j in range(i + 1, T):
+                Phi = A[j] @ Phi
+                C = P[i] @ Phi.T
+                J[i*m:(i+1)*m, j*m:(j+1)*m] = C
+                J[j*m:(j+1)*m, i*m:(i+1)*m] = C.T
+        H = np.zeros((T * G, T * m))
+        for i in range(T):
+            H[i*G:(i+1)*G, i*m + p_tot:(i+1)*m] = np.eye(G)
+        noise = 1e-4 + 1.0
+        S = H @ J @ H.T + noise * np.eye(T * G)
+        yc = np.asarray(y).reshape(G, T).T.reshape(-1) - np.tile(
+            np.asarray(mp.basal / mp.decay), T
+        )
+        _, logdet = np.linalg.slogdet(S)
+        v_bf = -0.5 * (
+            logdet + yc @ np.linalg.solve(S, yc)
+            + T * G * np.log(2 * np.pi)
+        )
+        assert abs(v_ss - v_bf) < 1e-8 * max(1.0, abs(v_bf))
+
+    def test_wrong_arity_fails_loudly(self, problem):
+        G, R, T, mp, t, y = problem
+        with pytest.raises(ValueError, match="entries"):
+            ss.build_multiforce_ssm(
+                mp.decay, mp.sensitivity, mp.lengthscale,
+                force_kernels=("rbf",),
+            )
+
+
 class TestMaternForce:
     """Matern force priors (r4): EXACTLY Markovian at state dims 1/2/3 —
     unlike the RBF's order-p approximation — and a force-prior family
