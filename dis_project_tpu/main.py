@@ -1620,9 +1620,10 @@ def _run_dense_multiforce(config: cfg.RunConfig, scfg):
     )
     opt = optax.adam(config.learning_rate)
     ss_shard = _ss_shard_spec(config)
+    fks = (config.force_kernel,) * R  # same prior for every force
     objective = lambda r: -ss_ops.multisimm_mll_ss(  # noqa: E731
         multisimm.constrain(r), tgrid, y, jitter=config.exact_jitter,
-        shard=ss_shard,
+        shard=ss_shard, force_kernels=fks,
     )
 
     # Same segmented dispatch as the other dense routes: bound every
@@ -1642,8 +1643,10 @@ def _run_dense_multiforce(config: cfg.RunConfig, scfg):
                                           length=length)
         return raw, state, hist
 
+    prior = ("order-10 SDE" if config.force_kernel == "rbf"
+             else f"EXACT {config.force_kernel} priors")
     print(f"Training (full-batch exact {R}-force MLL, state-space Kalman "
-          "engine (O(T), order-10 SDE))...")
+          f"engine (O(T), {prior}))...")
     t0 = time.perf_counter()
     raw_f, state = raw0, opt.init(raw0)
     chunks = []
@@ -2147,12 +2150,14 @@ def main(argv=None):
             "filter's time axis)"
         )
     if config.force_kernel != "rbf" and not (
-        config.mll_engine == "ss" and config.model == "simm"
+        config.mll_engine == "ss"
+        and config.model in ("simm", "multisimm")
     ):
         raise SystemExit(
-            "--force-kernel requires --mll-engine ss on the first-order "
-            "simm route (the Matern priors are exactly Markovian but "
-            "have NO closed-form dense Gram)"
+            "--force-kernel requires --mll-engine ss on the simm or "
+            "multisimm route (the Matern priors are exactly Markovian "
+            "but have NO closed-form dense Gram; multisimm applies the "
+            "kernel to every force)"
         )
     if config.ss_shard and config.model == "nlfm":
         raise SystemExit(

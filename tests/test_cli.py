@@ -294,6 +294,19 @@ class TestPipelineEntry:
                 "--preset", "dense10k", "--mll-engine", "ss",
                 "--model", "simm2", "--force-kernel", "matern52",
             ])
+        # multisimm + ss ACCEPTS the flag (same prior for every force).
+        c2 = cfg.RunConfig(
+            data_source="synthetic",
+            model="multisimm",
+            num_forces=2,
+            num_iters=3,
+            synth_genes=4,
+            synth_timepoints=24,
+            mll_engine="ss",
+            force_kernel="matern32",
+            out_dir=str(tmp_path / "plots2"),
+        )
+        entry.run_dense(c2)
 
     def test_dense_delay_ss_posterior_smoke(self, tmp_path):
         """--preset dense10k --model delaysimm --mll-engine ss
