@@ -1536,11 +1536,13 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
     if config.mll_engine == "ss":
         from dis_project_tpu.ops import statespace as ss_ops
 
-        engine = "state-space Kalman engine (O(T), order-10 SDE)"
+        prior = ("order-10 SDE" if config.force_kernel == "rbf"
+                 else f"EXACT {config.force_kernel} prior")
+        engine = f"state-space Kalman engine (O(T), {prior})"
         shard = _ss_shard_spec(config)
         objective = lambda r: -ss_ops.lfm2_mll_ss(  # noqa: E731
             simm2.constrain(r), tgrid, y, jitter=config.exact_jitter,
-            shard=shard,
+            shard=shard, force_kernel=config.force_kernel,
         )
     else:
         engine = "order-2 table Gram, Cholesky engine"
@@ -2151,13 +2153,13 @@ def main(argv=None):
         )
     if config.force_kernel != "rbf" and not (
         config.mll_engine == "ss"
-        and config.model in ("simm", "multisimm")
+        and config.model in ("simm", "multisimm", "simm2")
     ):
         raise SystemExit(
-            "--force-kernel requires --mll-engine ss on the simm or "
-            "multisimm route (the Matern priors are exactly Markovian "
-            "but have NO closed-form dense Gram; multisimm applies the "
-            "kernel to every force)"
+            "--force-kernel requires --mll-engine ss on the simm, "
+            "multisimm or simm2 routes (the Matern priors are exactly "
+            "Markovian but have NO closed-form dense Gram; multisimm "
+            "applies the kernel to every force)"
         )
     if config.ss_shard and config.model == "nlfm":
         raise SystemExit(

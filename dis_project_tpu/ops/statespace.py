@@ -431,11 +431,14 @@ def build_multiforce_ssm(decay, sens, lengthscales, order: int = 10,
     return f_aug, p_inf, p0, h_forces
 
 
-def build_lfm2_ssm(alpha, omega, sens, lengthscale, order: int = 10):
+def build_lfm2_ssm(alpha, omega, sens, lengthscale, order: int = 10,
+                   force_kernel: str = "rbf"):
     """Augmented SSM for the second-order (spring-damper) LFM
     (``models.simm2``): ``x_j'' + 2 alpha_j x_j' + k_j x_j = B_j + S_j f``
     with ``k_j = alpha_j^2 + omega_j^2`` — linear state evolution in
-    ``(x_j, v_j)``, same Lawrence-convention force prior.
+    ``(x_j, v_j)``, same Lawrence-convention force prior by default;
+    ``force_kernel`` selects an EXACT Matern prior instead (as
+    :func:`build_lfm_ssm`).
 
     State ``z = [f-state (p), x (G), v (G)]``; the t=0 convention matches
     the closed forms (``ops.lfm_kernels2``): position at the steady state
@@ -450,8 +453,8 @@ def build_lfm2_ssm(alpha, omega, sens, lengthscale, order: int = 10):
     Returns ``(F, P_inf, P0, h_force)``.
     """
     dtype = jnp.result_type(alpha, omega, sens, lengthscale)
-    f_c, h_c, _, p_diag = canonical_system(order)
-    p = order
+    f_c, h_c, p_diag, rate = _force_system(order, force_kernel)
+    p = f_c.shape[0]
     g = alpha.shape[0]
     m = p + 2 * g
     spring = alpha**2 + omega**2
@@ -459,7 +462,7 @@ def build_lfm2_ssm(alpha, omega, sens, lengthscale, order: int = 10):
     f_c = jnp.asarray(f_c, dtype)
     h_c = jnp.asarray(h_c, dtype)
     p_ff = jnp.asarray(np.diag(p_diag), dtype)
-    f_force = f_c * (2.0 / lengthscale)
+    f_force = f_c * (rate / lengthscale)
 
     f_aug = jnp.zeros((m, m), dtype)
     f_aug = f_aug.at[:p, :p].set(f_force)
@@ -1424,23 +1427,25 @@ def lfm2_mll_ss(
     uniform: bool = True,
     shard=None,
     obs_mask=None,
+    force_kernel: str = "rbf",
 ):
     """State-space MLL for the second-order family (``models.simm2``):
     same contract as :func:`lfm_mll_ss` with ``params`` a
     SIMM2Params-like namedtuple (alpha/omega instead of decay).
     O(T (p + 2G)^3); also the overflow-free route where the complex-erf
     closed forms leave their ``omega*l`` safe region (see
-    :func:`build_lfm2_ssm`)."""
+    :func:`build_lfm2_ssm`). ``force_kernel`` as :func:`lfm_mll_ss`."""
     f_aug, p_inf, p0, _ = build_lfm2_ssm(
         params.alpha, params.omega, params.sensitivity, params.lengthscale,
-        order=order,
+        order=order, force_kernel=force_kernel,
     )
     g = params.alpha.shape[0]
     t = jnp.asarray(timepoints)
+    p_f = p0.shape[0] - 2 * g
     # Observe the position block only: H = [0 | I_G | 0], replicate-tiled.
     h_x = jnp.concatenate(
         [
-            jnp.zeros((g, order), t.dtype),
+            jnp.zeros((g, p_f), t.dtype),
             jnp.eye(g, dtype=t.dtype),
             jnp.zeros((g, g), t.dtype),
         ],
@@ -1895,6 +1900,7 @@ def lfm2_predict_ss(
     obs_mask=None,
     parallel=None,
     shard=None,
+    force_kernel: str = "rbf",
 ):
     """Smoothed posterior for the second-order family: the state-space
     analogue of ``SecondOrderSIMM.latent_predict``. The simm2 closed
@@ -1910,11 +1916,12 @@ def lfm2_predict_ss(
 
     f_aug, p_inf, p0, h_force = build_lfm2_ssm(
         params.alpha, params.omega, params.sensitivity, params.lengthscale,
-        order=order,
+        order=order, force_kernel=force_kernel,
     )
+    p_f = p0.shape[0] - 2 * g
     h_x = jnp.concatenate(
         [
-            jnp.zeros((g, order), t_train.dtype),
+            jnp.zeros((g, p_f), t_train.dtype),
             jnp.eye(g, dtype=t_train.dtype),
             jnp.zeros((g, g), t_train.dtype),
         ],
@@ -1930,9 +1937,8 @@ def lfm2_predict_ss(
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
-    p = order
-    x_mean = m_t[:, p:p + g] + mean[None, :]
-    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p:p + g]
+    x_mean = m_t[:, p_f:p_f + g] + mean[None, :]
+    x_var = jnp.diagonal(p_t, axis1=1, axis2=2)[:, p_f:p_f + g]
     return f_mean, f_var, x_mean, x_var
 
 

@@ -919,6 +919,79 @@ class TestPerForceKernels:
                 force_kernels=("rbf",),
             )
 
+    def test_second_order_matern_matches_brute_force(self):
+        """lfm2_mll_ss(force_kernel=) rides the same plumbing: rbf
+        bit-equal to the default, Matern exact vs the SSM-implied joint
+        oracle."""
+        from scipy.linalg import expm
+
+        from dis_project_tpu.models import simm2
+
+        G, T = 2, 8
+        p2 = simm2.init_params(G)._replace(
+            alpha=jnp.asarray([0.4, 0.7]),
+            omega=jnp.asarray([0.8, 1.2]),
+            sensitivity=jnp.asarray([1.0, 0.7]),
+        )
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(9).normal(size=(G * T,)))
+        v0 = float(ss.lfm2_mll_ss(p2, t, y, jitter=1e-4, parallel=False))
+        v0b = float(ss.lfm2_mll_ss(p2, t, y, jitter=1e-4,
+                                   parallel=False, force_kernel="rbf"))
+        assert v0 == v0b
+        v_ss = float(ss.lfm2_mll_ss(
+            p2, t, y, jitter=1e-4, parallel=False,
+            force_kernel="matern32",
+        ))
+        f_aug, p_inf, p0, _ = ss.build_lfm2_ssm(
+            p2.alpha, p2.omega, p2.sensitivity, p2.lengthscale,
+            force_kernel="matern32",
+        )
+        m = p0.shape[0]
+        p_f = m - 2 * G
+        F, Pinf = np.asarray(f_aug), np.asarray(p_inf)
+        tg = np.asarray(t)
+        dts = np.diff(tg, prepend=0.0)
+        A = [expm(F * dt) for dt in dts]
+        Q = [Pinf - a_ @ Pinf @ a_.T for a_ in A]
+        P = []
+        prev = np.asarray(p0)
+        for i in range(T):
+            prev = A[i] @ prev @ A[i].T + Q[i]
+            P.append(0.5 * (prev + prev.T))
+        J = np.zeros((T * m, T * m))
+        for i in range(T):
+            J[i*m:(i+1)*m, i*m:(i+1)*m] = P[i]
+            Phi = np.eye(m)
+            for j in range(i + 1, T):
+                Phi = A[j] @ Phi
+                C = P[i] @ Phi.T
+                J[i*m:(i+1)*m, j*m:(j+1)*m] = C
+                J[j*m:(j+1)*m, i*m:(i+1)*m] = C.T
+        H1 = np.zeros((G, m))
+        H1[:, p_f:p_f + G] = np.eye(G)
+        H = np.zeros((T * G, T * m))
+        for i in range(T):
+            H[i*G:(i+1)*G, i*m:(i+1)*m] = H1
+        noise = 1e-4 + 1.0
+        S = H @ J @ H.T + noise * np.eye(T * G)
+        spring = np.asarray(p2.alpha)**2 + np.asarray(p2.omega)**2
+        yc = np.asarray(y).reshape(G, T).T.reshape(-1) - np.tile(
+            np.asarray(p2.basal) / spring, T
+        )
+        _, logdet = np.linalg.slogdet(S)
+        v_bf = -0.5 * (
+            logdet + yc @ np.linalg.solve(S, yc)
+            + T * G * np.log(2 * np.pi)
+        )
+        assert abs(v_ss - v_bf) < 1e-8 * max(1.0, abs(v_bf))
+        # Predict path shares the plumbing too.
+        fm, fv, xm, xv = ss.lfm2_predict_ss(
+            p2, t, y, jnp.linspace(0.0, 13.0, 9), noise_var=1e-3,
+            parallel=False, force_kernel="matern52",
+        )
+        assert float(fv.min()) > 0.0 and xm.shape == (9, G)
+
 
 class TestMaternForce:
     """Matern force priors (r4): EXACTLY Markovian at state dims 1/2/3 —
