@@ -292,7 +292,7 @@ class TestPipelineEntry:
         with pytest.raises(SystemExit, match="force-kernel requires"):
             entry.main([
                 "--preset", "dense10k", "--mll-engine", "ss",
-                "--model", "simm2", "--force-kernel", "matern52",
+                "--model", "nlfm", "--force-kernel", "matern52",
             ])
         # multisimm + ss ACCEPTS the flag (same prior for every force).
         c2 = cfg.RunConfig(
