@@ -1727,7 +1727,7 @@ def _run_dense_nlfm(config: cfg.RunConfig, scfg):
     opt = optax.adam(config.learning_rate)
     objective = lambda r: -ss_ops.nlfm_mll_ekf(  # noqa: E731
         simm.constrain(r), tgrid, y, response=resp,
-        jitter=config.exact_jitter,
+        jitter=config.exact_jitter, force_kernel=config.force_kernel,
     )
 
     n_segs = max(1, -(-config.num_iters // 25))
@@ -1745,8 +1745,10 @@ def _run_dense_nlfm(config: cfg.RunConfig, scfg):
                                           length=length)
         return raw, state, hist
 
+    prior = ("order-10 SDE" if config.force_kernel == "rbf"
+             else f"EXACT {config.force_kernel} prior")
     print(f"Training (approximate marginal {resp}-response likelihood, "
-          "extended Kalman engine (O(T), order-10 SDE))...")
+          f"extended Kalman engine (O(T), {prior}))...")
     t0 = time.perf_counter()
     raw_f, state = raw0, opt.init(raw0)
     chunks = []
@@ -1816,7 +1818,7 @@ def _run_dense_delay(config: cfg.RunConfig, scfg):
 
     objective = lambda r: -ss_ops.delaysimm_mll_ss(  # noqa: E731
         delaysimm.constrain(r), tgrid, y, jitter=config.exact_jitter,
-        shard=ss_shard,
+        shard=ss_shard, force_kernel=config.force_kernel,
     )
 
     # Same segmented dispatch as the other dense routes (remote-transport
@@ -1838,8 +1840,10 @@ def _run_dense_delay(config: cfg.RunConfig, scfg):
                                           length=length)
         return raw, state, hist
 
-    print("Training (full-batch exact delayed MLL, state-space Kalman "
-          "engine (O(T G), order-10 SDE))...")
+    prior = ("order-10 SDE" if config.force_kernel == "rbf"
+             else f"EXACT {config.force_kernel} prior")
+    print(f"Training (full-batch exact delayed MLL, state-space Kalman "
+          f"engine (O(T G), {prior}))...")
     t0 = time.perf_counter()
     raw_f, state = raw0, opt.init(raw0)
     chunks = []
@@ -1877,6 +1881,7 @@ def _run_dense_delay(config: cfg.RunConfig, scfg):
             jitter=config.exact_jitter,
             num_warmup=n_draws, num_samples=n_draws,
             num_chains=config.posterior_chains,
+            force_kernel=config.force_kernel,
         )
         jax.block_until_ready(post.log_probs)
         pooled = _finish_posterior(
@@ -2151,15 +2156,12 @@ def main(argv=None):
             "--ss-shard requires --mll-engine ss (it shards the Kalman "
             "filter's time axis)"
         )
-    if config.force_kernel != "rbf" and not (
-        config.mll_engine == "ss"
-        and config.model in ("simm", "multisimm", "simm2")
-    ):
+    if config.force_kernel != "rbf" and config.mll_engine != "ss":
         raise SystemExit(
-            "--force-kernel requires --mll-engine ss on the simm, "
-            "multisimm or simm2 routes (the Matern priors are exactly "
-            "Markovian but have NO closed-form dense Gram; multisimm "
-            "applies the kernel to every force)"
+            "--force-kernel requires --mll-engine ss (the Matern priors "
+            "are exactly Markovian but have NO closed-form dense Gram; "
+            "every state-space route supports them — multisimm applies "
+            "the kernel to every force)"
         )
     if config.ss_shard and config.model == "nlfm":
         raise SystemExit(

@@ -1508,6 +1508,7 @@ def delaysimm_mll_ss(
     parallel: bool | None = None,
     shard=None,
     obs_mask=None,
+    force_kernel: str = "rbf",
 ):
     """State-space MLL for the delayed-response family
     (``models.delaysimm``): same contract as :func:`lfm_mll_ss` with
@@ -1517,16 +1518,18 @@ def delaysimm_mll_ss(
     O((GTR)^3) dense; the delays are differentiable through the warped
     step sizes. ``shard=(mesh, axis)`` runs the event chain through the
     temporally-sharded filter (events padded with prediction-only
-    steps)."""
+    steps). ``force_kernel`` as :func:`lfm_mll_ss` — the warp reduction
+    is prior-agnostic, so exact Matern delays work too."""
     g = params.decay.shape[0]
     t = jnp.asarray(timepoints)
     t_steps = t.shape[0]
     n_o = replicates * g
     dtype = t.dtype
     f_aug, p_inf, p0, _ = build_lfm_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernel=force_kernel,
     )
-    h = gene_observation_matrix(order, g, replicates, dtype)
+    h = gene_observation_matrix(p0.shape[0] - g, g, replicates, dtype)
     mean_obs = jnp.tile(params.basal / params.decay, (replicates,))
     r_var = jnp.full((n_o,), jitter, dtype) + params.obs_stddev**2
 
@@ -1580,10 +1583,11 @@ def delaysimm_predict_ss(
     obs_mask=None,
     parallel=None,
     shard=None,
+    force_kernel: str = "rbf",
 ):
     """Smoothed posterior for the delay family: the state-space analogue
     of ``ExactDelaySIMM.latent_predict`` / ``multi_gene_predict`` in one
-    pass. The union event grid holds three categories: warped train
+    pass. ``force_kernel`` as :func:`delaysimm_mll_ss`. The union event grid holds three categories: warped train
     observations (T*G, per-gene rows), warped per-gene test reads
     (T_test*G, prediction-only — gene j's posterior at physical time tau
     is the state's gene-j component at ``max(tau - delta_j, 0)``), and
@@ -1601,9 +1605,11 @@ def delaysimm_predict_ss(
     dtype = t_train.dtype
 
     f_aug, p_inf, p0, h_force = build_lfm_ssm(
-        params.decay, params.sensitivity, params.lengthscale, order=order
+        params.decay, params.sensitivity, params.lengthscale, order=order,
+        force_kernel=force_kernel,
     )
-    h = gene_observation_matrix(order, g, replicates, dtype)
+    p_f = p0.shape[0] - g
+    h = gene_observation_matrix(p_f, g, replicates, dtype)
     mean = params.basal / params.decay
     mean_obs = jnp.tile(mean, (replicates,))
 
@@ -1681,10 +1687,9 @@ def delaysimm_predict_ss(
     f_var = jnp.einsum("i,tij,j->t", h_force, ps_s[force_rows], h_force)
     # Gene reads: original events T*G .. T*G + T_test*G, k = i*G + j.
     gene_rows = inv[t_steps * g: t_steps * g + n_test * g]
-    p = order
     x_sel = jnp.arange(g)
-    m_gene = ms_s[gene_rows][:, p:]  # (T_test*G, G)
-    v_gene = jnp.diagonal(ps_s[gene_rows], axis1=1, axis2=2)[:, p:]
+    m_gene = ms_s[gene_rows][:, p_f:]  # (T_test*G, G)
+    v_gene = jnp.diagonal(ps_s[gene_rows], axis1=1, axis2=2)[:, p_f:]
     pick = jnp.tile(x_sel, (n_test,))
     x_mean = m_gene[jnp.arange(n_test * g), pick].reshape(n_test, g)
     x_var = v_gene[jnp.arange(n_test * g), pick].reshape(n_test, g)
@@ -1967,7 +1972,8 @@ def _response_and_deriv(name: str):
     raise ValueError(f"unknown response {name!r}")
 
 
-def _nlfm_ekf_pieces(params, response: str, order: int):
+def _nlfm_ekf_pieces(params, response: str, order: int,
+                     force_kernel: str = "rbf"):
     """Shared EKF machinery: drift, Jacobian, diffusion, initial moments.
 
     The state is ``z = [f-state (p), x (G)]`` with ABSOLUTE gene levels
@@ -1984,13 +1990,13 @@ def _nlfm_ekf_pieces(params, response: str, order: int):
     decay, sens, basal = params.decay, params.sensitivity, params.basal
     dtype = jnp.result_type(decay, sens, params.lengthscale)
     g_genes = decay.shape[0]
-    p = order
+    f_c, h_c, p_diag, rate = _force_system(order, force_kernel)
+    p = f_c.shape[0]
     m = p + g_genes
-    f_c, h_c, _, p_diag = canonical_system(order)
     f_c = jnp.asarray(f_c, dtype)
     h_c = jnp.asarray(h_c, dtype)
     p_ff = jnp.asarray(np.diag(p_diag), dtype)
-    f_force = f_c * (2.0 / params.lengthscale)
+    f_force = f_c * (rate / params.lengthscale)
     qc = jnp.zeros((m, m), dtype).at[:p, :p].set(
         -(f_force @ p_ff + p_ff @ f_force.T)
     )
@@ -2076,6 +2082,7 @@ def nlfm_mll_ekf(
     replicates: int = 1,
     order: int = 10,
     substeps: int = 4,
+    force_kernel: str = "rbf",
 ):
     """Extended-Kalman approximate MARGINAL likelihood for the
     nonlinear-response family (``models.nlfm``) — the force integrated
@@ -2108,9 +2115,9 @@ def nlfm_mll_ekf(
     t_steps = t.shape[0]
     n_o = replicates * g_count
     drift, jac, qc, m0, p0, h_force, dtype, m = _nlfm_ekf_pieces(
-        params, response, order
+        params, response, order, force_kernel
     )
-    h = gene_observation_matrix(order, g_count, replicates, dtype)
+    h = gene_observation_matrix(m - g_count, g_count, replicates, dtype)
     r_var = jnp.full((n_o,), jitter, dtype) + params.obs_stddev**2
     ys = y.reshape(n_o, t_steps).T  # absolute levels, not centered
     dts = jnp.diff(t, prepend=jnp.zeros((1,), dtype))
@@ -2175,6 +2182,7 @@ def nlfm_predict_ekf(
     replicates: int = 1,
     order: int = 10,
     substeps: int = 4,
+    force_kernel: str = "rbf",
 ):
     """Extended-RTS smoothed posterior for the nonlinear family: forward
     EKF on the union grid (observation updates masked to train steps)
@@ -2192,9 +2200,9 @@ def nlfm_predict_ekf(
     t_test = jnp.asarray(t_test)
     n_o = replicates * g_count
     drift, jac, qc, m0, p0, h_force, dtype, m = _nlfm_ekf_pieces(
-        params, response, order
+        params, response, order, force_kernel
     )
-    h = gene_observation_matrix(order, g_count, replicates, dtype)
+    h = gene_observation_matrix(m - g_count, g_count, replicates, dtype)
 
     t_all = jnp.concatenate([t_train, t_test])
     order_idx = jnp.argsort(t_all, stable=True)
@@ -2233,7 +2241,7 @@ def nlfm_predict_ekf(
 
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
     m_t, p_t = ms_s[test_pos], ps_s[test_pos]
-    p = order
+    p = m - g_count
     f_mean = m_t @ h_force
     # The extended smoother's covariance subtraction can go slightly
     # indefinite along near-deterministic directions (the linear path's

@@ -583,6 +583,7 @@ def delay_posterior_ss(
     num_chains: int = 1,
     mesh=None,
     order: int = 10,
+    force_kernel: str = "rbf",
 ):
     """Posterior over (kinetics, per-gene delays) with the O(T G)
     warped-event state-space likelihood
@@ -605,7 +606,7 @@ def delay_posterior_ss(
     def logdensity(raw):
         p = delaysimm.constrain(raw)
         return ss_ops.delaysimm_mll_ss(
-            p, t, y, jitter=jitter, order=order
+            p, t, y, jitter=jitter, order=order, force_kernel=force_kernel
         ) + bij.constrain_log_det(raw, delaysimm.DELAY_BIJECTORS)
 
     return sample_constrained(

@@ -291,8 +291,8 @@ class TestPipelineEntry:
             entry.main(["--force-kernel", "matern32"])
         with pytest.raises(SystemExit, match="force-kernel requires"):
             entry.main([
-                "--preset", "dense10k", "--mll-engine", "ss",
-                "--model", "nlfm", "--force-kernel", "matern52",
+                "--preset", "dense10k", "--mll-engine", "cholesky",
+                "--force-kernel", "matern52",
             ])
         # multisimm + ss ACCEPTS the flag (same prior for every force).
         c2 = cfg.RunConfig(

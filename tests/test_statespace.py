@@ -1101,6 +1101,39 @@ class TestMaternForce:
                 for le in jax.tree_util.tree_leaves(g)
             ), kind
 
+    def test_delay_and_ekf_accept_matern(self):
+        """The warp reduction and the EKF linearization are both
+        prior-agnostic: the delay family's zero-delay Matern MLL reduces
+        to the first-order Matern engine, and the identity-response EKF
+        matches the Matern linear engine to integration error."""
+        from dis_project_tpu.models import delaysimm
+
+        G, T = 3, 9
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(np.random.default_rng(5).normal(size=(G * T,)))
+        dp = delaysimm.init_params(G)._replace(
+            delay=jnp.zeros((G,)),
+            decay=jnp.asarray([0.4, 0.9, 0.6]),
+            sensitivity=jnp.asarray([1.0, 0.8, 1.2]),
+        )
+        kin = simm.SIMMParams(dp.basal, dp.sensitivity, dp.decay,
+                              dp.lengthscale, dp.obs_stddev)
+        v1 = float(ss.lfm_mll_ss(kin, t, y, jitter=1e-4, parallel=False,
+                                 force_kernel="matern32"))
+        v2 = float(ss.delaysimm_mll_ss(dp, t, y, jitter=1e-4,
+                                       parallel=False,
+                                       force_kernel="matern32"))
+        assert abs(v1 - v2) < 1e-9 * max(1.0, abs(v1))
+        y2 = y + 1.0
+        v_lin = float(ss.lfm_mll_ss(kin, t, y2, jitter=1e-4,
+                                    parallel=False,
+                                    force_kernel="matern32"))
+        v_ekf = float(ss.nlfm_mll_ekf(
+            kin, t, y2, response="identity", jitter=1e-4, substeps=8,
+            force_kernel="matern32",
+        ))
+        assert abs(v_lin - v_ekf) < 5e-6 * max(1.0, abs(v_lin))
+
     def test_predict_and_streaming_accept_matern(self):
         G, T = 2, 7
         t = jnp.linspace(0.0, 12.0, T)
