@@ -735,6 +735,12 @@ def _combine(e1, e2):
     m = a1.shape[-1]
     eye = jnp.eye(m, dtype=a1.dtype)
     # (I + C1 J2)^-1 appears twice (once transposed) — one LU each.
+    # Future win for the sharded local scans: C1 and J2 are symmetric by
+    # construction, so E = I + J2 C1 = D^T and ONE factorization of D
+    # could serve both solves (lu + trans=0/1) — ~15% per combine.
+    # Unmeasured on TPU (triangular-solve lowering quality unknown) and
+    # the single-device dispatch picks the sequential scan anyway
+    # (_AUTO_PARALLEL_NOTE), so not done.
     d_mat = eye + c1 @ j2
     a2d = jnp.linalg.solve(
         jnp.swapaxes(d_mat, -1, -2), jnp.swapaxes(a2, -1, -2)
