@@ -506,6 +506,215 @@ def bench_ss_engine(n=8192, genes=64, dtype=jnp.float32):
         return {"ss_probe_failed": f"{type(e).__name__}: {e}"[:200]}
 
 
+def bench_route_matrix(dtype=jnp.float32):
+    """Per-round TPU regression numbers for every flagship route (r5,
+    VERDICT r4 #3): SVI step, union-grid predict, the simm2/multisimm/
+    delay state-space steps, the EKF marginal step, an 8-step HMC
+    leapfrog trajectory, and a 64-draw FFBS sample — so a regression on
+    any route shows in BENCH_rN.json instead of living in PARITY prose.
+    Every probe is guarded: a failure degrades to a ``*_failed`` note
+    field, never kills the bench."""
+    import numpy as np
+
+    from dis_project_tpu.models import (
+        delaysimm, multisimm, simm, simm2, svlfm,
+    )
+    from dis_project_tpu.ops import statespace as ss_ops
+    from dis_project_tpu.training import hmc
+    from dis_project_tpu.utils.benchmarking import time_op
+
+    rng = np.random.default_rng(0)
+    out = {}
+
+    def grad_probe(vg):
+        def op(eps, raw, yy):
+            v, g = vg(raw, yy + eps.astype(yy.dtype))
+            leaves = jax.tree_util.tree_leaves(g)
+            return v + sum(jnp.sum(le) for le in leaves) * 1e-30
+
+        return op
+
+    def guarded(key, fn):
+        try:
+            out[key] = round(fn(), 6)
+        except Exception as e:  # noqa: BLE001 — degrade honestly
+            out[f"{key}_failed"] = f"{type(e).__name__}: {e}"[:160]
+
+    # 1. SVI step at the sparse100k shape (G=50, M=128, bs=2048): one
+    # minibatch ELBO value+grad — the unit of work the preset repeats.
+    def svi_step():
+        G, M, BS, N_TOTAL = 50, 128, 2048, 100_000
+        model = svlfm.SparseSIMM(num_genes=G, num_inducing=M, jitter=1e-6)
+        params = svlfm.init_params(
+            G, num_inducing=M, t_max=12.0, dtype=dtype
+        )
+        raw0 = svlfm.unconstrain(params)
+        tb = rng.uniform(0, 12.0, BS)
+        gb = rng.integers(0, G, BS)
+        xb = jnp.asarray(np.stack([tb, gb, np.ones(BS)], 1), dtype)
+        yb = jnp.asarray(rng.standard_normal(BS) * 0.5 + 1.0, dtype)
+        vb = jnp.full((BS,), 0.1, dtype)
+        vg = jax.value_and_grad(
+            lambda r, yy: -model.elbo(
+                svlfm.constrain(r), xb, yy, vb, n_total=N_TOTAL
+            )
+        )
+        return time_op(grad_probe(vg), raw0, yb, iters=4)
+
+    guarded("svi_step_s", svi_step)
+
+    # 2. Union-grid smoothed predict at the dense10k-like shape
+    # (G=64 train T=128, 256 test points) through the jitted
+    # ``unique_dts`` bucketing — the serving read path.
+    def union_predict():
+        G, T, T_TEST = 64, 128, 256
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        t_test = jnp.asarray(np.linspace(-0.5, 12.5, T_TEST), dtype)
+        y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
+        params = simm.init_params(G, dtype=dtype)
+        u = int(
+            np.unique(
+                np.diff(
+                    np.sort(np.concatenate([np.asarray(t), np.asarray(t_test)])),
+                    prepend=0.0,
+                )
+            ).size
+        )
+        out["union_predict_unique_dts"] = u
+
+        def op(eps, yy):
+            f_mean, f_var, x_mean, x_var = ss_ops.lfm_predict_ss(
+                params, t, yy + eps.astype(yy.dtype), t_test,
+                noise_var=0.1, unique_dts=u,
+            )
+            return f_mean + f_var + jnp.sum(x_mean + x_var, axis=1)
+
+        return time_op(op, y, iters=3)
+
+    guarded("union_predict_s", union_predict)
+
+    # 3-5. Family state-space MLL steps (value+grad), dense-scale shapes.
+    def ss2_step():
+        G, T = 32, 128  # state m = 10 + 2G = 74, same class as ss_step
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
+        raw0 = simm2.unconstrain(simm2.init_params(G, dtype=dtype))
+        vg = jax.value_and_grad(
+            lambda r, yy: -ss_ops.lfm2_mll_ss(
+                simm2.constrain(r), t, yy, jitter=1e-4
+            )
+        )
+        return time_op(grad_probe(vg), raw0, y, iters=3)
+
+    guarded("ss2_step_s", ss2_step)
+
+    def ss_multi_step():
+        G, R, T = 64, 2, 128  # state m = R*10 + G = 84
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
+        raw0 = multisimm.unconstrain(
+            multisimm.init_params(G, R, dtype=dtype)
+        )
+        vg = jax.value_and_grad(
+            lambda r, yy: -ss_ops.multisimm_mll_ss(
+                multisimm.constrain(r), t, yy, jitter=1e-4
+            )
+        )
+        return time_op(grad_probe(vg), raw0, y, iters=3)
+
+    guarded("ss_multi_step_s", ss_multi_step)
+
+    def ss_delay_step():
+        G, T = 16, 128  # T*G = 2048 warped filter events, state m = 26
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
+        raw0 = delaysimm.unconstrain(
+            delaysimm.init_params(G, dtype=dtype)
+        )
+        vg = jax.value_and_grad(
+            lambda r, yy: -ss_ops.delaysimm_mll_ss(
+                delaysimm.constrain(r), t, yy, jitter=1e-4
+            )
+        )
+        return time_op(grad_probe(vg), raw0, y, iters=3)
+
+    guarded("ss_delay_step_s", ss_delay_step)
+
+    # 6. Extended-Kalman marginal step (nonlinear family, exp response).
+    def ekf_step():
+        G, T = 16, 128
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        y = jnp.asarray(np.abs(rng.standard_normal(G * T)) + 0.5, dtype)
+        raw0 = simm.unconstrain(simm.init_params(G, dtype=dtype))
+        vg = jax.value_and_grad(
+            lambda r, yy: -ss_ops.nlfm_mll_ekf(
+                simm.constrain(r), t, yy, response="exp", jitter=1e-4
+            )
+        )
+        return time_op(grad_probe(vg), raw0, y, iters=3)
+
+    guarded("ekf_step_s", ekf_step)
+
+    # 7. One 8-step HMC leapfrog trajectory over the dense-scale
+    # state-space log-density (the sampler's inner unit of work —
+    # ``training.hmc._leapfrog`` on the flattened position).
+    def hmc_leapfrog():
+        G, T = 16, 512
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
+        raw0 = simm.unconstrain(simm.init_params(G, dtype=dtype))
+        flat0, unravel = jax.flatten_util.ravel_pytree(raw0)
+        vg = jax.value_and_grad(
+            lambda q: ss_ops.lfm_mll_ss(
+                simm.constrain(unravel(q)), t, y, jitter=1e-4
+            )
+        )
+
+        def op(eps, q0):
+            q = q0 + eps.astype(q0.dtype)
+            v0, g0 = vg(q)
+            p0 = jnp.ones_like(q) * 0.1
+            q1, p1, v1, g1 = hmc._leapfrog(
+                vg, q, p0, v0, g0, 1e-3, jnp.ones_like(q), 8
+            )
+            return v1 + jnp.sum(q1 + p1 + g1) * 1e-30
+
+        return time_op(op, flat0, iters=2)
+
+    guarded("hmc_leapfrog8_s", hmc_leapfrog)
+
+    # 8. 64 joint FFBS trajectory draws sharing one backward pass
+    # (VERDICT r4 #7): should price ~one filter+backward, not 64.
+    def ffbs_draws():
+        G, T, T_TEST, S = 8, 512, 512, 64
+        t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
+        t_test = jnp.asarray(np.linspace(0.02, 11.98, T_TEST), dtype)
+        y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
+        params = simm.init_params(G, dtype=dtype)
+        u = int(
+            np.unique(
+                np.diff(
+                    np.sort(np.concatenate([np.asarray(t), np.asarray(t_test)])),
+                    prepend=0.0,
+                )
+            ).size
+        )
+        key = jax.random.PRNGKey(0)
+
+        def op(eps, yy):
+            draws = ss_ops.posterior_sample_ss(
+                params, t, yy + eps.astype(yy.dtype), t_test, key,
+                noise_var=0.1, num_samples=S, unique_dts=u,
+            )
+            return jnp.sum(draws, axis=1)
+
+        return time_op(op, y, iters=2)
+
+    guarded("ffbs_draws64_s", ffbs_draws)
+
+    return out
+
+
 # Iterations per headline training program: enough to converge the
 # canonical run (measured flat at ~-23.7 from ~iteration 450 on) with
 # headroom; the headline divides out the tail via steps_to_target.
@@ -569,6 +778,7 @@ def main():
         probes.update(bench_train_step_at_scale())
         probes.update(bench_train_step_at_scale(n=8192, genes=64))
         probes.update(bench_ss_engine(n=8192, genes=64))
+        probes.update(bench_route_matrix())
     else:
         # CPU fallback: keep the stress probes small — the point of the
         # fallback line is the headline + the like-for-like ratio, not

@@ -247,6 +247,65 @@ def gram_xx_blocked_fast(timepoints, decay, sens, lengthscale):
     return K4.reshape(G * T, G * T)
 
 
+# Stable handle to the table build for the hybrid op below: the hybrid
+# must keep working even if a caller rebinds ``gram_xx_blocked_fast``
+# (e.g. to the hybrid itself, to route every gridded consumer through
+# the row backward) — resolving the module global at call time would
+# then recurse.
+_TABLE_BUILD = gram_xx_blocked_fast
+
+
+@jax.custom_vjp
+def gram_xx_blocked_hybrid(timepoints, decay, sens, lengthscale):
+    """Table-Gram FORWARD, row-algebra BACKWARD (r5, VERDICT r4 #4).
+
+    The table build (:func:`gram_xx_blocked_fast`) needs O(T G^2)
+    transcendentals but its AD backward must scatter-add an (T, T, G)
+    cotangent into the (2T-1, G) delta tables — a serialised
+    segment-sum that made the gridded train step SLOWER end-to-end than
+    the row path at N=8192 (BENCH_r04: 14.6 vs 12.9 ms) despite the 11x
+    faster forward. This wrapper keeps the table forward and routes the
+    backward through ``jax.vjp`` of the ROW closed forms
+    (:func:`lfm_kernels.k_xx_block` — pure elementwise algebra, no
+    scatter): the cotangent contraction is a fused elementwise+reduce
+    program.
+
+    MEASURED OUTCOME (r5, v5e; VERDICT r4 #4): a refutation. Full
+    train-step probes — table-AD 14.38 ms vs hybrid 14.51 ms at N=8192,
+    3.89 vs 4.37 ms at N=4096. The row backward's O(N^2) transcendental
+    re-evaluation costs more than the table backward's segment-sum
+    saves at every shape tried, so the gridded MLL consumers keep plain
+    AD-through-the-table and this op stays as a tested, documented
+    negative result (same status as ``pallas_cholesky_fused``). Forward values are the table build's bit-for-bit; parameter
+    gradients match AD-through-the-table to float tolerance (the two
+    algebras are the same math — pinned in tests/test_gridded.py). The
+    ``timepoints`` cotangent follows the ROW algebra — the true kernel
+    derivative; the table build's own t-gradient is only meaningful
+    along uniform grid perturbations (it reads t through ``t[1]-t[0]``),
+    so the two t-gradients legitimately differ off that subspace. No
+    training caller differentiates w.r.t. the grid."""
+    return _TABLE_BUILD(timepoints, decay, sens, lengthscale)
+
+
+def _gram_hybrid_fwd(timepoints, decay, sens, lengthscale):
+    k = _TABLE_BUILD(timepoints, decay, sens, lengthscale)
+    return k, (timepoints, decay, sens, lengthscale)
+
+
+def _gram_hybrid_bwd(res, kbar):
+    timepoints, decay, sens, lengthscale = res
+    from dis_project_tpu.ops import lfm_kernels as _lfk
+
+    _, vjp = jax.vjp(
+        lambda t, d, s, l: _lfk.k_xx_block(t, t, d, s, l),
+        timepoints, decay, sens, lengthscale,
+    )
+    return vjp(kbar)
+
+
+gram_xx_blocked_hybrid.defvjp(_gram_hybrid_fwd, _gram_hybrid_bwd)
+
+
 def gram_xx_blocked(timepoints, decay, sens, lengthscale, replicates=1):
     """Specialised training-path Gram: all rows are gene-expression rows.
 

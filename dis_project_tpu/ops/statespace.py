@@ -108,6 +108,26 @@ LOG_2PI = 1.8378770664093453
 SS_MATMUL_PRECISION = "highest"
 
 
+# Unroll factor for the sequential filter/smoother scans. Unrolling
+# amortises the TPU while-loop per-iteration overhead and lets XLA
+# overlap the independent pieces of consecutive steps around the (m, P)
+# carry dependency — but only pays when the per-step ops are small
+# enough for loop overhead to matter. Measured on v5e (r5 sweep,
+# value+grad of lfm_mll_ss): m=12 (G=2, T=8192) unroll 8 wins 1.2x
+# (198 -> 165 ms); m=18 (G=8) it is a wash (20.4 vs 20.7 ms); m=74
+# (G=64) it LOSES 5% and doubles compile time. Policy: unroll 8 only
+# for small states on the accelerator; CPU always 1 (no dispatch
+# overhead to amortise).
+_SCAN_UNROLL_TPU = 8
+_SCAN_UNROLL_MAX_STATE = 16
+
+
+def _scan_unroll(m_dim):
+    if jax.default_backend() in ("cpu",) or m_dim > _SCAN_UNROLL_MAX_STATE:
+        return 1
+    return _SCAN_UNROLL_TPU
+
+
 def _pin_precision(fn):
     """Pin ``SS_MATMUL_PRECISION`` matmuls over the function's trace
     (see the constant's rationale above)."""
@@ -527,13 +547,32 @@ def build_lfm2_ssm(alpha, omega, sens, lengthscale, order: int = 10,
 
 
 @_pin_precision
-def discretize(f_aug, p_inf, dts):
+def discretize(f_aug, p_inf, dts, max_unique: int | None = None):
     """Exact discretization over step sizes ``dts`` (scalar or (T,)).
 
     ``A = expm(F dt)``; the process noise uses the stationarity identity
     ``Q = P_inf - A P_inf A^T`` (exact for a stable stationary system —
     no Van Loan double-size expm needed). Scalar ``dts`` returns (m, m)
     matrices shared by every step; a (T,) vector returns (T, m, m).
+
+    Unique-dt bucketing (r5, VERDICT r4 #2): when ``dts`` is CONCRETE
+    (not a tracer — every eager predict/sample call qualifies), the
+    per-step ``expm`` sweep collapses to one ``expm`` per DISTINCT step
+    size plus a gather. Union grids of regular train and test grids
+    have a handful of distinct dts, and equal inputs give bitwise-equal
+    expm outputs, so the gathered result is bit-identical to the
+    per-step build (pinned in tests/test_statespace.py).
+
+    TRACED ``dts`` keep the per-step vmap unless the caller passes the
+    static ``max_unique`` — a PROMISE that ``dts`` takes at most that
+    many distinct values (compute it host-side from the concrete grids,
+    as the predict entry points' ``unique_dts`` plumbing does): the
+    bucketing then runs under jit via a fixed-size ``jnp.unique`` +
+    ``searchsorted`` gather. An UNDERSTATED ``max_unique`` silently
+    assigns wrong transitions to the overflow steps — it is exactness-
+    critical, which is why it is never inferred. The delay family's
+    param-dependent warped steps are generically all-distinct and gain
+    nothing either way.
     """
     expm = jax.scipy.linalg.expm
 
@@ -546,6 +585,17 @@ def discretize(f_aug, p_inf, dts):
     dts = jnp.asarray(dts)
     if dts.ndim == 0:
         return one(dts)
+    if not isinstance(dts, jax.core.Tracer):
+        u, inv = np.unique(np.asarray(dts), return_inverse=True)
+        if u.size < dts.shape[0]:
+            a_u, q_u = jax.vmap(one)(jnp.asarray(u, dts.dtype))
+            inv = jnp.asarray(inv)
+            return a_u[inv], q_u[inv]
+    elif max_unique is not None and max_unique < dts.shape[0]:
+        u = jnp.unique(dts, size=max_unique, fill_value=jnp.max(dts))
+        idx = jnp.clip(jnp.searchsorted(u, dts), 0, max_unique - 1)
+        a_u, q_u = jax.vmap(one)(u)
+        return a_u[idx], q_u[idx]
     return jax.vmap(one)(dts)
 
 
@@ -574,9 +624,9 @@ def gene_observation_matrix(order: int, num_genes: int, replicates: int = 1,
 # ---------------------------------------------------------------------------
 
 
-def _gauss_ll(r, s_mat):
-    """log N(r; 0, s_mat) for one innovation (n_o,)."""
-    chol = jnp.linalg.cholesky(s_mat)
+def _gauss_ll_chol(r, chol):
+    """log N(r; 0, L L^T) from the innovation covariance's Cholesky
+    factor (n_o, n_o)."""
     al = jax.scipy.linalg.solve_triangular(chol, r, lower=True)
     return (
         -0.5 * jnp.sum(al * al)
@@ -585,16 +635,58 @@ def _gauss_ll(r, s_mat):
     )
 
 
+def _gauss_ll(r, s_mat):
+    """log N(r; 0, s_mat) for one innovation (n_o,)."""
+    return _gauss_ll_chol(r, jnp.linalg.cholesky(s_mat))
+
+
 def _joseph_update(m_pred, p_pred, h, r_var, y):
     """One measurement update; returns (m, P, ll). Joseph-form covariance
-    update for f32 robustness."""
+    update for f32 robustness.
+
+    ONE Cholesky of the innovation covariance serves both the gain and
+    the log-density (r5 — the r4 version LU-solved for the gain and then
+    Cholesky-factorised the same S again inside ``_gauss_ll``; on TPU
+    the pivoted LU is the single most expensive op in the filter step,
+    and S is PSD by construction, so the LU was pure waste — measured
+    1.92x on the T-step value+grad chain at the bench shape, 11.29 ms
+    -> 5.88 ms, r5 sweep)."""
     s_mat = h @ p_pred @ h.T + jnp.diag(r_var)
+    chol = jnp.linalg.cholesky(s_mat)
     r = y - h @ m_pred
-    gain = jnp.linalg.solve(s_mat.T, h @ p_pred).T  # P H^T S^-1
+    gain = jax.scipy.linalg.cho_solve((chol, True), h @ p_pred).T  # P H^T S^-1
     m_new = m_pred + gain @ r
     ikh = jnp.eye(p_pred.shape[0], dtype=p_pred.dtype) - gain @ h
     p_new = ikh @ p_pred @ ikh.T + (gain * r_var[None, :]) @ gain.T
-    return m_new, _symmetrize(p_new), _gauss_ll(r, s_mat)
+    return m_new, _symmetrize(p_new), _gauss_ll_chol(r, chol)
+
+
+def _joseph_update_sel(m_pred, p_pred, p_off, r_var, y):
+    """Measurement update specialised to a contiguous SELECTION
+    observation ``H = [0 | I_{n_o} | 0]`` reading state coordinates
+    ``p_off : p_off + n_o`` (the single-replicate gridded families:
+    first-order/multi-force read the trailing gene block, the
+    second-order family reads the mid-state position block): ``H P`` is
+    a row slice, ``S`` a corner slice, and ``I - K H`` a column scatter,
+    so the three O(m^2 n_o) H-matmuls of :func:`_joseph_update` vanish
+    from the latency chain. Same Joseph-form covariance and
+    shared-Cholesky log-density; equality with the dense-H update is
+    pinned in tests."""
+    n_o = y.shape[0]
+    pg = p_pred[p_off:p_off + n_o, :]  # H P  (n_o, m)
+    s_mat = pg[:, p_off:p_off + n_o] + jnp.diag(r_var)
+    chol = jnp.linalg.cholesky(s_mat)
+    r = y - m_pred[p_off:p_off + n_o]
+    gain = jax.scipy.linalg.cho_solve((chol, True), pg).T  # (m, n_o)
+    m_new = m_pred + gain @ r
+    m_dim = p_pred.shape[0]
+    ikh = (
+        jnp.eye(m_dim, dtype=p_pred.dtype)
+        .at[:, p_off:p_off + n_o]
+        .add(-gain)
+    )
+    p_new = ikh @ p_pred @ ikh.T + (gain * r_var[None, :]) @ gain.T
+    return m_new, _symmetrize(p_new), _gauss_ll_chol(r, chol)
 
 
 def _mask_obs(h, r_var, ys, obs_mask):
@@ -626,7 +718,7 @@ def _mask_ll_correction(obs_mask):
 
 @_pin_precision
 def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None,
-                  obs_mask=None):
+                  obs_mask=None, obs_slice=None):
     """Sequential Kalman filter (one ``lax.scan``).
 
     ``a``/``q``: (m, m) shared by all steps (uniform grid) or (T, m, m);
@@ -639,7 +731,12 @@ def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None,
     ``obs_mask``: optional (T, n_o) {0,1} — per-ENTRY missingness
     (dropouts, irregular per-gene sampling): entries with 0 are exactly
     deleted from the update and the likelihood (see :func:`_mask_obs`);
-    their ``ys`` values may be NaN.
+    their ``ys`` values may be NaN. ``obs_slice``: optional static int —
+    a promise that ``h`` is exactly the selection ``[0 | I]`` reading
+    the last ``n_o`` state coordinates (the single-replicate gridded
+    families); the update then runs the sliced fast path
+    (:func:`_joseph_update_sel`, three H-matmuls fewer per step).
+    Ignored when ``obs_mask`` is given (masking rewrites H rows).
 
     Returns ``(ms, ps, ll)``: filtered means (T, m), covariances
     (T, m, m), and the total marginal log-likelihood.
@@ -650,39 +747,49 @@ def kalman_filter(a, q, h, r_var, ys, p0, m0=None, mask=None,
     if m0 is None:
         m0 = jnp.zeros((m_dim,), dtype)
     r_var = jnp.broadcast_to(jnp.asarray(r_var, dtype), (t_steps, n_o))
-    if mask is None:
-        mask = jnp.ones((t_steps,), dtype)
+    # mask/obs_mask are STATIC presence flags: the unmasked hot loop
+    # (every gridded MLL) carries no per-step selects or corrections.
+    masked = mask is not None
     if obs_mask is not None:
         obs_mask = jnp.asarray(obs_mask, dtype)
         h_t, r_var, ys = _mask_obs(h, r_var, ys, obs_mask)
         ll_corr = _mask_ll_correction(obs_mask)
+        obs_slice = None
     else:
         h_t = None
-        ll_corr = jnp.zeros((t_steps,), dtype)
+        ll_corr = None
     shared_aq = a.ndim == 2
 
     def step(carry, xs):
         m_cur, p_cur, ll = carry
-        if shared_aq:
-            y_i, rv_i, mk_i, corr_i, h_i = xs
-            a_i, q_i = a, q
-        else:
-            y_i, rv_i, mk_i, corr_i, h_i, a_i, q_i = xs
+        y_i, rv_i, mk_i, corr_i, h_i = xs[:5]
+        a_i, q_i = (a, q) if shared_aq else xs[5:]
         if h_i is None:
             h_i = h
         m_pred = a_i @ m_cur
         p_pred = _symmetrize(a_i @ p_cur @ a_i.T + q_i)
-        m_up, p_up, ll_i = _joseph_update(m_pred, p_pred, h_i, rv_i, y_i)
-        m_new = jnp.where(mk_i > 0, m_up, m_pred)
-        p_new = jnp.where(mk_i > 0, p_up, p_pred)
-        ll = ll + mk_i * (ll_i + corr_i)
+        if obs_slice is not None:
+            m_up, p_up, ll_i = _joseph_update_sel(
+                m_pred, p_pred, obs_slice, rv_i, y_i
+            )
+        else:
+            m_up, p_up, ll_i = _joseph_update(m_pred, p_pred, h_i, rv_i, y_i)
+        if corr_i is not None:
+            ll_i = ll_i + corr_i
+        if mk_i is None:
+            m_new, p_new = m_up, p_up
+            ll = ll + ll_i
+        else:
+            m_new = jnp.where(mk_i > 0, m_up, m_pred)
+            p_new = jnp.where(mk_i > 0, p_up, p_pred)
+            ll = ll + mk_i * ll_i
         return (m_new, p_new, ll), (m_new, p_new)
 
-    xs = (ys, r_var, mask, ll_corr, h_t)
+    xs = (ys, r_var, mask if masked else None, ll_corr, h_t)
     if not shared_aq:
         xs = xs + (a, q)
     (_, _, ll), (ms, ps) = jax.lax.scan(
-        step, (m0, p0, jnp.zeros((), dtype)), xs
+        step, (m0, p0, jnp.zeros((), dtype)), xs, unroll=_scan_unroll(m_dim)
     )
     return ms, ps, ll
 
@@ -729,32 +836,65 @@ def _mv(mat, vec):
 def _combine(e1, e2):
     """Associative composition of filtering elements (ibid., lemma 8).
     ``e1`` is the earlier interval. Batched over the leading axis by
-    ``associative_scan``."""
+    ``associative_scan``.
+
+    Shared-LU combine (r5): ``C1`` and ``J2`` are symmetric by
+    construction, so the two resolvents the lemma needs —
+    ``(I + C1 J2)^-T`` and ``(I + J2 C1)^-T`` — are one matrix
+    ``E = I + J2 C1`` solved plain and transposed. ONE LU factorization
+    of E serves both (``lu_solve`` trans=0/1), replacing the two
+    independent ``jnp.linalg.solve`` LUs of r4 (the win flagged in the
+    r4 closing commit 9d0173b). Every combine consumer inherits it:
+    the associative-scan filter, the blocked filter, and the sharded
+    local scans."""
     a1, b1, c1, eta1, j1 = e1
     a2, b2, c2, eta2, j2 = e2
     m = a1.shape[-1]
     eye = jnp.eye(m, dtype=a1.dtype)
-    # (I + C1 J2)^-1 appears twice (once transposed) — one LU each.
-    # Future win for the sharded local scans: C1 and J2 are symmetric by
-    # construction, so E = I + J2 C1 = D^T and ONE factorization of D
-    # could serve both solves (lu + trans=0/1) — ~15% per combine.
-    # Unmeasured on TPU (triangular-solve lowering quality unknown) and
-    # the single-device dispatch picks the sequential scan anyway
-    # (_AUTO_PARALLEL_NOTE), so not done.
-    d_mat = eye + c1 @ j2
-    a2d = jnp.linalg.solve(
-        jnp.swapaxes(d_mat, -1, -2), jnp.swapaxes(a2, -1, -2)
+    e_mat = eye + j2 @ c1  # = (I + C1 J2)^T for symmetric C1, J2
+    lu_piv = jax.scipy.linalg.lu_factor(e_mat)
+    # A2 (I + C1 J2)^-1 = (E^-1 A2^T)^T    — trans=0 solve
+    a2d = jnp.swapaxes(
+        jax.scipy.linalg.lu_solve(lu_piv, jnp.swapaxes(a2, -1, -2)),
+        -1, -2,
     )
-    a2d = jnp.swapaxes(a2d, -1, -2)  # A2 (I + C1 J2)^-1
     a_new = a2d @ a1
     b_new = _mv(a2d, b1 + _mv(c1, eta2)) + b2
     c_new = _symmetrize(a2d @ c1 @ jnp.swapaxes(a2, -1, -2) + c2)
-    e_mat = eye + j2 @ c1
-    einv_t_a1 = jnp.linalg.solve(jnp.swapaxes(e_mat, -1, -2), a1)
-    a1t_einv = jnp.swapaxes(einv_t_a1, -1, -2)  # A1^T (I + J2 C1)^-1
+    # A1^T (I + J2 C1)^-1 = (E^-T A1)^T    — trans=1 solve, same LU
+    a1t_einv = jnp.swapaxes(
+        jax.scipy.linalg.lu_solve(lu_piv, a1, trans=1), -1, -2
+    )
     eta_new = _mv(a1t_einv, eta2 - _mv(j2, b1)) + eta1
     j_new = _symmetrize(a1t_einv @ j2 @ a1 + j1)
     return a_new, b_new, c_new, eta_new, j_new
+
+
+def _apply_state(m_s, p_s, elem):
+    """Fold a filtered STATE ``(m, P)`` through a composite element —
+    ``combine((0, m, P, 0, 0), elem)`` specialised to the two outputs a
+    terminal application needs. With ``A1 = 0`` the lemma collapses to
+
+        m' = A2 (I + P J2)^-1 (m + P eta2) + b2
+        P' = A2 (I + P J2)^-1 P A2^T + C2
+
+    — one LU, three matmuls; the (eta, J) legs vanish. This is what the
+    blocked filter uses to (a) chain block composites into block-start
+    states and (b) expand every within-block prefix into filtered
+    moments, at ~40% of a full combine each. Batched over arbitrary
+    leading axes."""
+    a2, b2, c2, eta2, j2 = elem
+    m_dim = m_s.shape[-1]
+    eye = jnp.eye(m_dim, dtype=m_s.dtype)
+    e_mat = eye + j2 @ p_s  # = (I + P J2)^T (P, J2 symmetric)
+    lu_piv = jax.scipy.linalg.lu_factor(e_mat)
+    a2d = jnp.swapaxes(
+        jax.scipy.linalg.lu_solve(lu_piv, jnp.swapaxes(a2, -1, -2)),
+        -1, -2,
+    )  # A2 (I + P J2)^-1
+    m_new = _mv(a2d, m_s + _mv(p_s, eta2)) + b2
+    p_new = _symmetrize(a2d @ p_s @ jnp.swapaxes(a2, -1, -2) + c2)
+    return m_new, p_new
 
 
 @_pin_precision
@@ -860,6 +1000,266 @@ def _prior_element(m0, p0):
         jnp.zeros((m_dim,), p0.dtype),
         jnp.zeros((m_dim, m_dim), p0.dtype),
     )
+
+
+def _blocked_layout(t_steps, block):
+    """(L, B, pad) for the hybrid blocked scans: L = within-block length
+    (batched combines, sequential depth L), B = number of blocks
+    (sequential composite chain, depth B). ``block=None`` picks
+    L ≈ sqrt(T) rounded to a power of two — the depth L + B is minimised
+    at L = B = sqrt(T), and the batched-combine work per level is MXU
+    work that the sweep (``_AUTO_PARALLEL_NOTE_R5``) showed is cheap."""
+    if block is None:
+        block = 1 << max(1, round(math.log2(max(t_steps, 4)) / 2))
+    block = max(2, min(int(block), t_steps))
+    n_blocks = -(-t_steps // block)
+    return block, n_blocks, n_blocks * block - t_steps
+
+
+@_pin_precision
+def blocked_filter(a, q, h, r_var, ys, p0, m0=None, mask=None,
+                   obs_mask=None, block: int | None = None):
+    """Hybrid blocked Kalman filter: batched associative combines INSIDE
+    blocks, a sequential chain ACROSS blocks — the middle ground between
+    the T-step sequential scan and the full log-depth associative scan
+    (VERDICT r4 #1). Identical output contract to :func:`kalman_filter`.
+
+    Why it wins single-device: the sequential scan is latency-bound
+    (T tiny-matmul steps, ~1 us each on TPU regardless of MXU width);
+    the full associative scan does T combines PER LEVEL x log2(T)
+    levels — an O(log T) work multiplier (``_AUTO_PARALLEL_NOTE``).
+    This schedule does ~2T combines TOTAL at sequential depth
+    L + B ≈ 2 sqrt(T):
+
+    1. build the T semigroup elements (one vmap — fully parallel);
+    2. within each of B blocks, a LENGTH-L sequential scan whose carry
+       is the B-wide BATCH of running block-local prefixes — every
+       level is a (B, m, m) batched combine on the MXU, depth L;
+    3. chain the B block composites through :func:`_apply_state`
+       (depth B, ~40% of a combine each) — block-start filtered states;
+    4. expand every block-local prefix through its block-start state
+       (one batched ``_apply_state`` over all T — depth 1), and read
+       the per-step predictive log-densities off the filtered prefix
+       exactly as :func:`parallel_filter` does.
+
+    T that does not divide ``L * B`` is padded with true semigroup
+    identity elements (likelihood-neutral, state-neutral).
+    ``block=None`` resolves L ≈ sqrt(T) (see :func:`_blocked_layout`).
+    """
+    t_steps, n_o = ys.shape
+    m_dim = p0.shape[0]
+    dtype = p0.dtype
+    if m0 is None:
+        m0 = jnp.zeros((m_dim,), dtype)
+    r_var = jnp.broadcast_to(jnp.asarray(r_var, dtype), (t_steps, n_o))
+    if mask is None:
+        mask = jnp.ones((t_steps,), dtype)
+    if obs_mask is not None:
+        obs_mask = jnp.asarray(obs_mask, dtype)
+        h_t, r_var, ys = _mask_obs(h, r_var, ys, obs_mask)
+        ll_corr = _mask_ll_correction(obs_mask)
+        h_ax = 0
+    else:
+        h_t = h
+        ll_corr = jnp.zeros((t_steps,), dtype)
+        h_ax = None
+    if a.ndim == 2:
+        a = jnp.broadcast_to(a, (t_steps, m_dim, m_dim))
+        q = jnp.broadcast_to(q, (t_steps, m_dim, m_dim))
+
+    elems = jax.vmap(_filter_element, in_axes=(0, 0, h_ax, 0, 0, 0))(
+        a, q, h_t, r_var, ys, mask
+    )
+
+    block_l, n_blocks, pad = _blocked_layout(t_steps, block)
+    if pad:
+        ident = _identity_element(m_dim, dtype)
+        elems = jax.tree_util.tree_map(
+            lambda e, i: jnp.concatenate(
+                [e, jnp.broadcast_to(i, (pad,) + i.shape)], axis=0
+            ),
+            elems, ident,
+        )
+    # (T, ...) -> (L, B, ...): within-block offset leads so the L-scan
+    # carries the B-wide batch.
+    elems_lb = jax.tree_util.tree_map(
+        lambda e: jnp.moveaxis(
+            e.reshape((n_blocks, block_l) + e.shape[1:]), 0, 1
+        ),
+        elems,
+    )
+
+    ident_b = jax.tree_util.tree_map(
+        lambda i: jnp.broadcast_to(i, (n_blocks,) + i.shape),
+        _identity_element(m_dim, dtype),
+    )
+
+    def level(carry, elem_j):
+        new = _combine(carry, elem_j)
+        return new, new
+
+    composites, prefixes_lb = jax.lax.scan(level, ident_b, elems_lb)
+
+    # Block-start states: chain the prior state through the composites.
+    def fold(state, comp_b):
+        return _apply_state(state[0], state[1], comp_b), state
+
+    _, (starts_m, starts_p) = jax.lax.scan(fold, (m0, p0), composites)
+
+    # Expand: filtered moments at (block b, offset j) from block b's
+    # start state — one batched _apply_state over all L*B steps.
+    prefixes_bl = jax.tree_util.tree_map(
+        lambda e: jnp.moveaxis(e, 0, 1).reshape(
+            (n_blocks * block_l,) + e.shape[2:]
+        ),
+        prefixes_lb,
+    )
+    starts_m_t = jnp.repeat(starts_m, block_l, axis=0)
+    starts_p_t = jnp.repeat(starts_p, block_l, axis=0)
+    ms, ps = _apply_state(starts_m_t, starts_p_t, prefixes_bl)
+    ms, ps = ms[:t_steps], ps[:t_steps]
+
+    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
+    p_prev = jnp.concatenate([p0[None], ps[:-1]], axis=0)
+
+    def step_ll(a_i, q_i, h_i, m_im1, p_im1, rv_i, y_i):
+        m_pred = a_i @ m_im1
+        p_pred = a_i @ p_im1 @ a_i.T + q_i
+        s_mat = h_i @ p_pred @ h_i.T + jnp.diag(rv_i)
+        return _gauss_ll(y_i - h_i @ m_pred, s_mat)
+
+    lls = jax.vmap(step_ll, in_axes=(0, 0, h_ax, 0, 0, 0, 0))(
+        a, q, h_t, m_prev, p_prev, r_var, ys
+    )
+    return ms, ps, jnp.sum(mask * (lls + ll_corr))
+
+
+@_pin_precision
+def blocked_rts_smoother(a, q, ms, ps, block: int | None = None):
+    """Hybrid blocked RTS smoother — the backward mirror of
+    :func:`blocked_filter` over the SMOOTHING semigroup (depth
+    L + B ≈ 2 sqrt(T) instead of the T-step backward chain). Identical
+    output contract to :func:`rts_smoother`.
+
+    Within each block, a length-L reverse scan carries the B-wide batch
+    of running block-local SUFFIX composites; the B block composites
+    chain sequentially (suffix direction) into block-end boundary
+    composites; one batched combine expands every local suffix. The
+    terminal step's absorbing element makes every suffix composite's
+    (g, L) the smoothed moments directly, so padding uses the smoothing
+    identity (I, 0, 0) — an exact pass-through."""
+    t_steps, m_dim = ms.shape
+    dtype = ms.dtype
+    rcond = _rts_rcond(dtype)
+    elems = _build_smoother_elements(a, q, ms, ps, rcond)
+
+    block_l, n_blocks, pad = _blocked_layout(t_steps, block)
+    if pad:
+        ident = _smoother_identity(m_dim, dtype)
+        elems = jax.tree_util.tree_map(
+            lambda e, i: jnp.concatenate(
+                [e, jnp.broadcast_to(i, (pad,) + i.shape)], axis=0
+            ),
+            elems, ident,
+        )
+    elems_lb = jax.tree_util.tree_map(
+        lambda e: jnp.moveaxis(
+            e.reshape((n_blocks, block_l) + e.shape[1:]), 0, 1
+        ),
+        elems,
+    )
+    ident_b = jax.tree_util.tree_map(
+        lambda i: jnp.broadcast_to(i, (n_blocks,) + i.shape),
+        _smoother_identity(m_dim, dtype),
+    )
+
+    def level(carry, elem_j):
+        new = _combine_smoother(elem_j, carry)
+        return new, new
+
+    composites, suffixes_lb = jax.lax.scan(
+        level, ident_b, elems_lb, reverse=True
+    )
+
+    # Boundary composites: for block b, the composite of blocks b+1..B-1
+    # (suffix direction) — a reverse scan over the B composites.
+    def fold(carry, comp_b):
+        return _combine_smoother(comp_b, carry), carry
+
+    _, bounds = jax.lax.scan(
+        fold, _smoother_identity(m_dim, dtype), composites, reverse=True
+    )
+
+    suffixes_bl = jax.tree_util.tree_map(
+        lambda e: jnp.moveaxis(e, 0, 1).reshape(
+            (n_blocks * block_l,) + e.shape[2:]
+        ),
+        suffixes_lb,
+    )
+    bounds_t = jax.tree_util.tree_map(
+        lambda e: jnp.repeat(e, block_l, axis=0), bounds
+    )
+    _, ms_s, ps_s = _combine_smoother(suffixes_bl, bounds_t)
+    return ms_s[:t_steps], ps_s[:t_steps]
+
+
+# _AUTO_PARALLEL_NOTE_R5 — measured dispatch for ``parallel=None``, r5.
+# The r4 sweep (``_AUTO_PARALLEL_NOTE``) showed the FULL associative
+# scan loses single-device (O(log T) work multiplier). r5 built the
+# hybrid blocked scan the r4 verdict asked for — ~2T combines total at
+# depth L + B ≈ 2 sqrt(T) — and MEASURED IT REFUTED single-device too
+# (v5e, value+grad of lfm_mll_ss, blocks swept {8,16,32,64,128}):
+#
+#   G=64 T=128:  seq 11.29 ms   blk8/16/32 22.99/23.37/25.35 ms
+#   G=8  T=1024: seq 26.08 ms   blk16/32/64 28.83/31.11/39.52 ms
+#   G=2  T=8192: seq 221.7 ms   blk64/128   300.9/317.5 ms
+#
+# Cause: each combine does a BATCHED PIVOTED LU of the m x m resolvent
+# — on TPU the LU's row-pivot chain is itself latency-serial, so a
+# B-wide batched combine level costs far more than B/depth accounting
+# predicts, and the blocked schedule's ~2x work multiplier never
+# repays. What DID break the r4 latency wall is making the sequential
+# step cheaper: the shared-Cholesky Joseph update (no LU anywhere in
+# the step — ``_joseph_update``), the selection-H fast path
+# (``_joseph_update_sel``), static mask elision, and small-state scan
+# unrolling (``_scan_unroll``). Same sweep, same shapes, sequential:
+# 5.78 / 19.45 / 155.3 ms — 1.95x / 1.34x / 1.43x over r4, inherited
+# by every family route, the smoother-based predicts, and the EKF.
+# ``parallel=None`` therefore resolves to the SEQUENTIAL pair
+# single-device at every shape; the blocked pair stays available as
+# ``parallel='blocked'`` (or an int block length) — it is exact and
+# parity-tested — for hardware where batched LU behaves.
+_AUTO_BLOCKED_MIN_T = None  # measured: auto never picks blocked on v5e
+
+
+def _select_schedule(parallel, t_steps):
+    """Map the user-facing ``parallel`` knob to a (filter, smoother)
+    pair sharing :func:`kalman_filter` / :func:`rts_smoother` signatures.
+
+    ``None``  — measured auto dispatch (``_AUTO_PARALLEL_NOTE_R5``).
+    ``False`` — sequential scan pair (minimal constant, depth T).
+    ``True``  — full log-depth associative-scan pair.
+    ``"blocked"`` or an int — hybrid blocked pair (int = block length L).
+    """
+    if parallel is None:
+        on_accel = jax.default_backend() not in ("cpu",)
+        if (
+            on_accel
+            and _AUTO_BLOCKED_MIN_T is not None
+            and t_steps >= _AUTO_BLOCKED_MIN_T
+        ):
+            return blocked_filter, blocked_rts_smoother
+        return kalman_filter, rts_smoother
+    if parallel == "blocked":
+        return blocked_filter, blocked_rts_smoother
+    if isinstance(parallel, int) and not isinstance(parallel, bool):
+        return (
+            functools.partial(blocked_filter, block=parallel),
+            functools.partial(blocked_rts_smoother, block=parallel),
+        )
+    if parallel:
+        return parallel_filter, parallel_rts_smoother
+    return kalman_filter, rts_smoother
 
 
 @_pin_precision
@@ -1021,7 +1421,7 @@ def rts_smoother(a, q, ms, ps):
     else:
         xs = (ms[:-1], ps[:-1], a[1:], q[1:])
     (_, _), (ms_s, ps_s) = jax.lax.scan(
-        step, (ms[-1], ps[-1]), xs, reverse=True
+        step, (ms[-1], ps[-1]), xs, reverse=True, unroll=_scan_unroll(m_dim)
     )
     ms_s = jnp.concatenate([ms_s, ms[-1:]], axis=0)
     ps_s = jnp.concatenate([ps_s, ps[-1:]], axis=0)
@@ -1299,22 +1699,25 @@ def lfm_mll_ss(
         f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
         parallel=parallel, uniform=uniform, shard=shard,
         obs_mask=obs_mask,
+        obs_slice=(p0.shape[0] - g) if replicates == 1 else None,
     )
 
 
 def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
-                     parallel, uniform, shard, obs_mask=None):
+                     parallel, uniform, shard, obs_mask=None,
+                     obs_slice=None):
     """Shared filter driver for every gridded SSM family: center the
     gene-major flat ``y``, discretize per the grid promise, run the
     selected filter schedule. See :func:`lfm_mll_ss` for the contract.
     ``obs_mask``: optional per-entry missingness in the SAME gene-major
     flat layout as ``y`` (or pre-shaped (n_o, T)); masked entries are
-    exactly deleted from the likelihood and may hold NaN in ``y``."""
+    exactly deleted from the likelihood and may hold NaN in ``y``.
+    ``obs_slice``: static offset promise that ``h`` is the contiguous
+    selection ``[0 | I | 0]`` (see :func:`kalman_filter`) — forwarded to
+    the sequential filter only (the semigroup schedules keep dense H)."""
     dtype = t.dtype
     t_steps = t.shape[0]
     n_o = mean_obs.shape[0]
-    if parallel is None:
-        parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
 
     # y arrives block-major ((R blocks of) G blocks of T): -> (T, n_o).
     ys = y.reshape(n_o, t_steps).T - mean_obs[None, :]
@@ -1324,7 +1727,7 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
         else jnp.asarray(obs_mask, dtype).reshape(n_o, t_steps).T
     )
 
-    fil = parallel_filter if parallel else kalman_filter
+    fil, _ = _select_schedule(parallel, t_steps)
     if uniform and t_steps >= 2:
         # Step 0 (prior at t=0 -> first observation) outside the scan;
         # steps 1..T-1 share one (A, Q).
@@ -1367,16 +1770,26 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
                 m0=m_f0, mask=mask, obs_mask=om_rest,
             )
             return ll0 + ll
+        sel = (
+            {"obs_slice": obs_slice}
+            if fil is kalman_filter and obs_slice is not None
+            else {}
+        )
         _, _, ll = fil(
             a, q, h, r_var, ys[1:], p_f0, m0=m_f0,
-            obs_mask=None if om is None else om[1:],
+            obs_mask=None if om is None else om[1:], **sel,
         )
         return ll0 + ll
     if shard is not None:
         raise ValueError("shard requires uniform=True (shared-step grid)")
     dts = jnp.diff(t, prepend=jnp.zeros((1,), dtype))
     a, q = discretize(f_aug, p_inf, dts)
-    _, _, ll = fil(a, q, h, r_var, ys, p0, obs_mask=om)
+    sel = (
+        {"obs_slice": obs_slice}
+        if fil is kalman_filter and obs_slice is not None
+        else {}
+    )
+    _, _, ll = fil(a, q, h, r_var, ys, p0, obs_mask=om, **sel)
     return ll
 
 
@@ -1417,6 +1830,7 @@ def multisimm_mll_ss(
         f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
         parallel=parallel, uniform=uniform, shard=shard,
         obs_mask=obs_mask,
+        obs_slice=(p0.shape[0] - g) if replicates == 1 else None,
     )
 
 
@@ -1467,6 +1881,7 @@ def lfm2_mll_ss(
         f_aug, p_inf, p0, h, mean_obs, t, y, r_var,
         parallel=parallel, uniform=uniform, shard=shard,
         obs_mask=obs_mask,
+        obs_slice=p_f if replicates == 1 else None,
     )
 
 
@@ -1569,9 +1984,7 @@ def delaysimm_mll_ss(
             obs_mask=om_ev,
         )
         return ll
-    if parallel is None:
-        parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
-    fil = parallel_filter if parallel else kalman_filter
+    fil, _ = _select_schedule(parallel, n_ev)
     _, _, ll = fil(a, q, h, r_var, ys_ev, p0, obs_mask=om_ev)
     return ll
 
@@ -1679,10 +2092,7 @@ def delaysimm_predict_ss(
         )
         ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
     else:
-        if parallel is None:
-            parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
-        fil = parallel_filter if parallel else kalman_filter
-        smo = parallel_rts_smoother if parallel else rts_smoother
+        fil, smo = _select_schedule(parallel, ys_ev.shape[0])
         ms, ps, _ = fil(a, q, h, rv_ev, ys_ev, p0, mask=is_train,
                         obs_mask=om_ev)
         ms_s, ps_s = smo(a, q, ms, ps)
@@ -1716,6 +2126,7 @@ def lfm_predict_ss(
     obs_mask=None,
     parallel=None,
     shard=None,
+    unique_dts=None,
     force_kernel: str = "rbf",
 ):
     """Smoothed latent-force posterior at ``t_test`` (and the gene states).
@@ -1753,7 +2164,7 @@ def lfm_predict_ss(
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
-        parallel=parallel, shard=shard,
+        parallel=parallel, shard=shard, unique_dts=unique_dts,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
@@ -1763,7 +2174,8 @@ def lfm_predict_ss(
 
 
 def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
-                       noise_var, obs_mask=None, parallel=None, shard=None):
+                       noise_var, obs_mask=None, parallel=None, shard=None,
+                       unique_dts=None):
     """Shared smoothing driver for every gridded SSM family: filter + RTS
     smoother on the union grid of train and test times, observation
     updates masked to train steps. ``y`` arrives block-major flat (n_o
@@ -1805,7 +2217,13 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
         # (masked) and the smoother (pseudo-solve gain is a projection).
         dts = jnp.concatenate([dts, jnp.zeros((pad,), dtype)])
         is_train = jnp.concatenate([is_train, jnp.zeros((pad,), dtype)])
-    a, q = discretize(f_aug, p_inf, dts)
+    # unique_dts: static distinct-step bound so the bucketed discretize
+    # also fires under jit (see :func:`discretize`); +1 covers the pad
+    # zeros when the union grid itself contains no dt=0 duplicate.
+    a, q = discretize(
+        f_aug, p_inf, dts,
+        max_unique=None if unique_dts is None else unique_dts + (1 if pad else 0),
+    )
 
     ys_train = y.reshape(n_o, t_train.shape[0]).T - mean_obs[None, :]
     # Scatter train observations into the union grid (zeros elsewhere —
@@ -1838,10 +2256,7 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
         )
         ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
     else:
-        if parallel is None:
-            parallel = False  # measured dispatch: _AUTO_PARALLEL_NOTE
-        fil = parallel_filter if parallel else kalman_filter
-        smo = parallel_rts_smoother if parallel else rts_smoother
+        fil, smo = _select_schedule(parallel, ys.shape[0])
         ms, ps, _ = fil(a, q, h, rv_all, ys, p0, mask=is_train,
                         obs_mask=om_all)
         ms_s, ps_s = smo(a, q, ms, ps)
@@ -1863,6 +2278,7 @@ def multisimm_predict_ss(
     obs_mask=None,
     parallel=None,
     shard=None,
+    unique_dts=None,
     force_kernels=None,
 ):
     """Smoothed posterior for the R-force family: the state-space
@@ -1889,7 +2305,7 @@ def multisimm_predict_ss(
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
-        parallel=parallel, shard=shard,
+        parallel=parallel, shard=shard, unique_dts=unique_dts,
     )
     f_mean = (m_t @ h_forces.T).T  # (R, T_test)
     f_var = jnp.einsum("ri,tij,rj->rt", h_forces, p_t, h_forces)
@@ -1911,6 +2327,7 @@ def lfm2_predict_ss(
     obs_mask=None,
     parallel=None,
     shard=None,
+    unique_dts=None,
     force_kernel: str = "rbf",
 ):
     """Smoothed posterior for the second-order family: the state-space
@@ -1944,7 +2361,7 @@ def lfm2_predict_ss(
     m_t, p_t = _union_grid_smooth(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
-        parallel=parallel, shard=shard,
+        parallel=parallel, shard=shard, unique_dts=unique_dts,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
@@ -2107,6 +2524,18 @@ def nlfm_mll_ekf(
     (gene-major flat ``y``, ``jitter + obs_stddev^2``). The filter is a
     sequential scan — the prediction step is state-dependent, so the
     associative-scan factorisation does not apply (documented limit).
+
+    TRUST REGION (r5, pinned by ``tests/test_statespace.py::
+    TestEKFNonlinear::test_marginal_bias_vs_qmc_oracle`` against a
+    scrambled-Sobol QMC ground-truth marginal): the EKF biases the
+    marginal LOW, monotonically in the response's convexity — measured
+    gaps at T=6 obs, G=2, prior-predictive data: identity +0.0006 nats
+    (noise floor), sigmoid -0.08, softplus -0.28, exp -0.48 (about
+    0.007 / 0.023 / 0.04 nats per observation). Model COMPARISON across
+    kinetics at a fixed response is safe (the bias is shared);
+    comparisons ACROSS responses, or absolute evidence readings for
+    strongly convex responses (exp), should use the MAP/Laplace or HMC
+    routes instead.
 
     Stability: the moment ODE is integrated by fixed-step RK4, so
     ``(dt / substeps) * rho(F_f)`` must sit inside the RK4 stability
@@ -2410,6 +2839,7 @@ def posterior_sample_ss(
     replicates: int = 1,
     order: int = 10,
     force_kernel: str = "rbf",
+    unique_dts=None,
 ):
     """JOINT posterior samples of the latent force at ``t_test`` —
     forward-filter backward-sampling (FFBS; Carter & Kohn 1994) on the
@@ -2449,7 +2879,7 @@ def posterior_sample_ss(
     )[order_idx]
     n_all = t_sorted.shape[0]
     dts = jnp.diff(t_sorted, prepend=jnp.zeros((1,), dtype))
-    a, q = discretize(f_aug, p_inf, dts)
+    a, q = discretize(f_aug, p_inf, dts, max_unique=unique_dts)
 
     ys_train = y.reshape(n_o, t_train.shape[0]).T - mean_obs[None, :]
     ys = jnp.zeros((n_all, n_o), dtype)
@@ -2473,25 +2903,28 @@ def posterior_sample_ss(
     gains, sqrts = jax.vmap(pieces)(a[1:], q[1:], ms[:-1], ps[:-1])
     sqrt_t = _psd_sqrt_traced(ps[-1])
 
-    def one_draw(k):
-        k_t, k_rest = jax.random.split(k)
-        z_t = ms[-1] + sqrt_t @ jax.random.normal(k_t, (m_dim,), dtype)
-        eps = jax.random.normal(k_rest, (n_all - 1, m_dim), dtype)
+    # ONE backward pass shared by all S draws (VERDICT r4 #7): the
+    # gains/moments/noise-sqrts are draw-independent, so the scan carry
+    # is the (S, m) BATCH of trajectories and every step is two
+    # (S, m) x (m, m) matmuls — S draws cost one backward-chain latency,
+    # not S chains (measured ~flat in S on TPU, bench ``ffbs_draws64_s``).
+    k_t, k_rest = jax.random.split(key)
+    z_t = ms[-1][None, :] + jax.random.normal(
+        k_t, (num_samples, m_dim), dtype
+    ) @ sqrt_t.T
+    eps = jax.random.normal(k_rest, (n_all - 1, num_samples, m_dim), dtype)
 
-        def back(z_next, xs):
-            m_f, a_next, gain, sq, e = xs
-            mean = m_f + gain @ (z_next - a_next @ m_f)
-            z = mean + sq @ e
-            return z, z
+    def back(z_next, xs):
+        m_f, a_next, gain, sq, e = xs
+        mean = m_f[None, :] + (z_next - (a_next @ m_f)[None, :]) @ gain.T
+        z = mean + e @ sq.T
+        return z, z
 
-        _, zs = jax.lax.scan(
-            back, z_t, (ms[:-1], a[1:], gains, sqrts, eps), reverse=True
-        )
-        traj = jnp.concatenate([zs, z_t[None]], axis=0)
-        return traj @ h_force
-
-    keys = jax.random.split(key, num_samples)
-    draws = jax.vmap(one_draw)(keys)  # (S, n_all)
+    _, zs = jax.lax.scan(
+        back, z_t, (ms[:-1], a[1:], gains, sqrts, eps), reverse=True
+    )
+    traj = jnp.concatenate([zs, z_t[None]], axis=0)  # (n_all, S, m)
+    draws = (traj @ h_force).T  # (S, n_all)
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
     return draws[:, test_pos]
 

@@ -109,6 +109,7 @@ SLOW_NODEID_PATTERNS = (
     "test_joint_covariance_matches_dense_conditional",
     "test_statespace.py::TestEKFNonlinear::"
     "test_exp_response_kinetics_recovery",
+    "test_statespace.py::TestEKFNonlinear::test_marginal_bias_vs_qmc_oracle",
     "test_statespace.py::TestEKFNonlinear::"
     "test_identity_predict_matches_linear_smoother",
     "test_statespace.py::TestDelayFamily::"

@@ -44,6 +44,44 @@ def test_fast_gram_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
 
 
+def test_hybrid_gram_forward_bitwise_and_param_grads():
+    """``gram_xx_blocked_hybrid``: the table forward bit-for-bit, the
+    row-algebra backward matching AD-through-the-table on every
+    PARAMETER cotangent (the t cotangent is the row algebra's true
+    kernel derivative by design — see the op's docstring)."""
+    G, T = 5, 13
+    t = jnp.linspace(0.0, 12.0, T)
+    d = jnp.asarray(RNG.uniform(0.2, 1.0, G))
+    s = jnp.asarray(RNG.uniform(0.5, 1.5, G))
+    ell = jnp.asarray(2.5)
+    kbar = jnp.asarray(RNG.standard_normal((G * T, G * T)))
+
+    k_tab = gram_ops.gram_xx_blocked_fast(t, d, s, ell)
+    k_hyb = gram_ops.gram_xx_blocked_hybrid(t, d, s, ell)
+    assert bool(jnp.all(k_tab == k_hyb))
+
+    def loss_tab(d, s, l):
+        return jnp.sum(kbar * gram_ops.gram_xx_blocked_fast(t, d, s, l))
+
+    def loss_hyb(d, s, l):
+        return jnp.sum(kbar * gram_ops.gram_xx_blocked_hybrid(t, d, s, l))
+
+    g_tab = jax.grad(loss_tab, argnums=(0, 1, 2))(d, s, ell)
+    g_hyb = jax.grad(loss_hyb, argnums=(0, 1, 2))(d, s, ell)
+    for a, b in zip(g_tab, g_hyb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+    # The t cotangent equals the row build's (same vjp path).
+    gt_hyb = jax.grad(
+        lambda tt: jnp.sum(kbar * gram_ops.gram_xx_blocked_hybrid(tt, d, s, ell))
+    )(t)
+    gt_row = jax.grad(
+        lambda tt: jnp.sum(kbar * lfk.k_xx_block(tt, tt, d, s, ell))
+    )(t)
+    np.testing.assert_allclose(np.asarray(gt_hyb), np.asarray(gt_row),
+                               rtol=1e-10)
+
+
 class TestGriddedMLL:
     def test_matches_row_mll_single_replicate(self):
         data = P53Data(replicate=0, source="synthetic")

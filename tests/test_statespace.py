@@ -235,6 +235,162 @@ class TestParallelFilter:
             assert abs(float(ll) - ll_direct) < 1e-9
 
 
+class TestBlockedSchedule:
+    """The r5 hybrid blocked scans (``blocked_filter`` /
+    ``blocked_rts_smoother``): batched combines inside sqrt(T)-sized
+    blocks, a sequential composite chain across them — exact, so f64
+    parity with the sequential pair to near machine precision on value
+    and gradient, at every block size including non-dividing ones."""
+
+    def test_blocked_mll_matches_sequential(self, p53_shaped):
+        t, X, y, var, params, model = p53_shaped
+        v_seq = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-4, order=10, parallel=False)
+        )
+        for sched in ("blocked", 2, 4):
+            v_blk = float(
+                ss.lfm_mll_ss(
+                    params, t, y, jitter=1e-4, order=10, parallel=sched
+                )
+            )
+            assert abs(v_seq - v_blk) < 1e-9, sched
+
+        raw = simm.unconstrain(params)
+        g_seq = jax.grad(
+            lambda r: ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, order=10, parallel=False
+            )
+        )(raw)
+        g_blk = jax.grad(
+            lambda r: ss.lfm_mll_ss(
+                simm.constrain(r), t, y, jitter=1e-4, order=10,
+                parallel="blocked",
+            )
+        )(raw)
+        for name in raw._fields:
+            a, b = np.asarray(getattr(g_seq, name)), np.asarray(
+                getattr(g_blk, name)
+            )
+            assert np.abs(a - b).max() < 1e-9 * (np.abs(a).max() + 1.0)
+
+    def test_blocked_long_odd_grid_pads_exactly(self):
+        """T=257: no block size divides it — identity-element padding
+        must be likelihood-neutral."""
+        rng = np.random.default_rng(3)
+        T = 257
+        t = jnp.linspace(0.0, 40.0, T)
+        params = simm.init_params(2)
+        y = jnp.asarray(rng.normal(size=(2 * T,)))
+        v_seq = float(
+            ss.lfm_mll_ss(params, t, y, jitter=1e-5, order=10, parallel=False)
+        )
+        for sched in ("blocked", 8, 64):
+            v_blk = float(
+                ss.lfm_mll_ss(
+                    params, t, y, jitter=1e-5, order=10, parallel=sched
+                )
+            )
+            assert abs(v_seq - v_blk) < 1e-8 * max(1.0, abs(v_seq)), sched
+
+    def test_blocked_filter_masks_and_moments(self):
+        """Primitive-level parity incl. step mask + per-entry obs_mask:
+        moments bitwise-close, likelihood exact."""
+        rng = np.random.default_rng(11)
+        params = simm.init_params(3)
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=8
+        )
+        m_dim = p0.shape[0]
+        T = 37
+        t = jnp.asarray(np.sort(rng.uniform(0.1, 12.0, T)))
+        dts = jnp.diff(t, prepend=jnp.zeros((1,), t.dtype))
+        a, q = ss.discretize(f_aug, p_inf, dts)
+        h = ss.gene_observation_matrix(m_dim - 3, 3, 1, t.dtype)
+        rv = jnp.full((3,), 0.2)
+        ys = jnp.asarray(rng.normal(size=(T, 3)))
+        mask = jnp.asarray((rng.uniform(size=T) > 0.3).astype(float))
+        om = jnp.asarray((rng.uniform(size=(T, 3)) > 0.2).astype(float))
+        ms0, ps0, ll0 = ss.kalman_filter(
+            a, q, h, rv, ys, p0, mask=mask, obs_mask=om
+        )
+        for blk in (None, 4, 16):
+            ms2, ps2, ll2 = ss.blocked_filter(
+                a, q, h, rv, ys, p0, mask=mask, obs_mask=om, block=blk
+            )
+            assert float(jnp.max(jnp.abs(ms2 - ms0))) < 1e-10
+            assert float(jnp.max(jnp.abs(ps2 - ps0))) < 1e-10
+            assert abs(float(ll2 - ll0)) < 1e-9
+
+    def test_blocked_smoother_matches_sequential(self):
+        """Smoother parity at the tolerance the log-depth smoother
+        already meets (~1e-7 covariance error near the t=0 deterministic
+        directions is inherent to the smoothing-semigroup path and shared
+        with ``parallel_rts_smoother``)."""
+        rng = np.random.default_rng(12)
+        params = simm.init_params(3)
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=8
+        )
+        m_dim = p0.shape[0]
+        T = 41
+        t = jnp.asarray(np.sort(rng.uniform(0.1, 12.0, T)))
+        dts = jnp.diff(t, prepend=jnp.zeros((1,), t.dtype))
+        a, q = ss.discretize(f_aug, p_inf, dts)
+        h = ss.gene_observation_matrix(m_dim - 3, 3, 1, t.dtype)
+        rv = jnp.full((3,), 0.2)
+        ys = jnp.asarray(rng.normal(size=(T, 3)))
+        ms, ps, _ = ss.kalman_filter(a, q, h, rv, ys, p0)
+        sm0, sp0 = ss.rts_smoother(a, q, ms, ps)
+        for blk in (None, 4, 16):
+            sm2, sp2 = ss.blocked_rts_smoother(a, q, ms, ps, block=blk)
+            assert float(jnp.max(jnp.abs(sm2 - sm0))) < 1e-8
+            assert float(jnp.max(jnp.abs(sp2 - sp0))) < 1e-6
+
+    def test_blocked_predict_matches_sequential(self):
+        """The smoothing driver accepts the blocked schedule end-to-end."""
+        rng = np.random.default_rng(13)
+        params = simm.init_params(2)
+        T = 9
+        t = jnp.linspace(0.5, 11.5, T)
+        y = jnp.asarray(rng.normal(size=(2 * T,)))
+        t_test = jnp.linspace(0.0, 12.0, 23)
+        out_seq = ss.lfm_predict_ss(
+            params, t, y, t_test, noise_var=0.1, parallel=False
+        )
+        out_blk = ss.lfm_predict_ss(
+            params, t, y, t_test, noise_var=0.1, parallel="blocked"
+        )
+        for a_, b_ in zip(out_seq, out_blk):
+            assert float(jnp.max(jnp.abs(a_ - b_))) < 1e-6
+
+    def test_auto_dispatch_is_sequential_on_cpu(self):
+        """``parallel=None`` must resolve to the sequential pair on the
+        CPU backend regardless of T (the measured policy)."""
+        fil, smo = ss._select_schedule(None, 100000)
+        assert fil is ss.kalman_filter and smo is ss.rts_smoother
+
+    def test_discretize_unique_dt_bucketing_is_bitwise(self):
+        """Concrete union-grid dts: one expm per DISTINCT step plus a
+        gather must be bit-identical to the per-step build (equal inputs
+        give bitwise-equal expm outputs)."""
+        params = simm.init_params(3)
+        f_aug, p_inf, _, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=8
+        )
+        t_all = np.sort(
+            np.concatenate([np.linspace(0, 12, 29), np.linspace(0, 12, 41)])
+        )
+        dts = jnp.asarray(np.diff(t_all, prepend=0.0))
+        assert np.unique(np.asarray(dts)).size < dts.shape[0]
+        a_b, q_b = ss.discretize(f_aug, p_inf, dts)  # eager: bucketed
+        a_p, q_p = jax.jit(
+            lambda d: ss.discretize(f_aug, p_inf, d)
+        )(dts)  # traced: per-step
+        assert bool(jnp.all(a_b == a_p))
+        # Q's stationarity matmul fuses differently under jit — 1 ulp.
+        assert float(jnp.max(jnp.abs(q_b - q_p))) < 1e-12
+
+
 class TestMultiForceFamily:
     """The R-force family through the same filter: only the SSM builder
     changes. Oracle: ``ExactMultiSIMM.mll`` (the closed forms sum the
@@ -1360,6 +1516,120 @@ class TestEKFNonlinear:
     """Extended Kalman engine for the nonlinear-response family (r4):
     approximate marginal likelihood with the force integrated out —
     exact when the response is linear."""
+
+    def test_marginal_bias_vs_qmc_oracle(self):
+        """Pin the EKF marginal's BIAS against a ground-truth marginal
+        (VERDICT r4 #6): scrambled-Sobol QMC over the FULL whitened
+        force path on a fine grid — no eigen-truncation — with the gene
+        ODE integrated by RK4 per node. Measured r5 (T=6 obs, G=2,
+        l=1.6, y ~ prior predictive, 4 x 8192 nodes):
+
+            identity  gap +0.0006 nats  (QMC noise floor — sanity)
+            sigmoid   gap -0.079
+            softplus  gap -0.279
+            exp       gap -0.483
+
+        The EKF biases the marginal LOW, monotonically in the response's
+        convexity (classic linearization bias). The assertions bound
+        each gap at ~2x its measured value so a regression in either
+        direction (engine or oracle) trips; the docs note in
+        ``nlfm_mll_ekf`` quotes these numbers as the route's trust
+        region. Two scrambles at 4096 nodes keep the oracle's own noise
+        well under the loosest bound (exp QMC spread ~0.2 nats)."""
+        from scipy.linalg import expm as sexpm
+        from scipy.special import logsumexp
+        from scipy.stats import norm, qmc
+
+        G = 2
+        t_max = 5.0
+        fine = 61
+        tg = np.linspace(0.0, t_max, fine)
+        obs_idx = np.arange(10, fine, 10)
+        t_obs = tg[obs_idx]
+        params = simm.init_params(G)._replace(lengthscale=jnp.asarray(1.6))
+        order = 8
+        jitter = 1e-4
+        r_var = jitter + float(params.obs_stddev) ** 2
+
+        f_c, h_c, p_diag, rate = ss._force_system(order, "rbf")
+        lam = rate / float(params.lengthscale)
+        f_mat = np.asarray(f_c) * lam
+        p_ff = np.diag(p_diag)
+        h_cn = np.asarray(h_c)
+        taus = np.abs(tg[:, None] - tg[None, :])
+        uniq, inv = np.unique(taus, return_inverse=True)
+        kv = np.array(
+            [float(h_cn @ sexpm(f_mat * u) @ p_ff @ h_cn) for u in uniq]
+        )
+        k_grid = kv[inv].reshape(fine, fine)
+        w_k, v_k = np.linalg.eigh(k_grid)
+        chol_like = v_k @ np.diag(np.sqrt(np.clip(w_k, 0.0, None)))
+
+        basal = np.asarray(params.basal)
+        sens = np.asarray(params.sensitivity)
+        decay = np.asarray(params.decay)
+        responses = {
+            "identity": (lambda f: f, 0.01),
+            "sigmoid": (lambda f: 1.0 / (1.0 + np.exp(-f)), 0.2),
+            "softplus": (lambda f: np.logaddexp(0.0, f), 0.6),
+            "exp": (np.exp, 1.0),
+        }
+
+        def integrate_x(fgrid, g):
+            dt = tg[1] - tg[0]
+
+            def drift(x, fval):
+                return basal + sens * g(fval) - decay * x
+
+            x = np.broadcast_to(
+                basal / decay, fgrid.shape[:-1] + (G,)
+            ).astype(float).copy()
+            out = np.empty(fgrid.shape[:-1] + (len(obs_idx), G))
+            k_out = 0
+            for i in range(fine - 1):
+                f0, f1 = fgrid[..., i], fgrid[..., i + 1]
+                fh = 0.5 * (f0 + f1)
+                k1 = drift(x, f0[..., None])
+                k2 = drift(x + 0.5 * dt * k1, fh[..., None])
+                k3 = drift(x + 0.5 * dt * k2, fh[..., None])
+                k4 = drift(x + dt * k3, f1[..., None])
+                x = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+                if (i + 1) in obs_idx:
+                    out[..., k_out, :] = x
+                    k_out += 1
+            return out
+
+        rng = np.random.default_rng(7)
+        gaps = {}
+        for resp, (g, tol) in responses.items():
+            f_draw = chol_like @ rng.standard_normal(fine)
+            x_draw = integrate_x(f_draw[None], g)[0]
+            y = x_draw + np.sqrt(r_var) * rng.standard_normal(x_draw.shape)
+            logps = []
+            for s in range(2):
+                sob = qmc.Sobol(fine, scramble=True, seed=100 + s)
+                xi = norm.ppf(np.clip(sob.random(4096), 1e-12, 1 - 1e-12))
+                x_s = integrate_x(xi @ chol_like.T, g)
+                ll = (
+                    -0.5 * np.sum((y[None] - x_s) ** 2, axis=(1, 2)) / r_var
+                    - 0.5 * y.size * np.log(2 * np.pi * r_var)
+                )
+                logps.append(logsumexp(ll) - np.log(ll.shape[0]))
+            oracle = float(np.mean(logps))
+            y_flat = jnp.asarray(y.T.reshape(-1))
+            mll_ekf = float(
+                ss.nlfm_mll_ekf(
+                    params, jnp.asarray(t_obs), y_flat, response=resp,
+                    jitter=jitter, order=order, substeps=6,
+                )
+            )
+            gaps[resp] = mll_ekf - oracle
+            assert abs(gaps[resp]) < tol, (resp, gaps[resp], oracle, mll_ekf)
+        # The linear case sits at the noise floor; nonlinear bias grows
+        # with convexity.
+        assert abs(gaps["identity"]) < 0.02
+        assert abs(gaps["identity"]) < abs(gaps["softplus"])
+        assert abs(gaps["sigmoid"]) < abs(gaps["exp"])
 
     def test_identity_matches_linear_engine_by_substeps(self):
         G, T = 3, 9
