@@ -661,6 +661,27 @@ def _joseph_update(m_pred, p_pred, h, r_var, y):
     return m_new, _symmetrize(p_new), _gauss_ll_chol(r, chol)
 
 
+def _joseph_update_solve(m_pred, p_pred, h, r_var, y):
+    """The LU-gain variant of :func:`_joseph_update`, kept for the EKF
+    routes ONLY: the extended filter's linearized covariance integration
+    can leave the innovation covariance SLIGHTLY INDEFINITE (the
+    documented failure mode of ``nlfm_predict_ekf``'s covariance
+    subtraction), where a Cholesky gain NaNs but an LU gain stays finite
+    — r5's shared-Cholesky swap broke the exp-response recovery test
+    exactly this way (smoothed gene means NaN). The log-density still
+    goes through the Cholesky (an indefinite S honestly NaNs the
+    likelihood; the predict path discards it at masked steps). The
+    LINEAR engine keeps the Cholesky update: its predicted covariance is
+    PSD by construction and the LU costs ~2x the step (r5 sweep)."""
+    s_mat = h @ p_pred @ h.T + jnp.diag(r_var)
+    r = y - h @ m_pred
+    gain = jnp.linalg.solve(s_mat.T, h @ p_pred).T  # P H^T S^-1
+    m_new = m_pred + gain @ r
+    ikh = jnp.eye(p_pred.shape[0], dtype=p_pred.dtype) - gain @ h
+    p_new = ikh @ p_pred @ ikh.T + (gain * r_var[None, :]) @ gain.T
+    return m_new, _symmetrize(p_new), _gauss_ll(r, s_mat)
+
+
 def _joseph_update_sel(m_pred, p_pred, p_off, r_var, y):
     """Measurement update specialised to a contiguous SELECTION
     observation ``H = [0 | I_{n_o} | 0]`` reading state coordinates
@@ -1380,12 +1401,68 @@ def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
     return jax.jit(fil)(a, q, h, r_var, ys, mask, obs_mask, m0, p0)
 
 
+def _chol_gain(p_f_at, p_pred):
+    """RTS gain ``(P_f A^T) P_pred^{-1}`` via shifted Cholesky — a
+    RESEARCH KNOB ONLY (``rts_smoother(chol_gain_from=...)``), and the
+    r5 MEASURED REFUTATION of the second cheap-gain escape:
+
+    The hypothesis was that ``P_pred = A P_f A^T + Q(dt)`` is PD in
+    exact arithmetic past the leading dt=0 run, so Cholesky (an order
+    of magnitude cheaper than the eigendecomposition pseudo-solve)
+    should serve there, with a machine-scale relative shift
+    ``64 eps tr(P)/m`` absorbing the ~-eps*||P|| roundoff negatives
+    (measured -2e-16 on the p53 union grid in f64). MEASURED OUTCOME:
+    at SDE orders >= 10 the high-order force coordinates barely couple
+    over one step — P_pred carries exact-positive eigenvalues BELOW the
+    f64 noise floor, numerically indistinguishable from singular. The
+    shifted solve inverts them, amplifying noise by ~1/delta: smoothed
+    means NaN'd on six of the brute-force-oracle test points at order
+    14, exactly where the pseudo-solve's rcond cutoff (1e6 x larger
+    than the shift) zeroes the correction. Together with the r3 fixed-
+    ridge study (2e-2 variance corruption) this closes BOTH cheap-gain
+    routes: the eigh pseudo-solve is load-bearing, and the smoothing
+    pass's eigendecompositions are the measured price of a correct
+    union-grid predict."""
+    m_dim = p_pred.shape[-1]
+    scale = jnp.trace(p_pred) / m_dim
+    delta = 64 * jnp.finfo(p_pred.dtype).eps * scale
+    shifted = _symmetrize(p_pred) + delta * jnp.eye(m_dim, dtype=p_pred.dtype)
+    chol = jnp.linalg.cholesky(shifted)
+    return jax.scipy.linalg.cho_solve((chol, True), p_f_at.T).T
+
+
 @_pin_precision
-def rts_smoother(a, q, ms, ps):
+def rts_smoother(a, q, ms, ps, chol_gain_from: int | None = None):
     """Rauch-Tung-Striebel backward pass over filtered results.
 
     ``a``/``q``: (m, m) or (T, m, m) as in :func:`kalman_filter`.
     Returns smoothed means (T, m) and covariances (T, m, m).
+
+    ``chol_gain_from`` (r5, static): RESEARCH KNOB — use shifted-
+    Cholesky gains from that step index on instead of the pseudo-solve.
+    MEASURED REFUTED as a default (see :func:`_chol_gain`): exact-PD
+    structure past the leading dt=0 run does not imply NUMERIC
+    distinguishability from singular at SDE order >= 10, and the
+    shifted solve NaN'd the brute-force-oracle predict. ``None`` (the
+    shipped default everywhere) = eigh pseudo-solve for every gain.
+
+    Scheduling (r5): the smoothing gains depend only on the FILTERED
+    moments, never on the backward carry — so the per-step gain
+    eigendecompositions (see :func:`_pseudo_gain`) and prediction
+    moments are hoisted out of the scan into one batched build (a
+    (T, m, m) vmapped ``eigh`` — throughput work), and the sequential
+    backward chain keeps only the classic CORRECTION-form recursion
+
+        m_s[k] = m_f[k] + G_k (m_s[k+1] - A m_f[k])
+        P_s[k] = P_f[k] + G_k (P_s[k+1] - P_pred[k+1]) G_k^T
+
+    — two matmuls of latency per step instead of an eigendecomposition.
+    (The affine ELEMENT form E P E^T + L computes the same algebra but
+    through a catastrophic cancellation — measured 6e-7 f64 covariance
+    error vs this form near the t=0 deterministic directions, which
+    scales to garbage in f32 — so the semigroup representation stays
+    confined to the associative/sharded schedules where it is load-
+    bearing.)
     """
     t_steps, m_dim = ms.shape
     shared_aq = a.ndim == 2
@@ -1403,23 +1480,46 @@ def rts_smoother(a, q, ms, ps):
     # untouched.
     rcond = _rts_rcond(ms.dtype)
 
+    def pieces(a_i, q_i, m_f, p_f, solver):
+        p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i)
+        gain = solver(p_f @ a_i.T, p_pred)
+        return gain, a_i @ m_f, p_pred
+
+    def build(lo, hi, solver):
+        if shared_aq:
+            return jax.vmap(
+                lambda m_f, p_f: pieces(a, q, m_f, p_f, solver)
+            )(ms[lo:hi], ps[lo:hi])
+        return jax.vmap(
+            lambda a_i, q_i, m_f, p_f: pieces(a_i, q_i, m_f, p_f, solver)
+        )(a[1 + lo : 1 + hi], q[1 + lo : 1 + hi], ms[lo:hi], ps[lo:hi])
+
+    pseudo = functools.partial(_pseudo_gain, rcond=rcond)
+    n_gain = t_steps - 1
+    k_split = (
+        n_gain
+        if chol_gain_from is None
+        else max(0, min(int(chol_gain_from), n_gain))
+    )
+    if k_split >= n_gain:
+        gains, am_f, p_preds = build(0, n_gain, pseudo)
+    elif k_split == 0:
+        gains, am_f, p_preds = build(0, n_gain, _chol_gain)
+    else:
+        head = build(0, k_split, pseudo)
+        tail = build(k_split, n_gain, _chol_gain)
+        gains, am_f, p_preds = jax.tree_util.tree_map(
+            lambda x, y_arr: jnp.concatenate([x, y_arr], axis=0), head, tail
+        )
+
     def step(carry, xs):
         m_next_s, p_next_s = carry
-        if shared_aq:
-            m_f, p_f = xs
-            a_i, q_i = a, q
-        else:
-            m_f, p_f, a_i, q_i = xs
-        p_pred = _symmetrize(a_i @ p_f @ a_i.T + q_i)
-        gain = _pseudo_gain(p_f @ a_i.T, p_pred, rcond)
-        m_s = m_f + gain @ (m_next_s - a_i @ m_f)
+        m_f, p_f, gain, am_i, p_pred = xs
+        m_s = m_f + gain @ (m_next_s - am_i)
         p_s = _symmetrize(p_f + gain @ (p_next_s - p_pred) @ gain.T)
         return (m_s, p_s), (m_s, p_s)
 
-    if shared_aq:
-        xs = (ms[:-1], ps[:-1])
-    else:
-        xs = (ms[:-1], ps[:-1], a[1:], q[1:])
+    xs = (ms[:-1], ps[:-1], gains, am_f, p_preds)
     (_, _), (ms_s, ps_s) = jax.lax.scan(
         step, (ms[-1], ps[-1]), xs, reverse=True, unroll=_scan_unroll(m_dim)
     )
@@ -1985,7 +2085,56 @@ def delaysimm_mll_ss(
         )
         return ll
     fil, _ = _select_schedule(parallel, n_ev)
+    if fil is kalman_filter and obs_mask is None and replicates == 1:
+        # Every event observes EXACTLY ONE gene (replicates=1, no user
+        # missingness), so the masked n_o-wide update — a chol(G) per
+        # event — collapses to the SCALAR update (r5): one gathered
+        # column, one division. Same likelihood as the row-deleted
+        # model the obs_mask reduction reconstructs (pinned in tests).
+        gene_ids = jnp.argmax(gene_sel, axis=1)
+        y_sc = jnp.take_along_axis(
+            ys_full[step_ids], gene_ids[:, None], axis=1
+        )[:, 0]
+        return _scalar_obs_filter_ll(
+            a, q, p0, p0.shape[0] - g + gene_ids, r_var[0], y_sc
+        )
     _, _, ll = fil(a, q, h, r_var, ys_ev, p0, obs_mask=om_ev)
+    return ll
+
+
+@_pin_precision
+def _scalar_obs_filter_ll(a, q, p0, state_idx, r_var_sc, ys_sc):
+    """Sequential Kalman MLL for a chain of SCALAR observations, each
+    reading one (per-step) state coordinate ``state_idx[t]`` — the delay
+    family's event chain. The innovation covariance is a scalar, so the
+    per-step linear algebra is one gathered covariance column and a
+    division (the Joseph form collapses algebraically to the rank-1
+    downdate ``P - c c^T / s`` for a scalar update — the three
+    correction terms coincide). O(T m^2) instead of O(T (G^3 + m^2 G)).
+    """
+    t_steps = ys_sc.shape[0]
+    m_dim = p0.shape[0]
+    dtype = p0.dtype
+
+    def step(carry, xs):
+        m_cur, p_cur, ll = carry
+        a_i, q_i, idx_i, y_i = xs
+        m_pred = a_i @ m_cur
+        p_pred = _symmetrize(a_i @ p_cur @ a_i.T + q_i)
+        col = jnp.take(p_pred, idx_i, axis=1)
+        s = jnp.take(col, idx_i) + r_var_sc
+        r = y_i - jnp.take(m_pred, idx_i)
+        m_new = m_pred + col * (r / s)
+        p_new = _symmetrize(p_pred - jnp.outer(col, col) / s)
+        ll_i = -0.5 * (r * r / s + jnp.log(s) + LOG_2PI)
+        return (m_new, p_new, ll + ll_i), None
+
+    (_, _, ll), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((m_dim,), dtype), p0, jnp.zeros((), dtype)),
+        (a, q, state_idx, ys_sc),
+        unroll=_scan_unroll(m_dim),
+    )
     return ll
 
 
@@ -2165,6 +2314,7 @@ def lfm_predict_ss(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
         parallel=parallel, shard=shard, unique_dts=unique_dts,
+        obs_slice=p if replicates == 1 else None,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
@@ -2175,7 +2325,7 @@ def lfm_predict_ss(
 
 def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
                        noise_var, obs_mask=None, parallel=None, shard=None,
-                       unique_dts=None):
+                       unique_dts=None, obs_slice=None):
     """Shared smoothing driver for every gridded SSM family: filter + RTS
     smoother on the union grid of train and test times, observation
     updates masked to train steps. ``y`` arrives block-major flat (n_o
@@ -2257,8 +2407,14 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
         ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
     else:
         fil, smo = _select_schedule(parallel, ys.shape[0])
+        sel = (
+            {"obs_slice": obs_slice}
+            if fil is kalman_filter and obs_slice is not None
+            and om_all is None
+            else {}
+        )
         ms, ps, _ = fil(a, q, h, rv_all, ys, p0, mask=is_train,
-                        obs_mask=om_all)
+                        obs_mask=om_all, **sel)
         ms_s, ps_s = smo(a, q, ms, ps)
 
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
@@ -2306,6 +2462,7 @@ def multisimm_predict_ss(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
         parallel=parallel, shard=shard, unique_dts=unique_dts,
+        obs_slice=p_tot if replicates == 1 else None,
     )
     f_mean = (m_t @ h_forces.T).T  # (R, T_test)
     f_var = jnp.einsum("ri,tij,rj->rt", h_forces, p_t, h_forces)
@@ -2362,6 +2519,7 @@ def lfm2_predict_ss(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
         parallel=parallel, shard=shard, unique_dts=unique_dts,
+        obs_slice=p_f if replicates == 1 else None,
     )
     f_mean = m_t @ h_force
     f_var = jnp.einsum("i,tij,j->t", h_force, p_t, h_force)
@@ -2563,7 +2721,7 @@ def nlfm_mll_ekf(
         dt_i, y_i = xs
         mz, P, _ = _ekf_propagate(drift, jac, qc, mz, P, eye_m, dt_i,
                                   substeps, with_phi=False)
-        mz, P, ll_i = _joseph_update(mz, P, h, r_var, y_i)
+        mz, P, ll_i = _joseph_update_solve(mz, P, h, r_var, y_i)
         return (mz, P, ll + ll_i), None
 
     (_, _, ll), _ = jax.lax.scan(
@@ -2664,7 +2822,7 @@ def nlfm_predict_ekf(
         m_pred, p_pred, phi = _ekf_propagate(
             drift, jac, qc, mz, P, eye_m, dt_i, substeps
         )
-        m_up, p_up, _ = _joseph_update(m_pred, p_pred, h, rv_i, y_i)
+        m_up, p_up, _ = _joseph_update_solve(m_pred, p_pred, h, rv_i, y_i)
         mz = jnp.where(mk_i > 0, m_up, m_pred)
         P = jnp.where(mk_i > 0, p_up, p_pred)
         return (mz, P), (mz, P, phi, m_pred, p_pred)

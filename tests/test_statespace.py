@@ -795,6 +795,45 @@ class TestDelayFamily:
     obs-masked filter step. Parity vs the dense ``ExactDelaySIMM`` closed
     forms (which apply the identical warp to the kernel inputs)."""
 
+    def test_scalar_event_route_matches_masked_dense(self):
+        """The r5 scalar-observation event chain (each event reads ONE
+        gene — innovation covariance is a scalar) must equal the
+        obs-masked dense-H filter on value and every gradient leaf,
+        including the delays."""
+        from dis_project_tpu.models import delaysimm
+
+        rng = np.random.default_rng(3)
+        G, T = 4, 11
+        t = jnp.linspace(0.3, 12.0, T)
+        params = delaysimm.init_params(G)._replace(
+            delay=jnp.asarray([0.0, 0.4, 0.9, 0.2])
+        )
+        y = jnp.asarray(rng.normal(size=(G * T,)) + 1.0)
+        v_sc = float(ss.delaysimm_mll_ss(params, t, y, jitter=1e-4, order=8))
+        v_dn = float(
+            ss.delaysimm_mll_ss(
+                params, t, y, jitter=1e-4, order=8, parallel=True
+            )
+        )
+        assert abs(v_sc - v_dn) < 1e-9
+        raw = delaysimm.unconstrain(params)
+        g_sc = jax.grad(
+            lambda r: ss.delaysimm_mll_ss(
+                delaysimm.constrain(r), t, y, jitter=1e-4, order=8
+            )
+        )(raw)
+        g_dn = jax.grad(
+            lambda r: ss.delaysimm_mll_ss(
+                delaysimm.constrain(r), t, y, jitter=1e-4, order=8,
+                parallel=True,
+            )
+        )(raw)
+        for name in raw._fields:
+            a, b = np.asarray(getattr(g_sc, name)), np.asarray(
+                getattr(g_dn, name)
+            )
+            assert np.abs(a - b).max() < 1e-8 * (np.abs(a).max() + 1.0), name
+
     @pytest.fixture(scope="class")
     def problem(self):
         from dis_project_tpu.models import delaysimm
