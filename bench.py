@@ -559,7 +559,10 @@ def bench_route_matrix(dtype=jnp.float32):
                 svlfm.constrain(r), xb, yy, vb, n_total=N_TOTAL
             )
         )
-        return time_op(grad_probe(vg), raw0, yb, iters=4)
+        # Sub-ms op: a short chain's slope drowns in tunnel jitter
+        # (measured 0.31 / 0.12 / 0.0 ms across r5 runs at iters=4);
+        # 32 chained executions put the signal well above it.
+        return time_op(grad_probe(vg), raw0, yb, iters=32)
 
     guarded("svi_step_s", svi_step)
 

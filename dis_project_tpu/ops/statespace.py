@@ -593,7 +593,15 @@ def discretize(f_aug, p_inf, dts, max_unique: int | None = None):
             return a_u[inv], q_u[inv]
     elif max_unique is not None and max_unique < dts.shape[0]:
         u = jnp.unique(dts, size=max_unique, fill_value=jnp.max(dts))
-        idx = jnp.clip(jnp.searchsorted(u, dts), 0, max_unique - 1)
+        # NEAREST-bucket gather, not exact-match: insertion position
+        # then the closer of the two neighbours. Exact when every dt is
+        # in u (the promise); robust to any ulp-level discrepancy
+        # between the caller's host-side unique count and the on-device
+        # values (an exact-match searchsorted silently pairs a step
+        # with a NEIGHBOURING dt's transition on a mismatch).
+        idx = jnp.clip(jnp.searchsorted(u, dts), 1, max_unique - 1)
+        pick_left = jnp.abs(dts - u[idx - 1]) <= jnp.abs(u[idx] - dts)
+        idx = jnp.where(pick_left, idx - 1, idx)
         a_u, q_u = jax.vmap(one)(u)
         return a_u[idx], q_u[idx]
     return jax.vmap(one)(dts)
