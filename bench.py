@@ -572,7 +572,11 @@ def bench_route_matrix(dtype=jnp.float32):
     def union_predict():
         G, T, T_TEST = 64, 128, 256
         t = jnp.asarray(np.linspace(0, 12.0, T), dtype)
-        t_test = jnp.asarray(np.linspace(-0.5, 12.5, T_TEST), dtype)
+        # Test grid INSIDE the model's domain: the generative model
+        # defines genes only from t=0 (deterministic B/D start), and a
+        # negative first dt would send an expansive transition through
+        # discretize (the hazard streaming_update rejects loudly).
+        t_test = jnp.asarray(np.linspace(0.0, 12.0, T_TEST), dtype)
         y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
         params = simm.init_params(G, dtype=dtype)
         u = int(

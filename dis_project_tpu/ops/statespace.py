@@ -1282,6 +1282,16 @@ def _select_schedule(parallel, t_steps):
     if parallel == "blocked":
         return blocked_filter, blocked_rts_smoother
     if isinstance(parallel, int) and not isinstance(parallel, bool):
+        # An int is a block LENGTH, never a truthiness flag: 0/1 would
+        # previously have meant sequential/associative as booleans, and
+        # a silent clamp to block=2 would run the schedule the
+        # _AUTO_PARALLEL_NOTE_R5 sweep measured slower — reject loudly.
+        if parallel < 2:
+            raise ValueError(
+                f"parallel={parallel}: an integer selects the blocked "
+                "schedule's block length and must be >= 2; pass "
+                "True/False for the associative/sequential schedules"
+            )
         return (
             functools.partial(blocked_filter, block=parallel),
             functools.partial(blocked_rts_smoother, block=parallel),
@@ -1290,6 +1300,15 @@ def _select_schedule(parallel, t_steps):
         return parallel_filter, parallel_rts_smoother
     return kalman_filter, rts_smoother
 
+
+
+
+def _sel_kwargs(fil, obs_slice):
+    """Forward the selection-H promise to the one schedule that honors
+    it (the sequential filter); the semigroup schedules keep dense H."""
+    if fil is kalman_filter and obs_slice is not None:
+        return {"obs_slice": obs_slice}
+    return {}
 
 @_pin_precision
 def sharded_parallel_filter(a, q, h, r_var, ys, p0, mesh, axis,
@@ -1878,26 +1897,18 @@ def _gridded_ssm_mll(f_aug, p_inf, p0, h, mean_obs, t, y, r_var, *,
                 m0=m_f0, mask=mask, obs_mask=om_rest,
             )
             return ll0 + ll
-        sel = (
-            {"obs_slice": obs_slice}
-            if fil is kalman_filter and obs_slice is not None
-            else {}
-        )
         _, _, ll = fil(
             a, q, h, r_var, ys[1:], p_f0, m0=m_f0,
-            obs_mask=None if om is None else om[1:], **sel,
+            obs_mask=None if om is None else om[1:],
+            **_sel_kwargs(fil, obs_slice),
         )
         return ll0 + ll
     if shard is not None:
         raise ValueError("shard requires uniform=True (shared-step grid)")
     dts = jnp.diff(t, prepend=jnp.zeros((1,), dtype))
     a, q = discretize(f_aug, p_inf, dts)
-    sel = (
-        {"obs_slice": obs_slice}
-        if fil is kalman_filter and obs_slice is not None
-        else {}
-    )
-    _, _, ll = fil(a, q, h, r_var, ys, p0, obs_mask=om, **sel)
+    _, _, ll = fil(a, q, h, r_var, ys, p0, obs_mask=om,
+                   **_sel_kwargs(fil, obs_slice))
     return ll
 
 
@@ -2120,7 +2131,6 @@ def _scalar_obs_filter_ll(a, q, p0, state_idx, r_var_sc, ys_sc):
     downdate ``P - c c^T / s`` for a scalar update — the three
     correction terms coincide). O(T m^2) instead of O(T (G^3 + m^2 G)).
     """
-    t_steps = ys_sc.shape[0]
     m_dim = p0.shape[0]
     dtype = p0.dtype
 
@@ -2306,6 +2316,18 @@ def lfm_predict_ss(
 
     Returns ``(f_mean, f_var, x_mean, x_var)`` at ``t_test`` — x_mean/var
     per gene, mean added back.
+
+    ``unique_dts`` (static int): EXACTNESS-CRITICAL jit promise — an
+    upper bound on the number of DISTINCT step sizes of the union grid
+    (the diffs of sorted train+test times INCLUDING the prepend-0 first
+    step; duplicate train/test times contribute a dt=0 value). When
+    given, the jitted path computes one expm per distinct dt and
+    gathers by NEAREST value (see :func:`discretize`); an UNDERSTATED
+    bound silently assigns neighbouring transitions to the overflow
+    steps. Compute it host-side, e.g.
+    ``np.unique(np.diff(np.sort(np.concatenate([t, t_test])),
+    prepend=0.0)).size``. ``None`` (default) keeps the per-step build
+    under jit; eager calls bucket host-side automatically either way.
     """
     t_train = jnp.asarray(timepoints)
     t_test = jnp.asarray(t_test)
@@ -2415,14 +2437,8 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
         ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
     else:
         fil, smo = _select_schedule(parallel, ys.shape[0])
-        sel = (
-            {"obs_slice": obs_slice}
-            if fil is kalman_filter and obs_slice is not None
-            and om_all is None
-            else {}
-        )
         ms, ps, _ = fil(a, q, h, rv_all, ys, p0, mask=is_train,
-                        obs_mask=om_all, **sel)
+                        obs_mask=om_all, **_sel_kwargs(fil, obs_slice))
         ms_s, ps_s = smo(a, q, ms, ps)
 
     test_pos = jnp.nonzero(1.0 - is_train, size=t_test.shape[0])[0]
@@ -2454,7 +2470,8 @@ def multisimm_predict_ss(
     :func:`multisimm_mll_ss`.
 
     Returns ``(f_mean, f_var, x_mean, x_var)`` with f_mean/f_var shaped
-    (R, T_test) and x_mean/x_var (T_test, G)."""
+    (R, T_test) and x_mean/x_var (T_test, G). ``unique_dts`` as
+    :func:`lfm_predict_ss` (the exactness-critical jit promise)."""
     t_train = jnp.asarray(timepoints)
     t_test = jnp.asarray(t_test)
     g, _ = params.sensitivity.shape
@@ -2502,7 +2519,8 @@ def lfm2_predict_ss(
     stays finite past the complex-erf forms' ``omega*l ~ 12`` wall.
 
     Returns ``(f_mean, f_var, x_mean, x_var)`` — x is the position
-    block, mean ``B/k`` added back."""
+    block, mean ``B/k`` added back. ``unique_dts`` as
+    :func:`lfm_predict_ss` (the exactness-critical jit promise)."""
     t_train = jnp.asarray(timepoints)
     t_test = jnp.asarray(t_test)
     g = params.alpha.shape[0]
@@ -3020,8 +3038,9 @@ def posterior_sample_ss(
     A m_k), P_k - G_k P_pred G_k^T)`` with the same pseudo-solve gain as
     the smoother. Samples are vmapped into one program.
 
-    Returns ``(num_samples, T_test)`` force draws. ``noise_var`` as
-    :func:`lfm_predict_ss` (the caller picks the convention).
+    Returns ``(num_samples, T_test)`` force draws. ``noise_var`` and
+    ``unique_dts`` as :func:`lfm_predict_ss` (the latter is the
+    exactness-critical jit promise on the union grid's distinct steps).
     """
     g = params.decay.shape[0]
     t_train = jnp.asarray(timepoints)
@@ -3056,7 +3075,10 @@ def posterior_sample_ss(
     )
     rv_all = jnp.ones((n_all, n_o), dtype).at[train_pos].set(noise_var)
 
-    ms, ps, _ = kalman_filter(a, q, h, rv_all, ys, p0, mask=is_train)
+    ms, ps, _ = kalman_filter(
+        a, q, h, rv_all, ys, p0, mask=is_train,
+        obs_slice=(m_dim - g) if replicates == 1 else None,
+    )
     rcond = _rts_rcond(dtype)
 
     # Per-step backward-sampling pieces (shared by every draw).

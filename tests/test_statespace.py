@@ -369,6 +369,70 @@ class TestBlockedSchedule:
         fil, smo = ss._select_schedule(None, 100000)
         assert fil is ss.kalman_filter and smo is ss.rts_smoother
 
+    def test_integer_parallel_below_two_is_rejected(self):
+        """parallel=0/1 as ints were the old boolean spellings — they
+        must raise (a silent clamp would run the measured-slower blocked
+        schedule), while bools keep their schedule meaning."""
+        for bad in (0, 1, -4):
+            with pytest.raises(ValueError, match="block length"):
+                ss._select_schedule(bad, 100)
+        assert ss._select_schedule(False, 100)[0] is ss.kalman_filter
+        assert ss._select_schedule(True, 100)[0] is ss.parallel_filter
+
+    def test_traced_bucketing_matches_perstep_under_jit(self):
+        """The jitted ``max_unique`` branch (jnp.unique + nearest-bucket
+        gather — the path bench/serving rely on): bit-identical A to the
+        per-step build at an EXACT bound, at an OVERSTATED bound, and
+        unchanged by the nearest-vs-exact gather rewrite."""
+        params = simm.init_params(3)
+        f_aug, p_inf, _, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=8
+        )
+        t_all = np.sort(
+            np.concatenate([np.linspace(0, 12, 17), np.linspace(0, 12, 25)])
+        )
+        dts = jnp.asarray(np.diff(t_all, prepend=0.0))
+        u_exact = int(np.unique(np.asarray(dts)).size)
+        assert u_exact < dts.shape[0]
+
+        a_ref, q_ref = jax.jit(
+            lambda d: ss.discretize(f_aug, p_inf, d)
+        )(dts)
+        for bound in (u_exact, u_exact + 5):
+            a_b, q_b = jax.jit(
+                lambda d, mb=bound: ss.discretize(
+                    f_aug, p_inf, d, max_unique=mb
+                )
+            )(dts)
+            assert bool(jnp.all(a_b == a_ref)), bound
+            assert float(jnp.max(jnp.abs(q_b - q_ref))) < 1e-12, bound
+
+    def test_chol_gain_knob_matches_pseudo_on_benign_problem(self):
+        """``rts_smoother(chol_gain_from=k)``: on a well-conditioned
+        problem (low order, away from t=0) the shifted-Cholesky tail
+        must agree with the pseudo-solve path — the head/tail split's
+        indexing is what this pins (the order>=10 NaN refutation is the
+        knob's docstring)."""
+        rng = np.random.default_rng(9)
+        params = simm.init_params(3)
+        f_aug, p_inf, p0, _ = ss.build_lfm_ssm(
+            params.decay, params.sensitivity, params.lengthscale, order=6
+        )
+        m = p0.shape[0]
+        T = 19
+        t = jnp.asarray(np.linspace(0.5, 12.0, T))
+        dts = jnp.diff(t, prepend=jnp.zeros((1,), t.dtype))
+        a, q = ss.discretize(f_aug, p_inf, dts)
+        h = ss.gene_observation_matrix(m - 3, 3, 1, t.dtype)
+        rv = jnp.full((3,), 0.2)
+        ys = jnp.asarray(rng.normal(size=(T, 3)))
+        ms, ps, _ = ss.kalman_filter(a, q, h, rv, ys, p0)
+        sm0, sp0 = ss.rts_smoother(a, q, ms, ps)
+        for k in (0, 4, T - 1, T + 7):
+            sm1, sp1 = ss.rts_smoother(a, q, ms, ps, chol_gain_from=k)
+            assert float(jnp.max(jnp.abs(sm1 - sm0))) < 1e-7, k
+            assert float(jnp.max(jnp.abs(sp1 - sp0))) < 1e-7, k
+
     def test_discretize_unique_dt_bucketing_is_bitwise(self):
         """Concrete union-grid dts: one expm per DISTINCT step plus a
         gather must be bit-identical to the per-step build (equal inputs
