@@ -647,6 +647,28 @@ def bench_route_matrix(dtype=jnp.float32):
 
     guarded("ss_delay_step_s", ss_delay_step)
 
+    # 5b. Long-chain MLL, exact vs steady-state tail (r5,
+    # ``stationary_after``): the scaling engine's headline pair — the
+    # frozen-gain tail drops the covariance leg from every post-warmup
+    # step (measured 5.6-10x at T=5e4 on CPU; this probe tracks the
+    # on-device ratio per round at a tunnel-safe T).
+    def ss_long(stationary):
+        G, T = 10, 16384
+        t = jnp.asarray(np.linspace(0, 100.0, T), dtype)
+        y = jnp.asarray(rng.standard_normal(G * T) * 0.5 + 1.0, dtype)
+        params = simm.init_params(G, dtype=dtype)
+
+        def op(eps, yy):
+            return ss_ops.lfm_mll_ss(
+                params, t, yy + eps.astype(yy.dtype), jitter=1e-4,
+                stationary_after=1024 if stationary else None,
+            )
+
+        return time_op(op, y, iters=2)
+
+    guarded("ss_long_mll_s", lambda: ss_long(False))
+    guarded("ss_long_mll_stat_s", lambda: ss_long(True))
+
     # 6. Extended-Kalman marginal step (nonlinear family, exp response).
     def ekf_step():
         G, T = 16, 128

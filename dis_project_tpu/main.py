@@ -1307,6 +1307,11 @@ def run_dense(config: cfg.RunConfig):
                 else f"EXACT {config.force_kernel} prior"
             )
             engine = f"state-space Kalman engine (O(T), {prior})"
+            if config.stationary_after is not None:
+                engine += (
+                    f", steady-state gain after {config.stationary_after} "
+                    "warmup steps"
+                )
         else:
             engine = ("row Gram" if on_tpu_f32 else "gridded Gram") \
                 + ", Cholesky engine"
@@ -1367,6 +1372,7 @@ def run_dense(config: cfg.RunConfig):
             objective = lambda r: -ss_ops.lfm_mll_ss(
                 simm.constrain(r), timepoints, y, jitter=model.jitter,
                 shard=shard, force_kernel=config.force_kernel,
+                stationary_after=config.stationary_after,
             )
         elif on_tpu_f32:
             objective = lambda r: -model.mll(simm.constrain(r), X, y)
@@ -1543,6 +1549,7 @@ def _run_dense_second_order(config: cfg.RunConfig, scfg):
         objective = lambda r: -ss_ops.lfm2_mll_ss(  # noqa: E731
             simm2.constrain(r), tgrid, y, jitter=config.exact_jitter,
             shard=shard, force_kernel=config.force_kernel,
+            stationary_after=config.stationary_after,
         )
     else:
         engine = "order-2 table Gram, Cholesky engine"
@@ -1626,6 +1633,7 @@ def _run_dense_multiforce(config: cfg.RunConfig, scfg):
     objective = lambda r: -ss_ops.multisimm_mll_ss(  # noqa: E731
         multisimm.constrain(r), tgrid, y, jitter=config.exact_jitter,
         shard=ss_shard, force_kernels=fks,
+        stationary_after=config.stationary_after,
     )
 
     # Same segmented dispatch as the other dense routes: bound every
@@ -2156,6 +2164,26 @@ def main(argv=None):
             "--ss-shard requires --mll-engine ss (it shards the Kalman "
             "filter's time axis)"
         )
+    if config.stationary_after is not None:
+        if config.mll_engine != "ss":
+            raise SystemExit(
+                "--stationary-after requires --mll-engine ss (it freezes "
+                "the Kalman gain at the covariance fixed point)"
+            )
+        if config.ss_shard:
+            raise SystemExit(
+                "--stationary-after is incompatible with --ss-shard "
+                "(the sharded filter keeps per-chunk exact covariances)"
+            )
+        if config.model in ("delaysimm", "nlfm"):
+            raise SystemExit(
+                "--stationary-after requires a UNIFORM-grid family "
+                "(simm/simm2/multisimm): the delay family's warped event "
+                "chain and the EKF's state-dependent prediction have no "
+                "shared-step gain fixed point"
+            )
+        if config.stationary_after < 1:
+            raise SystemExit("--stationary-after must be >= 1")
     if config.force_kernel != "rbf" and config.mll_engine != "ss":
         raise SystemExit(
             "--force-kernel requires --mll-engine ss (the Matern priors "

@@ -289,6 +289,20 @@ class TestPipelineEntry:
         entry.run_dense(c)
         with pytest.raises(SystemExit, match="force-kernel requires"):
             entry.main(["--force-kernel", "matern32"])
+        # --stationary-after (r5): the steady-state gain knob shares the
+        # ss-engine requirement and rejects non-uniform families.
+        with pytest.raises(SystemExit, match="stationary-after requires"):
+            entry.main(["--stationary-after", "32"])
+        with pytest.raises(SystemExit, match="UNIFORM-grid family"):
+            entry.main([
+                "--preset", "dense10k", "--mll-engine", "ss",
+                "--model", "delaysimm", "--stationary-after", "32",
+            ])
+        with pytest.raises(SystemExit, match="incompatible with --ss-shard"):
+            entry.main([
+                "--preset", "dense10k", "--mll-engine", "ss", "--ss-shard",
+                "--stationary-after", "32",
+            ])
         with pytest.raises(SystemExit, match="force-kernel requires"):
             entry.main([
                 "--preset", "dense10k", "--mll-engine", "cholesky",
