@@ -314,4 +314,29 @@ peak_times = jnp.linspace(0.0, 13.0, 60)[jnp.argmax(draws, axis=1)]
 print(f"256 joint FFBS force draws: peak-time posterior "
       f"{float(peak_times.mean()):.2f} +/- {float(peak_times.std()):.2f} "
       f"(a whole-trajectory functional marginal bands cannot give)")
+
+# %% [markdown]
+# ## 10. The steady-state filter (r5)
+#
+# On a uniform grid the covariance recursion is data-independent and
+# converges geometrically to the DARE fixed point: `stationary_after=K`
+# runs K exact warmup steps, then freezes the gain — every later step
+# drops its covariance leg entirely (measured 5.6-10x at T=5e4; error
+# geometric in K). Pick K as a few multiples of lengthscale/dt.
+
+# %%
+import numpy as _np
+T_long = 2048
+t_long = jnp.linspace(0.0, 60.0, T_long)
+f_l, x_l = ss.sample_trajectory_ss(
+    params, t_long, jax.random.PRNGKey(9), num_samples=1
+)
+y_long = (x_l[0] + 0.05 * jax.random.normal(
+    jax.random.PRNGKey(10), x_l[0].shape)).T.reshape(-1)
+v_ex = float(ss.lfm_mll_ss(params, t_long, y_long, jitter=1e-4))
+for K in (32, 128, 512):
+    v_st = float(ss.lfm_mll_ss(params, t_long, y_long, jitter=1e-4,
+                               stationary_after=K))
+    print(f"steady-state K={K:4d}: |err| {abs(v_st - v_ex):.2e} nats "
+          f"of {v_ex:.1f}")
 print("done.")
