@@ -1467,6 +1467,7 @@ def run_dense(config: cfg.RunConfig):
                 num_warmup=n_draws, num_samples=n_draws,
                 num_chains=config.posterior_chains,
                 force_kernel=config.force_kernel,
+                stationary_after=config.stationary_after,
             )
             jax.block_until_ready(post.log_probs)
             samples = _finish_posterior(

@@ -529,6 +529,7 @@ def kinetics_posterior_ss(
     mesh=None,
     order: int = 10,
     force_kernel: str = "rbf",
+    stationary_after: int | None = None,
 ):
     """Posterior over the SIMM hyperparameters with the O(T) state-space
     likelihood (:func:`dis_project_tpu.ops.statespace.lfm_mll_ss`).
@@ -558,8 +559,15 @@ def kinetics_posterior_ss(
 
     def logdensity(raw):
         p = simm.constrain(raw)
+        # stationary_after: the r5 frozen-gain tail — every leapfrog
+        # GRADIENT drops its covariance leg past the warmup (measured
+        # 5.6-10x per gradient at T=5e4), at the knob's documented
+        # geometric-in-K likelihood error. The posterior then targets
+        # the steady-state likelihood; pick K generously (the cost is
+        # linear in K, the error geometric).
         return ss_ops.lfm_mll_ss(
-            p, t, y, jitter=jitter, order=order, force_kernel=force_kernel
+            p, t, y, jitter=jitter, order=order, force_kernel=force_kernel,
+            stationary_after=stationary_after,
         ) + bij.constrain_log_det(raw, simm.SIMM_BIJECTORS)
 
     return sample_constrained(
