@@ -3068,6 +3068,64 @@ def streaming_update(carry: FilterCarry, aux, t_new, y_new, noise_var,
 
 
 @_pin_precision
+def streaming_freeze(carry: FilterCarry, aux, dt, noise_var):
+    """Freeze the per-arrival update at the steady-state gain for a
+    FIXED arrival cadence ``dt`` (r5 — the serving face of
+    ``stationary_after``): returns a pack for
+    :func:`streaming_update_frozen`, whose per-arrival cost is one
+    m^2 matvec + a triangular solve instead of the full O(m^3)
+    covariance update of :func:`streaming_update`.
+
+    The pack freezes the gain/Cholesky at the fixed point implied by
+    the CURRENT carry covariance — call it after a warmup of exact
+    updates (the same geometric-in-warmup error contract as
+    ``stationary_after``, pinned in tests against the batch tail).
+    ``noise_var``: (n_o,) or scalar, fixed across arrivals."""
+    f_aug, p_inf, h, mean_obs, _ = aux
+    dtype = carry.mean.dtype
+    n_o = mean_obs.shape[0]
+    rv = jnp.broadcast_to(jnp.asarray(noise_var, dtype), (n_o,))
+    a, q = discretize(f_aug, p_inf, jnp.asarray(dt, dtype))
+    p_pred = _symmetrize(a @ carry.cov @ a.T + q)
+    s_mat = h @ p_pred @ h.T + jnp.diag(rv)
+    chol = jnp.linalg.cholesky(s_mat)
+    gain = jax.scipy.linalg.cho_solve((chol, True), h @ p_pred).T
+    m_dim = carry.mean.shape[0]
+    ikh = jnp.eye(m_dim, dtype=dtype) - gain @ h
+    p_filt = _symmetrize(
+        ikh @ p_pred @ ikh.T + (gain * rv[None, :]) @ gain.T
+    )
+    mmat = ikh @ a
+    ha = h @ a
+    const = (
+        jnp.sum(jnp.log(jnp.diagonal(chol))) + 0.5 * n_o * LOG_2PI
+    )
+    return {
+        "dt": jnp.asarray(dt, dtype), "mmat": mmat, "ha": ha,
+        "gain": gain, "chol": chol, "const": const, "p_filt": p_filt,
+        "mean_obs": mean_obs,
+    }
+
+
+def streaming_update_frozen(carry: FilterCarry, pack, y_new):
+    """Absorb one on-cadence observation through the frozen pack: the
+    O(m^2) serving update (see :func:`streaming_freeze`). The carry's
+    covariance is pinned at the pack's steady filtered covariance, so
+    :func:`streaming_predict` keeps working off the same carry."""
+    yc = jnp.asarray(y_new, carry.mean.dtype) - pack["mean_obs"]
+    r = yc - pack["ha"] @ carry.mean
+    al = jax.scipy.linalg.solve_triangular(pack["chol"], r, lower=True)
+    m_new = pack["mmat"] @ carry.mean + pack["gain"] @ yc
+    ll_i = -0.5 * jnp.sum(al * al) - pack["const"]
+    return FilterCarry(
+        mean=m_new,
+        cov=pack["p_filt"],
+        t_last=carry.t_last + pack["dt"],
+        ll=carry.ll + ll_i,
+    )
+
+
+@_pin_precision
 def streaming_predict(carry: FilterCarry, aux, params, t_query):
     """Forecast the latent force and gene levels at ``t_query`` (>=
     ``carry.t_last``) from the current carry — the serving read path

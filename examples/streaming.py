@@ -100,4 +100,30 @@ print(f"masked update (2 genes dropped, NaN values): ll {float(c2.ll):.3f}")
 bad = ss.streaming_update(c2, aux, 0.5, jnp.ones(G), rv)
 print(f"out-of-order arrival: ll -> {float(bad.ll)} (state unchanged: "
       f"{bool(jnp.all(bad.mean == c2.mean))})")
+
+# %% [markdown]
+# ## 5. Fixed-cadence serving: freeze the gain (r5)
+#
+# When arrivals come at a fixed cadence, warm up with exact updates,
+# then `streaming_freeze` pins the gain at its fixed point and every
+# later arrival costs one m^2 matvec + a triangular solve — the O(m^3)
+# covariance leg is gone. Bitwise-consistent with the batch
+# `stationary_after` route on the same grid (pinned in tests).
+
+# %%
+rng = np.random.default_rng(42)
+dt = 0.25
+c3, aux3 = ss.streaming_init(params)
+for i in range(32):
+    c3 = ss.streaming_update(
+        c3, aux3, (i + 1) * dt,
+        jnp.asarray(rng.normal(size=G) + 1.0), rv,
+    )
+pack = ss.streaming_freeze(c3, aux3, dt, rv)
+for i in range(200):
+    c3 = ss.streaming_update_frozen(
+        c3, pack, jnp.asarray(rng.normal(size=G) + 1.0)
+    )
+print(f"232 arrivals (32 exact + 200 frozen): ll {float(c3.ll):.1f}, "
+      f"t_last {float(c3.t_last):.2f}")
 print("done.")

@@ -1645,6 +1645,52 @@ class TestStreaming:
     """Online serving API (r4): per-observation O((p+G)^3) updates at
     constant memory must reproduce the batch filter bitwise."""
 
+    def test_frozen_updates_match_batch_stationary_tail(self):
+        """The r5 frozen-gain serving path: warm up with exact
+        streaming updates, freeze, then the O(m^2) per-arrival updates
+        must (a) accumulate the SAME likelihood as the batch
+        ``stationary_after`` route on the same grid, and (b) converge to
+        the exact stream geometrically in the warmup length."""
+        rng = np.random.default_rng(8)
+        G, T, K = 3, 160, 48
+        t0_first = 0.08
+        dt = 0.08
+        t = jnp.asarray(t0_first + dt * np.arange(T))
+        params = simm.init_params(G)
+        ys = rng.normal(size=(T, G)) + 1.0
+        y_flat = jnp.asarray(ys.T.reshape(-1))
+        nv = 1e-4 + float(params.obs_stddev) ** 2
+
+        # batch steady-state reference on the same uniform grid
+        ll_batch = float(
+            ss.lfm_mll_ss(
+                params, t, y_flat, jitter=1e-4, order=8,
+                stationary_after=K,
+            )
+        )
+        ll_exact = float(
+            ss.lfm_mll_ss(params, t, y_flat, jitter=1e-4, order=8)
+        )
+
+        carry, aux = ss.streaming_init(params, order=8)
+        for i in range(K + 1):  # step 0 + K exact warmup steps
+            carry = ss.streaming_update(
+                carry, aux, float(t[i]), jnp.asarray(ys[i]), nv
+            )
+        pack = ss.streaming_freeze(carry, aux, dt, nv)
+        for i in range(K + 1, T):
+            carry = ss.streaming_update_frozen(
+                carry, pack, jnp.asarray(ys[i])
+            )
+        ll_stream = float(carry.ll)
+        assert abs(ll_stream - ll_batch) < 1e-6 * max(1.0, abs(ll_batch))
+        assert abs(ll_stream - ll_exact) < 0.05
+        # predict still works off the frozen carry
+        fm, fv, xm, xv = ss.streaming_predict(
+            carry, aux, params, float(t[-1]) + 0.5
+        )
+        assert np.isfinite(float(fm)) and float(fv) > 0.0
+
     def test_streaming_matches_batch(self):
         G, T = 3, 9
         t = jnp.linspace(0.5, 12.0, T)
