@@ -2389,12 +2389,18 @@ def lfm_predict_ss(
     shard=None,
     unique_dts=None,
     force_kernel: str = "rbf",
+    interp: str = "union",
 ):
     """Smoothed latent-force posterior at ``t_test`` (and the gene states).
 
     The state-space analogue of ``ExactSIMM.latent_predict``: filter +
     RTS smoother on the union grid of train and test times, observation
-    updates masked to train steps. Matches the dense path's *posterior
+    updates masked to train steps (``interp="union"``), or the exact
+    bridge-interpolation route that smooths the TRAIN grid only and
+    conditions each test time on its bracketing smoothed states
+    (``interp="bridge"`` — see :func:`_bridge_smooth`; same posterior
+    to roundoff, parity-pinned, and the cheaper dispatch at dense
+    scale). Matches the dense path's *posterior
     mean* (the cross-covariances k_xf are consistent with k_xx); the
     posterior *variance* is that of the self-consistent model — the dense
     path's test-test prior block uses the reference's quirky ``2l``
@@ -2434,7 +2440,7 @@ def lfm_predict_ss(
     p = p0.shape[0] - g
     h = gene_observation_matrix(p, g, replicates, t_train.dtype)
     mean = params.basal / params.decay
-    m_t, p_t = _union_grid_smooth(
+    m_t, p_t = _pick_smooth(interp)(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
         parallel=parallel, shard=shard, unique_dts=unique_dts,
@@ -2539,6 +2545,175 @@ def _union_grid_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
     return ms_s[test_pos], ps_s[test_pos]
 
 
+def _bridge_smooth(f_aug, p_inf, p0, h, t_train, t_test, y, mean_obs,
+                   noise_var, obs_mask=None, parallel=None, shard=None,
+                   unique_dts=None, obs_slice=None):
+    """Bridge-interpolation smoothing driver (r5): exact test-time
+    conditioning WITHOUT the union grid — the ``interp="bridge"``
+    backend of every gridded-family predict.
+
+    The filter + RTS smoother run on the TRAIN grid only; each test
+    time then conditions on its two bracketing smoothed states through
+    the discretized prior's Gaussian bridge. Exact by the Markov
+    property: every observation lives at a train node, so given the
+    bracketing states ``(x_L, x_R)`` the state at ``t*`` is independent
+    of the data:
+
+        p(x* | Y) = \\int p(x* | x_L, x_R) p(x_L, x_R | Y) dx_L dx_R
+
+    with the pairwise smoothed joint's cross-covariance ``G_k Sigma_R``
+    (``G_k`` the RTS gain over the full bracket step — the same
+    identity the FFBS sampler uses) and the Gaussian bridge
+
+        x* | x_L, x_R ~ N(W_a x_L + W_b x_R, Lambda),
+        W_b = Q_1 A_2^T S^+,  W_a = A_1 - W_b A_2 A_1,
+        Lambda = Q_1 - W_b A_2 Q_1,   S = A_2 Q_1 A_2^T + Q_2,
+
+    where ``(A_1, Q_1)`` discretizes ``t_L -> t*`` and ``(A_2, Q_2)``
+    ``t* -> t_R``. ``S``'s pseudo-solve reuses the smoother's
+    relative-rcond eigendecomposition (:func:`_pseudo_gain`): its null
+    directions carry bridge components that are DETERMINISTIC given
+    ``x_L`` — their residual ``u^T (x_R - A_2 A_1 x_L)`` is zero almost
+    surely under the prior, hence under the (absolutely continuous)
+    posterior, so zeroing the correction there is exact — the same
+    argument that makes the RTS pseudo-gain exact on dt=0 steps. Test
+    times past the last train node extrapolate one-sided from the
+    terminal smoothed state (the two-sided formula is only valid INSIDE
+    a bracket); times in ``[0, t_train[0])`` bridge against a virtual
+    t=0 prior node ``(0, p0)`` smoothed backward one step; negative
+    times clamp to that node (out of the model's domain — the union
+    driver would build a negative-dt transition there).
+
+    Why it beats the union grid (measured — PARITY.md r5): the union of
+    two f32 grids has thousands of roundoff-distinct dts (one ``expm``
+    each) and runs T_train + T_test masked filter+smoother steps; here
+    the sequential chain stays at T_train steps with the train grid's
+    own few distinct dts, and the per-test work — 3 small ``expm``s,
+    2 ``eigh``s, a dozen (m, m) matmuls — is batched over test points,
+    off the latency-bound critical path.
+
+    Same argument/return contract as :func:`_union_grid_smooth`, except
+    ``unique_dts`` bounds the TRAIN grid's distinct steps (including
+    the prepend-0 first one) and the returned moments follow
+    ``t_test``'s own order (the union driver returns time-sorted order
+    — identical for the sorted test grids every caller passes).
+    """
+    dtype = t_train.dtype
+    n_o = mean_obs.shape[0]
+    t_steps = t_train.shape[0]
+
+    dts = jnp.diff(t_train, prepend=jnp.zeros((1,), dtype))
+    pad = 0
+    mask = None
+    if shard is not None:
+        mesh, axis = shard
+        pad = (-t_steps) % mesh.shape[axis]
+    if pad:
+        # dt=0 pad steps (A=I, Q=0), masked: exact pass-throughs for
+        # both passes — the same divisibility trick as the union driver.
+        dts = jnp.concatenate([dts, jnp.zeros((pad,), dtype)])
+        mask = jnp.concatenate(
+            [jnp.ones((t_steps,), dtype), jnp.zeros((pad,), dtype)]
+        )
+    a, q = discretize(
+        f_aug, p_inf, dts,
+        max_unique=None if unique_dts is None
+        else unique_dts + (1 if pad else 0),
+    )
+
+    ys = y.reshape(n_o, t_steps).T - mean_obs[None, :]
+    rv = jnp.broadcast_to(jnp.asarray(noise_var, dtype), (t_steps, n_o))
+    om = None
+    if obs_mask is not None:
+        om = jnp.asarray(obs_mask, dtype).reshape(n_o, t_steps).T
+    if pad:
+        ys = jnp.concatenate([ys, jnp.zeros((pad, n_o), dtype)])
+        rv = jnp.concatenate([rv, jnp.ones((pad, n_o), dtype)])
+        if om is not None:
+            om = jnp.concatenate([om, jnp.ones((pad, n_o), dtype)])
+
+    if shard is not None:
+        ms, ps, _ = sharded_parallel_filter(
+            a, q, h, rv, ys, p0, mesh, axis, mask=mask, obs_mask=om,
+        )
+        ms_s, ps_s = sharded_rts_smoother(a, q, ms, ps, mesh, axis)
+    else:
+        fil, smo = _select_schedule(parallel, ys.shape[0])
+        ms, ps, _ = fil(a, q, h, rv, ys, p0, mask=mask,
+                        obs_mask=om, **_sel_kwargs(fil, obs_slice))
+        ms_s, ps_s = smo(a, q, ms, ps)
+    if pad:
+        ms, ps = ms[:t_steps], ps[:t_steps]
+        ms_s, ps_s = ms_s[:t_steps], ps_s[:t_steps]
+
+    rcond = _rts_rcond(dtype)
+    # Virtual t=0 node: the chain's prior reference point (m0=0, p0),
+    # smoothed backward one step so test times before the first train
+    # node have a left bracket.
+    a0 = a[0] if a.ndim == 3 else a
+    q0 = q[0] if q.ndim == 3 else q
+    p_pred0 = _symmetrize(a0 @ p0 @ a0.T + q0)
+    g0 = _pseudo_gain(p0 @ a0.T, p_pred0, rcond)
+    m_node = jnp.concatenate([(g0 @ ms_s[0])[None], ms_s])
+    s_node = jnp.concatenate(
+        [_symmetrize(p0 + g0 @ (ps_s[0] - p_pred0) @ g0.T)[None], ps_s]
+    )
+    pf_node = jnp.concatenate([p0[None], ps])
+    t_node = jnp.concatenate([jnp.zeros((1,), dtype), t_train])
+    k_hi = t_steps - 1  # largest left-bracket index
+
+    def one(tq):
+        k = jnp.clip(
+            jnp.searchsorted(t_node, tq, side="right") - 1, 0, k_hi
+        )
+        dt1 = jnp.maximum(tq - t_node[k], jnp.zeros((), dtype))
+        dt2 = jnp.maximum(t_node[k + 1] - tq, jnp.zeros((), dtype))
+        a1, q1 = discretize(f_aug, p_inf, dt1)
+        a2, q2 = discretize(f_aug, p_inf, dt2)
+        m_l, m_r = m_node[k], m_node[k + 1]
+        s_l, s_r = s_node[k], s_node[k + 1]
+        # Pairwise smoothed joint over the bracket: the full-step
+        # transition is the semigroup composite of the two half-steps,
+        # so no extra discretize is needed.
+        a12 = a2 @ a1
+        q12 = _symmetrize(a2 @ q1 @ a2.T + q2)
+        p_pred = _symmetrize(a12 @ pf_node[k] @ a12.T + q12)
+        g_k = _pseudo_gain(pf_node[k] @ a12.T, p_pred, rcond)
+        c_lr = g_k @ s_r  # Cov(x_L, x_R | Y)
+        # Bridge weights (S == q12 by the same semigroup identity).
+        w_b = _pseudo_gain(q1 @ a2.T, q12, rcond)
+        w_b_a2 = w_b @ a2
+        w_a = a1 - w_b_a2 @ a1
+        lam = q1 - w_b_a2 @ q1
+        cross = w_a @ c_lr @ w_b.T
+        m_in = w_a @ m_l + w_b @ m_r
+        p_in = _symmetrize(
+            lam + w_a @ s_l @ w_a.T + w_b @ s_r @ w_b.T + cross + cross.T
+        )
+        # One-sided extrapolation past the terminal node.
+        dte = jnp.maximum(tq - t_node[-1], jnp.zeros((), dtype))
+        ae, qe = discretize(f_aug, p_inf, dte)
+        m_ex = ae @ m_node[-1]
+        p_ex = _symmetrize(ae @ s_node[-1] @ ae.T + qe)
+        is_ex = tq > t_node[-1]
+        return (
+            jnp.where(is_ex, m_ex, m_in),
+            jnp.where(is_ex, p_ex, p_in),
+        )
+
+    return jax.vmap(one)(t_test)
+
+
+def _pick_smooth(interp):
+    if interp == "union":
+        return _union_grid_smooth
+    if interp == "bridge":
+        return _bridge_smooth
+    raise ValueError(
+        f"interp must be 'union' or 'bridge', got {interp!r}"
+    )
+
+
 @_pin_precision
 def multisimm_predict_ss(
     params,
@@ -2554,6 +2729,7 @@ def multisimm_predict_ss(
     shard=None,
     unique_dts=None,
     force_kernels=None,
+    interp: str = "union",
 ):
     """Smoothed posterior for the R-force family: the state-space
     analogue of ``ExactMultiSIMM.latent_predict`` across ALL forces in
@@ -2577,7 +2753,7 @@ def multisimm_predict_ss(
     p_tot = p0.shape[0] - g
     h = gene_observation_matrix(p_tot, g, replicates, t_train.dtype)
     mean = params.basal / params.decay
-    m_t, p_t = _union_grid_smooth(
+    m_t, p_t = _pick_smooth(interp)(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
         parallel=parallel, shard=shard, unique_dts=unique_dts,
@@ -2605,6 +2781,7 @@ def lfm2_predict_ss(
     shard=None,
     unique_dts=None,
     force_kernel: str = "rbf",
+    interp: str = "union",
 ):
     """Smoothed posterior for the second-order family: the state-space
     analogue of ``SecondOrderSIMM.latent_predict``. The simm2 closed
@@ -2635,7 +2812,7 @@ def lfm2_predict_ss(
     h = jnp.tile(h_x, (replicates, 1))
     spring = params.alpha**2 + params.omega**2
     mean = params.basal / spring
-    m_t, p_t = _union_grid_smooth(
+    m_t, p_t = _pick_smooth(interp)(
         f_aug, p_inf, p0, h, t_train, t_test, y,
         jnp.tile(mean, (replicates,)), noise_var, obs_mask=obs_mask,
         parallel=parallel, shard=shard, unique_dts=unique_dts,

@@ -9,14 +9,17 @@ scale (6.0e-4 at p=8, 1.28e-4 at p=10, 2.9e-5 at p=12) and shrink
 monotonically with the order.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import Mesh
 
 from dis_project_tpu.data import synthetic
 from dis_project_tpu.data.dataset import train_arrays
-from dis_project_tpu.models import simm
+from dis_project_tpu.models import multisimm, simm, simm2
 from dis_project_tpu.ops import statespace as ss
 
 
@@ -2225,6 +2228,125 @@ class TestPredict:
         assert rms_post < 0.8 * rms_prior
         assert np.isfinite(np.asarray(x_mean)).all()
         assert (np.asarray(x_var) >= 0.0).all()
+
+
+class TestBridgePredict:
+    """interp="bridge" (r5): exact bridge interpolation must reproduce
+    the union-grid smoother — same posterior, no union grid. The union
+    path is pinned against the brute-force joint-Gaussian oracle, so
+    bridge==union is transitively oracle-level parity. Tolerances sit
+    above the pseudo-solve's eigh noise floor (~1e-6 relative at
+    near-zero variances), not at bitwise."""
+
+    @staticmethod
+    def _cmp(u, b, tol, reorder=None):
+        for uu, bb in zip(u, b):
+            uu, bb = np.asarray(uu), np.asarray(bb)
+            if reorder is not None:
+                bb = bb[..., reorder] if bb.ndim == uu.ndim == 1 else bb
+            err = np.max(np.abs(uu - bb) / (np.abs(uu) + 1e-8))
+            assert err < tol, err
+
+    def test_matches_union_all_regions(self):
+        """One grid covering every bracket regime: t=0, pre-first-node,
+        interior off-grid, exact train hits, the terminal node, and
+        extrapolation past it."""
+        rng = np.random.default_rng(0)
+        G, T = 3, 12
+        t = jnp.linspace(0.5, 12.0, T)  # first node > 0
+        y = jnp.asarray(rng.normal(size=(G * T,)))
+        params = simm.init_params(G)
+        tt = jnp.sort(jnp.concatenate([
+            jnp.linspace(0.0, 13.0, 31),
+            jnp.asarray([0.0, 0.25, t[0], 6.0, float(t[-1]), 12.5]),
+        ]))
+        for kern in ("rbf", "matern32"):
+            u = ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                                  parallel=False, force_kernel=kern)
+            b = ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                                  parallel=False, force_kernel=kern,
+                                  interp="bridge")
+            self._cmp(u, b, 1e-5)
+
+    def test_obs_mask_and_per_point_noise(self):
+        rng = np.random.default_rng(1)
+        G, T = 3, 10
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(rng.normal(size=(G * T,)))
+        params = simm.init_params(G)
+        tt = jnp.linspace(0.0, 12.5, 29)
+        om = jnp.asarray(rng.integers(0, 2, size=(G * T,)),
+                         jnp.float64).at[:4].set(1.0)
+        nv = jnp.asarray(rng.uniform(1e-3, 1e-2, size=(T, G)))
+        u = ss.lfm_predict_ss(params, t, y, tt, noise_var=nv,
+                              parallel=False, obs_mask=om)
+        b = ss.lfm_predict_ss(params, t, y, tt, noise_var=nv,
+                              parallel=False, obs_mask=om, interp="bridge")
+        self._cmp(u, b, 1e-5)
+
+    def test_multisimm_and_lfm2_families(self):
+        rng = np.random.default_rng(2)
+        G, T = 3, 9
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(rng.normal(size=(G * T,)))
+        tt = jnp.linspace(0.0, 12.5, 21)
+        mp = multisimm.init_params(G, 2)
+        u = ss.multisimm_predict_ss(mp, t, y, tt, noise_var=1e-3,
+                                    parallel=False)
+        b = ss.multisimm_predict_ss(mp, t, y, tt, noise_var=1e-3,
+                                    parallel=False, interp="bridge")
+        self._cmp(u, b, 1e-5)
+        p2 = simm2.init_params(G)
+        u = ss.lfm2_predict_ss(p2, t, y, tt, noise_var=1e-3,
+                               parallel=False)
+        b = ss.lfm2_predict_ss(p2, t, y, tt, noise_var=1e-3,
+                               parallel=False, interp="bridge")
+        self._cmp(u, b, 1e-5)
+
+    def test_jit_unique_dts_promise(self):
+        """Under jit the bucketed discretize needs the TRAIN grid's
+        distinct-dt promise; result must match the eager bridge to the
+        cross-program eigh noise floor."""
+        rng = np.random.default_rng(3)
+        G, T = 2, 8
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(rng.normal(size=(G * T,)))
+        params = simm.init_params(G)
+        tt = jnp.linspace(0.0, 12.5, 17)
+        ud = int(np.unique(np.diff(np.asarray(t), prepend=0.0)).size)
+        f = jax.jit(functools.partial(
+            ss.lfm_predict_ss, noise_var=1e-3, parallel=False,
+            unique_dts=ud, interp="bridge",
+        ))
+        self._cmp(
+            ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                              parallel=False, interp="bridge"),
+            f(params, t, y, tt), 1e-4,
+        )
+
+    def test_sharded_bridge(self):
+        """shard=(mesh, axis) pads the train chain to the axis size with
+        masked dt=0 pass-throughs; the bridge on top must agree."""
+        rng = np.random.default_rng(4)
+        G, T = 2, 10  # not a multiple of the 4-device axis
+        t = jnp.linspace(0.0, 12.0, T)
+        y = jnp.asarray(rng.normal(size=(G * T,)))
+        params = simm.init_params(G)
+        tt = jnp.linspace(0.0, 12.5, 13)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("t",))
+        b = ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                              parallel=False, interp="bridge")
+        bs = ss.lfm_predict_ss(params, t, y, tt, noise_var=1e-3,
+                               shard=(mesh, "t"), interp="bridge")
+        self._cmp(b, bs, 1e-4)
+
+    def test_unknown_interp_rejected(self):
+        params = simm.init_params(2)
+        t = jnp.linspace(0.0, 12.0, 5)
+        y = jnp.zeros((10,))
+        with pytest.raises(ValueError, match="interp"):
+            ss.lfm_predict_ss(params, t, y, t, noise_var=1e-3,
+                              interp="spline")
 
 
 class TestF32:
